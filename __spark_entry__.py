@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
 """
 
 from __future__ import annotations
@@ -15,24 +14,84 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the two-source recovery-merge read (reference
+    Journals.scala:194-301) over the sf0.001 actions stream."""
+    from kafka_journal_spark.operators.actions import journal_actions
+    from kafka_journal_spark.operators.read import recovery_merge
+
+    actions = journal_actions(spark, "/root/testdata/sf0.001")
+    return recovery_merge(actions)
+
+
+def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from kafka_journal_spark.operators import read as R
+    from kafka_journal_spark.operators.actions import journal_actions
+    from kafka_journal_spark.operators.replicate import (
+        materialize_journal,
+        materialize_metajournal,
+        materialize_pointers,
+    )
+
+    def j_actions(spark, sf_dir):
+        return journal_actions(spark, sf_dir)
+
+    def j_journal(spark, sf_dir):
+        return materialize_journal(journal_actions(spark, sf_dir))
+
+    def j_meta(spark, sf_dir):
+        return materialize_metajournal(journal_actions(spark, sf_dir))
+
+    def j_pointers(spark, sf_dir):
+        return materialize_pointers(journal_actions(spark, sf_dir))
+
+    def j_read(spark, sf_dir):
+        return R.read_journal(materialize_journal(journal_actions(spark, sf_dir)), 1)
+
+    def j_read_from(spark, sf_dir):
+        return R.read_journal(materialize_journal(journal_actions(spark, sf_dir)), 4)
+
+    def j_pointer(spark, sf_dir):
+        return R.pointer(materialize_metajournal(journal_actions(spark, sf_dir)))
+
+    def j_ids(spark, sf_dir):
+        return R.ids(materialize_metajournal(journal_actions(spark, sf_dir)), "journal")
+
+    def j_replay_limit(spark, sf_dir):
+        return R.replay_limit(
+            materialize_journal(journal_actions(spark, sf_dir)), 2, 1_000_000, 10
+        )
+
+    def j_recovery_merge(spark, sf_dir):
+        return R.recovery_merge(journal_actions(spark, sf_dir))
+
+    return {
+        "j_actions": j_actions,
+        "j_journal": j_journal,
+        "j_meta": j_meta,
+        "j_pointers": j_pointers,
+        "j_read": j_read,
+        "j_read_from": j_read_from,
+        "j_pointer": j_pointer,
+        "j_ids": j_ids,
+        "j_replay_limit": j_replay_limit,
+        "j_recovery_merge": j_recovery_merge,
+    }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from kafka_journal_spark.operators.analytics import ANALYTICS_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(_journal_queries())
+    out.update(ANALYTICS_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from kafka_journal_spark.operators.analytics import ANALYTICS_ORACLES
+    from kafka_journal_spark.oracles import ORACLES
+
+    out: dict[str, str] = {}
+    out.update(ORACLES)
+    out.update(ANALYTICS_ORACLES)
+    return out

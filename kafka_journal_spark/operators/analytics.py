@@ -1,0 +1,261 @@
+"""Relational analytics over the synthetic star schema (SURVEY.md §2.7).
+
+The reference has no relational algebra; this module is the engine's general
+query surface demonstrating the classic operator categories (§2.7 table:
+projection, filter, equi-join, broadcast choice, aggregation, distinct,
+window, top-k, set ops, rollup) expressed declaratively so Catalyst owns the
+physical strategy.
+
+Determinism across engines: monetary doubles are cast to DECIMAL before
+aggregation so sums are exact and independent of partial-aggregation order
+(a float sum over 600k rows differs in the last ulp between engines/plans;
+a decimal sum never does); the final aggregate is cast back to DOUBLE so the
+result schema is identical in Spark and DuckDB regardless of their decimal
+widening rules.
+
+Scale notes per query are in each docstring; the common rules:
+- dimension joins (region/nation/customer/supplier/part) are broadcast —
+  at 100 TB the fact tables shuffle, the dims never should;
+- aggregations are partial+final automatically (hash agg with map-side
+  combine) since expressed as groupBy().agg();
+- top-k is `orderBy().limit()` → Spark's TakeOrderedAndProject, which never
+  fully sorts or collects the data.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# exact money math staged through narrow decimals (no overflow in either
+# engine): ep*(1-disc) -> DECIMAL(18,4); that * (1+tax) -> DECIMAL(24,6).
+# These are functions (not module constants) because Column construction
+# needs an active SparkContext.
+
+
+def _EP():
+    return F.col("l_extendedprice").cast("decimal(12,2)")
+
+
+def _DISC_PRICE():
+    d1 = F.lit(1).cast("decimal(6,2)") - F.col("l_discount").cast("decimal(6,2)")
+    return (_EP() * d1).cast("decimal(18,4)")
+
+
+def _CHARGE():
+    t1 = F.lit(1).cast("decimal(6,2)") + F.col("l_tax").cast("decimal(6,2)")
+    return (_DISC_PRICE() * t1).cast("decimal(24,6)")
+
+_SQL_EP = "CAST(l_extendedprice AS DECIMAL(12,2))"
+_SQL_DISC1 = "(CAST(1 AS DECIMAL(6,2)) - CAST(l_discount AS DECIMAL(6,2)))"
+_SQL_TAX1 = "(CAST(1 AS DECIMAL(6,2)) + CAST(l_tax AS DECIMAL(6,2)))"
+_SQL_DISC_PRICE = f"CAST({_SQL_EP} * {_SQL_DISC1} AS DECIMAL(18,4))"
+_SQL_CHARGE = f"CAST({_SQL_DISC_PRICE} * {_SQL_TAX1} AS DECIMAL(24,6))"
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy grouped aggregation over lineitem.
+
+    Scale: pure map-side-combinable hash agg over 4 groups; the scan reads
+    only the needed columns (check ReadSchema) and the date filter pushes
+    down to the parquet scan.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+            F.sum(_EP()).cast("double").alias("sum_base_price"),
+            F.sum(_DISC_PRICE()).cast("double").alias("sum_disc_price"),
+            F.sum(_CHARGE()).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + top-10.
+
+    Scale: customer is filtered then broadcast; orders⋈lineitem is the only
+    shuffle join; final top-10 is TakeOrderedAndProject (no full sort).
+    """
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_DISC_PRICE()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way star join, grouped by nation.
+
+    Scale: all dimension sides broadcast; one shuffle for the final agg.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(_DISC_PRICE()).cast("double").alias("revenue"))
+    )
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer order total (window-function coverage).
+
+    Scale: one shuffle on o_custkey; both windows share the same sort so
+    Catalyst plans a single Window node.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    ws = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("running_total"),
+        F.row_number().over(ws).alias("order_rank"),
+    )
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation over orders by (status, priority)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )
+
+
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with orders but no high-value order (semi + anti join).
+
+    Scale: both sides of the semi/anti are key-only projections; at scale
+    these become broadcast or shuffled hash joins per AQE's choice.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 400000)
+    with_orders = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    return with_orders.join(
+        big, with_orders.c_custkey == big.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (window top-k pattern).
+
+    Scale: rank-based filter pushes the limit inside each partition — Spark
+    inserts a WindowGroupLimit so no full materialization of ranks.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+ANALYTICS_ORACLES: dict[str, str] = {
+    "q1": f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM({_SQL_EP}) AS DOUBLE) AS sum_base_price,
+               CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM({_SQL_CHARGE}) AS DOUBLE) AS sum_charge,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3": f"""
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "q5": f"""
+        SELECT n_name,
+               CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE c_nationkey = s_nationkey
+        GROUP BY n_name
+    """,
+    "q_window_running": """
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+               CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS order_rank
+        FROM orders
+    """,
+    "q_rollup": """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "q_semi_anti": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+          AND c_custkey NOT IN (
+              SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    """,
+    "q_topk_per_group": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rk
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
+            FROM orders
+        ) WHERE rk <= 3
+    """,
+}
+
+ANALYTICS_QUERIES = {
+    "q1": q1_pricing_summary,
+    "q3": q3_shipping_priority,
+    "q5": q5_local_volume,
+    "q_window_running": q_window_running,
+    "q_rollup": q_rollup,
+    "q_semi_anti": q_semi_anti,
+    "q_topk_per_group": q_topk_per_group,
+}

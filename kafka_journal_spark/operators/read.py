@@ -1,0 +1,175 @@
+"""Read-path operators — the reference's "query engine" (SURVEY.md §2.3).
+
+- ``read_journal``    — R1/R7: read events with ``seq_nr >= from`` from the
+                        replicated tables (``EventualCassandra.scala:108-215``).
+                        The reference's segment-chained iteration collapses to
+                        a single pushed-down range predicate in Spark.
+- ``pointer``         — R6: last seq_nr per key (``Journals.scala:303-323``).
+- ``ids``             — R9: all journal ids of a topic
+                        (``EventualJournal.scala:81``).
+- ``topic_offset``    — R10: last replicated offset per partition.
+- ``replay_limit``    — R11: bounded replay, a per-key top-k by seq_nr
+                        (``JournalAdapter.scala:189-216``).
+- ``recovery_merge``  — R1's two-source merge: replicated prefix stitched
+                        with a not-yet-replicated Kafka tail, fenced by an
+                        end-offset (our Mark equivalent, SURVEY.md §3.1),
+                        with the R5 monotonic-dedup guard.
+
+Scale notes: every operator here is a filter/agg/window over the key
+partitioning already established by replication — no extra shuffles beyond
+the per-key exchange; range predicates (``seq_nr >= lo``) push into the
+parquet scan (min-max skipping).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_journal_spark.operators.replicate import (
+    materialize_journal,
+    materialize_metajournal,
+    with_fold_columns,
+)
+
+READ_COLUMNS = [
+    "id",
+    "topic",
+    "seq_nr",
+    "partition",
+    "offset",
+    "timestamp",
+    "origin",
+    "version",
+    "payload_type",
+    "payload_txt",
+]
+
+
+def read_journal(journal: DataFrame, from_seq_nr: int = 1) -> DataFrame:
+    """read(from): events with seq_nr >= from, in seq order per key."""
+    return journal.filter(F.col("seq_nr") >= F.lit(from_seq_nr)).select(*READ_COLUMNS)
+
+
+def pointer(metajournal: DataFrame) -> DataFrame:
+    """pointer per key: (topic, id, partition, offset, seq_nr) —
+    ``JournalPointer.scala:5``."""
+    return metajournal.select("topic", "id", "partition", "offset", "seq_nr")
+
+
+def ids(metajournal: DataFrame, topic: str) -> DataFrame:
+    """ids(topic): all live journal ids (purged journals have no head row)."""
+    return metajournal.filter(F.col("topic") == topic).select("topic", "id")
+
+
+def topic_offset(pointers: DataFrame) -> DataFrame:
+    """offset(topic, partition) for all partitions."""
+    return pointers.select("topic", "partition", "offset")
+
+
+def replay_limit(journal: DataFrame, from_seq_nr: int, to_seq_nr: int, max_events: int) -> DataFrame:
+    """replay(range, max): per-key ordered replay capped at ``max_events``
+    (reference ``JournalAdapter.scala:192-208`` foldWhileM)."""
+    w = Window.partitionBy("topic", "id").orderBy("seq_nr")
+    return (
+        journal.filter(F.col("seq_nr").between(from_seq_nr, to_seq_nr))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_events)
+        .select(*READ_COLUMNS)
+    )
+
+
+def recovery_merge(actions: DataFrame, split_frac: float = 0.7, from_seq_nr: int = 1) -> DataFrame:
+    """R1: the flagship two-source recovery read.
+
+    Simulates a half-replicated topic: per partition, actions with
+    ``offset <= floor(max_offset * split_frac)`` are "already in Cassandra"
+    (we materialize them into journal+metajournal), the rest are the
+    "Kafka tail".  The read stitches replicated prefix + decoded tail and
+    applies the tail's delete/purge visibility — exactly the plan of
+    ``Journals.scala:211-292``:
+
+    - tail purge erases the replicated prefix and earlier tail appends
+      (HeadInfo.Purge branch);
+    - effective delete_to = max(replicated head delete_to, tail deletes)
+      tightens the read lower bound (``max(from, deleteTo + 1)``);
+    - the R5 monotonic guard (dropDuplicates on (topic,id,seq_nr) keeping the
+      first offset) protects against tail re-delivery.
+
+    The result must equal a full materialization of *all* actions — the
+    consistency property JournalSpec's model checks; the DuckDB oracle takes
+    that independent path.
+    """
+    wp = Window.partitionBy("topic", "partition")
+    acts = actions.withColumn(
+        "_split",
+        F.floor(F.max("offset").over(wp) * F.lit(split_frac)).cast("long"),
+    )
+    prefix_actions = acts.filter(F.col("offset") <= F.col("_split")).drop("_split")
+    tail = acts.filter(F.col("offset") > F.col("_split")).drop("_split")
+
+    # "Cassandra" side: replicated prefix
+    journal = materialize_journal(prefix_actions)
+    meta = materialize_metajournal(prefix_actions)
+
+    eventual = (
+        journal.join(
+            F.broadcast(meta.select("topic", "id", F.col("delete_to").alias("_meta_del_to"))),
+            ["topic", "id"],
+            "left",
+        )
+        .filter(F.col("seq_nr") > F.coalesce(F.col("_meta_del_to"), F.lit(0)))
+        .select(*READ_COLUMNS)
+    )
+
+    # "Kafka" side: decode tail appends (the replicator hasn't seen these)
+    tail_rows = tail.filter(F.col("action_type") == "append").select(
+        F.col("id"),
+        F.col("topic"),
+        F.col("seq_nr_from").alias("seq_nr"),
+        F.col("partition"),
+        F.col("offset"),
+        F.col("timestamp"),
+        F.col("origin"),
+        F.col("version"),
+        F.col("payload_type"),
+        F.col("payload").alias("payload_txt"),
+    )
+
+    merged = eventual.unionByName(tail_rows)
+
+    # tail-derived visibility: purge horizon + (post-purge) delete watermark
+    # per key — a delete emitted before a later purge must not survive it
+    wk = Window.partitionBy("topic", "id")
+    tail_fold = (
+        tail.withColumn(
+            "_t_purge",
+            F.max(F.when(F.col("action_type") == "purge", F.col("offset"))).over(wk),
+        )
+        .groupBy("topic", "id")
+        .agg(
+            F.first("_t_purge").alias("_t_purge"),
+            F.max(
+                F.when(
+                    (F.col("action_type") == "delete")
+                    & (F.col("offset") > F.coalesce(F.col("_t_purge"), F.lit(-1))),
+                    F.col("delete_to"),
+                )
+            ).alias("_t_del"),
+        )
+    )
+
+    visible = (
+        merged.join(F.broadcast(tail_fold), ["topic", "id"], "left")
+        .filter(F.col("offset") > F.coalesce(F.col("_t_purge"), F.lit(-1)))
+        .filter(F.col("seq_nr") > F.coalesce(F.col("_t_del"), F.lit(0)))
+        .filter(F.col("seq_nr") >= F.lit(from_seq_nr))
+    )
+
+    # R5 monotonic-dedup guard: keep first delivery of each seq_nr
+    wdup = Window.partitionBy("topic", "id", "seq_nr").orderBy("offset")
+    return (
+        visible.withColumn("_rn", F.row_number().over(wdup))
+        .filter(F.col("_rn") == 1)
+        .select(*READ_COLUMNS)
+    )

@@ -1,0 +1,172 @@
+"""Batch replication: fold an actions stream into the three storage tables.
+
+Re-expresses the reference replicator's semantics (reference
+``replicator/.../Batch.scala:27-156`` — the action-collapse fold — and
+``eventual-cassandra/.../ReplicatedCassandra.scala:133-465`` — append/delete/
+purge materialization) as declarative DataFrame plans:
+
+- ``journal``      — replicated events (Cassandra ``journal`` table,
+                     DDL ``JournalStatements.scala:32-53``)
+- ``metajournal``  — per-key head state (``MetaJournalStatements.scala:24-57``)
+- ``pointers``     — per-(topic,partition) replication progress
+                     (``Pointer2Statements.scala:19-29``)
+
+Final-state semantics per key (actions totally ordered by offset within a
+key, since a key lives in one partition):
+
+- last purge wins: everything at-or-before the latest ``purge`` offset is
+  erased (``ReplicatedCassandra.scala:389-465``); the metajournal row of a
+  purged journal is deleted.
+- deletes are prefix deletions: the effective ``delete_to`` is the max over
+  deletes after the purge horizon (delete-covers-delete merging,
+  ``Batch.scala:94-155``); journal rows with ``seq_nr <= delete_to`` are gone
+  (``ReplicatedCassandra.scala:287-387``).
+- marks are never replicated (``Batch.scala`` ignores them).
+- a fresh journal head's ``delete_to`` is ``first_seq_nr - 1`` when > 0
+  (``ReplicatedCassandra.scala:190-216``: ``events.head.seqNr.prev``).
+
+Scale notes:
+- One shuffle on ``(topic, id)`` serves every per-key window; Catalyst
+  collapses the three window expressions into a single Window node over one
+  Exchange.  At 100 TB the per-key action count stays modest (events per
+  entity), so full-partition windows don't spill.
+- ``journal`` carries the derived ``segment = floor((seq_nr-1)/segment_size)``
+  column (reference ``SegmentNr.scala:138-144``) for result parity, but the
+  physical layout should partition by topic and bucket by id — Spark's
+  partitioner replaces Cassandra segments (SURVEY.md §1.4).
+- metajournal ``segment`` uses an md5-based bucket (portable across engines)
+  instead of Java String.hashCode — declared an implementation detail per
+  SURVEY.md §1.4.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_journal_spark import SEGMENT_SIZE_DEFAULT, SEGMENTS_DEFAULT
+
+
+def _md5_bucket(col: Column, buckets: int) -> Column:
+    """Portable deterministic bucket: first 8 md5 hex chars -> bigint % buckets."""
+    return F.pmod(F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"), F.lit(buckets))
+
+
+def with_fold_columns(actions: DataFrame) -> DataFrame:
+    """Annotate each action with the per-key fold state (purge horizon,
+    effective flag, effective delete_to)."""
+    wk = Window.partitionBy("topic", "id")
+    purge_off = F.max(
+        F.when(F.col("action_type") == "purge", F.col("offset"))
+    ).over(wk)
+    df = actions.withColumn("_purge_off", purge_off)
+    eff = F.col("offset") > F.coalesce(F.col("_purge_off"), F.lit(-1))
+    df = df.withColumn("_eff", eff)
+    del_to = F.max(
+        F.when((F.col("action_type") == "delete") & F.col("_eff"), F.col("delete_to"))
+    ).over(wk)
+    return df.withColumn("_del_to", del_to)
+
+
+def materialize_journal(
+    actions: DataFrame, segment_size: int = SEGMENT_SIZE_DEFAULT
+) -> DataFrame:
+    """actions -> journal table (FIXTURES.md §3 schema)."""
+    df = with_fold_columns(actions)
+    rows = df.filter(
+        (F.col("action_type") == "append")
+        & F.col("_eff")
+        & (F.col("seq_nr_from") > F.coalesce(F.col("_del_to"), F.lit(0)))
+    )
+    seq = F.col("seq_nr_from")
+    return rows.select(
+        F.col("id"),
+        F.col("topic"),
+        F.floor((seq - 1) / segment_size).cast("long").alias("segment"),
+        seq.alias("seq_nr"),
+        F.col("partition"),
+        F.col("offset"),
+        F.col("timestamp"),
+        F.col("origin"),
+        F.col("version"),
+        F.col("payload_type"),
+        F.col("payload").alias("payload_txt"),
+    )
+
+
+def materialize_metajournal(
+    actions: DataFrame,
+    segment_size: int = SEGMENT_SIZE_DEFAULT,
+    segments: int = SEGMENTS_DEFAULT,
+) -> DataFrame:
+    """actions -> metajournal head table (FIXTURES.md §4 schema).
+
+    A head row exists iff the key has an effective append or delete
+    (a purge with nothing after it deletes the row —
+    ``ReplicatedCassandra.scala:389-465``).
+    """
+    df = with_fold_columns(actions)
+    eff = df.filter(F.col("_eff") & F.col("action_type").isin("append", "delete"))
+    agg = eff.groupBy("topic", "id").agg(
+        F.min("partition").alias("partition"),
+        F.max("offset").alias("offset"),
+        F.max("seq_nr_to").alias("_max_app_seq"),
+        F.min("seq_nr_from").alias("_first_app_seq"),
+        F.max("delete_to").alias("_d"),
+        F.min("timestamp").alias("created"),
+        F.max("timestamp").alias("updated"),
+    )
+    seq_nr = F.greatest(F.coalesce(F.col("_max_app_seq"), F.lit(0)), F.coalesce(F.col("_d"), F.lit(0)))
+    delete_to = F.nullif(
+        F.greatest(
+            F.coalesce(F.col("_d"), F.lit(0)),
+            F.coalesce(F.col("_first_app_seq"), F.lit(1)) - 1,
+        ),
+        F.lit(0),
+    )
+    return agg.select(
+        F.col("topic"),
+        _md5_bucket(F.col("id"), segments).alias("segment"),
+        F.col("id"),
+        F.col("partition"),
+        F.col("offset"),
+        F.lit(segment_size).cast("int").alias("segment_size"),
+        seq_nr.cast("long").alias("seq_nr"),
+        delete_to.cast("long").alias("delete_to"),
+        F.col("created"),
+        F.to_date("created").alias("created_date"),
+        F.col("updated"),
+    )
+
+
+def materialize_pointers(actions: DataFrame) -> DataFrame:
+    """actions -> pointers table (FIXTURES.md §5): last offset per partition.
+
+    The replicator commits its consumer offsets for *all* records seen
+    (marks included) — ``TopicReplicator.scala:185-206``.
+    """
+    return (
+        actions.groupBy("topic", "partition")
+        .agg(
+            F.max("offset").alias("offset"),
+            F.min("timestamp").alias("created"),
+            F.max("timestamp").alias("updated"),
+        )
+    )
+
+
+@dataclass
+class ReplicatedTables:
+    journal: DataFrame
+    metajournal: DataFrame
+    pointers: DataFrame
+
+
+def replicate(actions: DataFrame) -> ReplicatedTables:
+    return ReplicatedTables(
+        journal=materialize_journal(actions),
+        metajournal=materialize_metajournal(actions),
+        pointers=materialize_pointers(actions),
+    )

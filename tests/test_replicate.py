@@ -1,0 +1,117 @@
+"""Model-level semantics tests for the replication fold, in the style of the
+reference's JournalSpec (journal/src/test/.../JournalSpec.scala): hand-built
+action sequences with exactly-known journal/metajournal/pointer outcomes.
+"""
+
+from __future__ import annotations
+
+from conftest import append, delete, make_actions, mark, purge
+
+from kafka_journal_spark.operators.replicate import (
+    materialize_journal,
+    materialize_metajournal,
+    materialize_pointers,
+)
+
+
+def _journal_map(actions_df):
+    rows = materialize_journal(actions_df).collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r.id, []).append(r.seq_nr)
+    return {k: sorted(v) for k, v in out.items()}
+
+
+def _meta_map(actions_df):
+    return {
+        r.id: (r.seq_nr, r.delete_to)
+        for r in materialize_metajournal(actions_df).collect()
+    }
+
+
+def test_append_only(spark):
+    df = make_actions(spark, [append("a", 1), append("a", 2), append("a", 3)])
+    assert _journal_map(df) == {"a": [1, 2, 3]}
+    assert _meta_map(df) == {"a": (3, None)}
+
+
+def test_delete_prefix(spark):
+    # delete(to=1) erases seq 1; later append continues
+    df = make_actions(
+        spark, [append("a", 1), append("a", 2), delete("a", 1), append("a", 3)]
+    )
+    assert _journal_map(df) == {"a": [2, 3]}
+    assert _meta_map(df) == {"a": (3, 1)}
+
+
+def test_delete_all(spark):
+    # deleting to the last seq_nr empties the journal but keeps the head
+    # ("fully deleted zero-state", FIXTURES.md §4)
+    df = make_actions(spark, [append("a", 1), append("a", 2), delete("a", 2)])
+    assert _journal_map(df) == {}
+    assert _meta_map(df) == {"a": (2, 2)}
+
+
+def test_delete_covers_delete(spark):
+    # a delete covering an earlier delete replaces it (Batch.scala:94-155)
+    df = make_actions(
+        spark,
+        [append("a", 1), append("a", 2), append("a", 3), delete("a", 2), delete("a", 1)],
+    )
+    assert _journal_map(df) == {"a": [3]}
+    assert _meta_map(df) == {"a": (3, 2)}
+
+
+def test_purge_erases_everything(spark):
+    df = make_actions(spark, [append("a", 1), append("a", 2), purge("a")])
+    assert _journal_map(df) == {}
+    assert _meta_map(df) == {}
+
+
+def test_purge_then_fresh_journal(spark):
+    # journal restarts after purge; fresh head delete_to = first_seq - 1
+    # (ReplicatedCassandra.scala:190-216 events.head.seqNr.prev)
+    df = make_actions(
+        spark, [append("a", 1), purge("a"), append("a", 2), append("a", 3)]
+    )
+    assert _journal_map(df) == {"a": [2, 3]}
+    assert _meta_map(df) == {"a": (3, 1)}
+
+
+def test_delete_before_purge_does_not_resurrect(spark):
+    df = make_actions(
+        spark, [append("a", 1), delete("a", 1), purge("a"), append("a", 2)]
+    )
+    assert _journal_map(df) == {"a": [2]}
+    assert _meta_map(df) == {"a": (2, 1)}
+
+
+def test_marks_ignored(spark):
+    # marks are never replicated (Batch.scala ignores them) but advance pointers
+    df = make_actions(spark, [append("a", 1), mark("a"), mark("b")])
+    assert _journal_map(df) == {"a": [1]}
+    assert _meta_map(df) == {"a": (1, None)}
+    ptr = {(r.topic, r.partition): r.offset for r in materialize_pointers(df).collect()}
+    assert ptr == {("journal", 0): 2}
+
+
+def test_keys_are_independent(spark):
+    df = make_actions(
+        spark,
+        [append("a", 1), append("b", 1), purge("a"), delete("b", 1), append("b", 2)],
+    )
+    assert _journal_map(df) == {"b": [2]}
+    assert _meta_map(df) == {"b": (2, 1)}
+
+
+def test_pointer_covers_all_partitions(spark):
+    df = make_actions(
+        spark,
+        [
+            append("a", 1, partition=0, offset=10),
+            append("b", 1, partition=1, offset=5),
+            mark("b", partition=1, offset=6),
+        ],
+    )
+    ptr = {(r.topic, r.partition): r.offset for r in materialize_pointers(df).collect()}
+    assert ptr == {("journal", 0): 10, ("journal", 1): 6}

@@ -1,0 +1,118 @@
+"""Local replica of the driver's correctness gate.
+
+Runs each ``queries()[name]`` on Spark and the matching ``oracle_sql()[name]``
+on DuckDB over the same sf dir, then compares row count, column names/types,
+and order-insensitive values (columns sorted by name, rows sorted, values
+stringified with float rounding).
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+
+def _norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_norm_cell(x)}" for k, x in sorted(v.items())) + "}"
+    return str(v)
+
+
+def _normalize(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for r in rows:
+        vals = list(r)
+        out.append(tuple(_norm_cell(vals[i]) for i in order))
+    out.sort()
+    return out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+    from kafka_journal_spark.session import get_spark
+
+    spark = get_spark("check-correctness")
+    qs = E.queries()
+    os_ = E.oracle_sql()
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+            sres = _normalize([tuple(r) for r in srows], scols)
+        except Exception as ex:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {ex}")
+            continue
+        if name not in os_:
+            print(f"OK?  {name}: rows={len(srows)} (no oracle — rows-only check)")
+            continue
+        try:
+            cur = con.execute(os_[name])
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+            dres = _normalize(drows, dcols)
+        except Exception as ex:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {ex}")
+            continue
+        if sorted(scols) != sorted(dcols):
+            failures.append(name)
+            print(f"FAIL {name}: columns differ spark={sorted(scols)} duck={sorted(dcols)}")
+            continue
+        if len(sres) != len(dres):
+            failures.append(name)
+            print(f"FAIL {name}: rowcount spark={len(sres)} duck={len(dres)}")
+            continue
+        bad = [i for i, (a, b) in enumerate(zip(sres, dres)) if a != b]
+        if bad:
+            failures.append(name)
+            i = bad[0]
+            print(f"FAIL {name}: {len(bad)}/{len(sres)} rows differ; first at {i}:")
+            print(f"  cols : {sorted(scols)}")
+            print(f"  spark: {sres[i]}")
+            print(f"  duck : {dres[i]}")
+        else:
+            print(f"PASS {name}: rows={len(sres)}")
+    spark.stop()
+    if failures:
+        print("FAILURES:", failures)
+        sys.exit(1)
+    print("all checks passed")
+
+
+if __name__ == "__main__":
+    main()
