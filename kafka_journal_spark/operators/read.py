@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kafka_journal_spark.operators.replicate import (
+    explode_events,
     materialize_journal,
     materialize_metajournal,
     with_fold_columns,
@@ -123,17 +124,8 @@ def recovery_merge(actions: DataFrame, split_frac: float = 0.7, from_seq_nr: int
     )
 
     # "Kafka" side: decode tail appends (the replicator hasn't seen these)
-    tail_rows = tail.filter(F.col("action_type") == "append").select(
-        F.col("id"),
-        F.col("topic"),
-        F.col("seq_nr_from").alias("seq_nr"),
-        F.col("partition"),
-        F.col("offset"),
-        F.col("timestamp"),
-        F.col("origin"),
-        F.col("version"),
-        F.col("payload_type"),
-        F.col("payload").alias("payload_txt"),
+    tail_rows = explode_events(tail.filter(F.col("action_type") == "append")).select(
+        *READ_COLUMNS
     )
 
     merged = eventual.unionByName(tail_rows)

@@ -70,29 +70,70 @@ def with_fold_columns(actions: DataFrame) -> DataFrame:
     return df.withColumn("_del_to", del_to)
 
 
+def explode_events(appends: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """One row per event from append actions (Events[A] batches — one Kafka
+    record may carry several events, reference ``Events.scala:131``).
+
+    If a ``payloads`` array column is present it is positionally aligned with
+    ``sequence(seq_nr_from, seq_nr_to)``; otherwise the single ``payload``
+    column is used (single-event appends).  Stays JVM-side: explode over
+    ``sequence`` — no Python UDF.
+    """
+    if "payloads" in appends.columns:
+        zipped = F.arrays_zip(
+            F.sequence("seq_nr_from", "seq_nr_to").alias("seq_nrs"),
+            F.col("payloads"),
+        )
+        df = appends.withColumn("_ev", F.explode(zipped))
+        seq, pl = F.col("_ev.seq_nrs"), F.col("_ev.payloads")
+    else:
+        df = appends.withColumn("_ev", F.explode(F.sequence("seq_nr_from", "seq_nr_to")))
+        seq, pl = F.col("_ev"), F.col("payload")
+    return df.select(
+        "id",
+        "topic",
+        seq.cast("long").alias("seq_nr"),
+        "partition",
+        "offset",
+        "timestamp",
+        "origin",
+        "version",
+        "payload_type",
+        pl.alias("payload_txt"),
+        *extra_cols,
+    )
+
+
 def materialize_journal(
     actions: DataFrame, segment_size: int = SEGMENT_SIZE_DEFAULT
 ) -> DataFrame:
-    """actions -> journal table (FIXTURES.md §3 schema)."""
+    """actions -> journal table (FIXTURES.md §3 schema).
+
+    An append batch straddling the delete watermark keeps only its upper
+    part, so the watermark filter applies per-event after the explode.
+    """
     df = with_fold_columns(actions)
     rows = df.filter(
         (F.col("action_type") == "append")
         & F.col("_eff")
-        & (F.col("seq_nr_from") > F.coalesce(F.col("_del_to"), F.lit(0)))
+        & (F.col("seq_nr_to") > F.coalesce(F.col("_del_to"), F.lit(0)))
     )
-    seq = F.col("seq_nr_from")
-    return rows.select(
-        F.col("id"),
-        F.col("topic"),
-        F.floor((seq - 1) / segment_size).cast("long").alias("segment"),
-        seq.alias("seq_nr"),
-        F.col("partition"),
-        F.col("offset"),
-        F.col("timestamp"),
-        F.col("origin"),
-        F.col("version"),
-        F.col("payload_type"),
-        F.col("payload").alias("payload_txt"),
+    events = explode_events(rows, extra_cols=("_del_to",))
+    return (
+        events.filter(F.col("seq_nr") > F.coalesce(F.col("_del_to"), F.lit(0)))
+        .select(
+            F.col("id"),
+            F.col("topic"),
+            F.floor((F.col("seq_nr") - 1) / segment_size).cast("long").alias("segment"),
+            F.col("seq_nr"),
+            F.col("partition"),
+            F.col("offset"),
+            F.col("timestamp"),
+            F.col("origin"),
+            F.col("version"),
+            F.col("payload_type"),
+            F.col("payload_txt"),
+        )
     )
 
 
