@@ -79,19 +79,31 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from kafka_journal_spark.functions.dedup import DEDUP_QUERIES
+    from kafka_journal_spark.functions.similarity import SIM_QUERIES
+    from kafka_journal_spark.functions.text import TEXT_QUERIES
     from kafka_journal_spark.operators.analytics import ANALYTICS_QUERIES
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(_journal_queries())
     out.update(ANALYTICS_QUERIES)
+    out.update(TEXT_QUERIES)
+    out.update(DEDUP_QUERIES)
+    out.update(SIM_QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
+    from kafka_journal_spark.functions.dedup import DEDUP_ORACLES
+    from kafka_journal_spark.functions.similarity import SIM_ORACLES
+    from kafka_journal_spark.functions.text import TEXT_ORACLES
     from kafka_journal_spark.operators.analytics import ANALYTICS_ORACLES
     from kafka_journal_spark.oracles import ORACLES
 
     out: dict[str, str] = {}
     out.update(ORACLES)
     out.update(ANALYTICS_ORACLES)
+    out.update(TEXT_ORACLES)
+    out.update(DEDUP_ORACLES)
+    out.update(SIM_ORACLES)
     return out

@@ -1,0 +1,358 @@
+"""Deduplication operators for the training-data pipeline: exact hashing,
+word-shingle Jaccard, MinHash+LSH banding, and SimHash — each as a
+DataFrame-in/DataFrame-out transformer over the ``documents`` table, with an
+exact DuckDB SQL oracle (the hash primitive — first hex chars of md5 cast to
+bigint — is portable across both engines).
+
+Scale design (the part that matters at 100 TB):
+- exact dedup: one hash-groupBy; map-side combine makes it near-free.
+- Jaccard/MinHash: the candidate generation NEVER does an all-pairs join —
+  docs are joined only within LSH band buckets (or shared shingles), so the
+  shuffle is keyed by band/shingle hash and skew is bounded by bucket size.
+  A frequency cap on join keys (drop shingles appearing in > N docs) is the
+  standard guard against degenerate buckets.
+- SimHash: per-doc 60-bit signature computed via an explode over bit
+  positions (pure column math, no UDF); pairs only within a 12-bit prefix
+  bucket.
+- All hashing is md5-based: deterministic, partition-order independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_journal_spark.functions.text import TOKS_SQL, shingles_col, shingles_sql, tokens_col
+
+MINHASH_K = 16  # number of hash functions
+LSH_BANDS = 4  # bands of 4 rows each
+SIMHASH_BITS = 60  # fits a signed 64-bit in both engines (15 hex chars)
+JACCARD_THRESHOLD = 0.5
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def hash64(col: Column) -> Column:
+    """Portable 32-bit-range hash: first 8 md5 hex chars as bigint."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def hash60(col: Column) -> Column:
+    """Portable 60-bit hash: first 15 md5 hex chars as bigint."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+HASH64_SQL = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+HASH60_SQL = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical assignment by normalized-text hash: every doc maps to the
+    smallest doc_id sharing its fingerprint."""
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    df = _docs(spark, sf_dir).select("doc_id", F.md5(norm).alias("fp"))
+    canon = df.groupBy("fp").agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("group_size")
+    )
+    return df.join(canon, "fp").select("doc_id", "canonical_id", "group_size")
+
+
+# ---------------------------------------------------------------------------
+# shingle-based candidates + true Jaccard
+# ---------------------------------------------------------------------------
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) distinct pairs — the base relation for Jaccard and
+    MinHash.  Column-pruned scan + one explode."""
+    df = _docs(spark, sf_dir).select(
+        "doc_id", shingles_col(tokens_col(), 3).alias("sh")
+    )
+    return df.select("doc_id", F.explode("sh").alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """All doc pairs sharing >= 1 shingle, with exact Jaccard similarity,
+    filtered to >= threshold.
+
+    Scale: the self-join is keyed by shingle — docs never meet unless they
+    share a shingle.  At 100 TB add a shingle-frequency cap before the join
+    (``having count < N``) to bound bucket fan-out.
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    raw = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
+    # the ratio of small ints is bit-identical across engines, so the
+    # threshold filter uses the raw value (rounding only for display)
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(raw >= F.lit(threshold))
+        .select("doc_a", "doc_b", "n_common", F.round(raw, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, sig array<long>) — sig[i] = min over shingles of
+    hash64(i || '|' || shingle)."""
+    sh = _doc_shingles(spark, sf_dir)
+    expanded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
+        F.col("shingle"),
+    ).select(
+        "doc_id",
+        "i",
+        hash64(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("shingle"))).alias("h"),
+    )
+    per_i = expanded.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
+    return (
+        per_i.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "mh"))).alias("_s"))
+        .select("doc_id", F.transform("_s", lambda s: s["mh"]).alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: docs agreeing on any band of the MinHash signature become
+    candidate pairs; output with estimated Jaccard (signature agreement).
+
+    Scale: candidates come from a groupBy on (band index, band hash) — the
+    classic shingle->minhash->band->bucket-join pipeline; no all-pairs step.
+    """
+    r = MINHASH_K // LSH_BANDS
+    sigs = minhash_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("band"),
+    ).select(
+        "doc_id",
+        "sig",
+        "band",
+        F.md5(
+            F.concat_ws(",", F.transform(F.slice("sig", F.col("band") * r + 1, r), lambda x: x.cast("string")))
+        ).alias("band_hash"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+            )
+        ).cast("double")
+        / F.lit(float(MINHASH_K))
+    )
+    return cand.select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) — 60-bit SimHash over token hashes weighted by
+    occurrence count; bit b is set when the weighted sum of (+1/-1) per
+    token is positive."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(tokens_col()).alias("token")
+    )
+    tok_counts = toks.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
+    tok_hash = tok_counts.select(
+        "doc_id", "cnt", hash60(F.col("token")).alias("h")
+    )
+    bits = tok_hash.select(
+        "doc_id",
+        "cnt",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+    ).select(
+        "doc_id",
+        "b",
+        # SQL-level shiftright: the Python API wants a literal shift amount,
+        # the SQL function accepts a column
+        F.when(F.expr("shiftright(h, b)").bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
+        .otherwise(-F.col("cnt"))
+        .alias("w"),
+    )
+    per_bit = bits.groupBy("doc_id", "b").agg(F.sum("w").alias("s"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, b)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 20) -> DataFrame:
+    """Near-dup candidates: pairs within the same 12-bit SimHash prefix
+    bucket with Hamming distance <= max_hamming."""
+    sigs = simhash_signatures(spark, sf_dir).withColumn(
+        "bucket", F.shiftright("simhash", SIMHASH_BITS - 12)
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_SHINGLES_CTE = f"""
+    __toks AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    __sh AS (
+        SELECT doc_id, unnest({shingles_sql()}) AS shingle FROM __toks
+    )
+"""
+
+DEDUP_ORACLES: dict[str, str] = {
+    "d_dedup_exact": """
+        WITH f AS (
+          SELECT doc_id,
+                 md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+          FROM documents
+        ), c AS (
+          SELECT fp, MIN(doc_id) AS canonical_id, COUNT(*) AS group_size
+          FROM f GROUP BY fp
+        )
+        SELECT f.doc_id, c.canonical_id, c.group_size
+        FROM f JOIN c USING (fp)
+    """,
+    "d_ngram_jaccard": f"""
+        WITH {_SHINGLES_CTE},
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM __sh GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+          FROM __sh a JOIN __sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_common,
+               ROUND(CAST(n_common AS DOUBLE)
+                     / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE)
+              / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= {JACCARD_THRESHOLD}
+    """,
+    "d_minhash_sigs": f"""
+        WITH {_SHINGLES_CTE},
+        ex AS (
+          SELECT doc_id, i, {HASH64_SQL.format(x="CAST(i AS VARCHAR) || '|' || shingle")} AS h
+          FROM __sh, UNNEST(range({MINHASH_K})) AS _(i)
+        ),
+        mh AS (SELECT doc_id, i, MIN(h) AS mh FROM ex GROUP BY doc_id, i)
+        SELECT doc_id, list(mh ORDER BY i) AS sig
+        FROM mh GROUP BY doc_id
+    """,
+    "d_minhash_lsh": f"""
+        WITH {_SHINGLES_CTE},
+        ex AS (
+          SELECT doc_id, i, {HASH64_SQL.format(x="CAST(i AS VARCHAR) || '|' || shingle")} AS h
+          FROM __sh, UNNEST(range({MINHASH_K})) AS _(i)
+        ),
+        mh AS (SELECT doc_id, i, MIN(h) AS mh FROM ex GROUP BY doc_id, i),
+        sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, sig, band,
+                 md5(array_to_string(list_transform(
+                     sig[band * {MINHASH_K // LSH_BANDS} + 1 : band * {MINHASH_K // LSH_BANDS} + {MINHASH_K // LSH_BANDS}],
+                     x -> CAST(x AS VARCHAR)), ',')) AS band_hash
+          FROM sig, UNNEST(range({LSH_BANDS})) AS _(band)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          a.sig AS sig_a, b.sig AS sig_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               ROUND(CAST(len(list_filter(range(1, {MINHASH_K} + 1),
+                     i -> sig_a[i] = sig_b[i])) AS DOUBLE) / {MINHASH_K}.0, 6) AS est_jaccard
+        FROM cand
+    """,
+    "d_simhash_sigs": f"""
+        WITH __toks AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS token FROM __toks),
+        tc AS (SELECT doc_id, token, COUNT(*) AS cnt FROM tok GROUP BY doc_id, token),
+        th AS (SELECT doc_id, cnt, {HASH60_SQL.format(x="token")} AS h FROM tc),
+        bits AS (
+          SELECT doc_id, b,
+                 CASE WHEN (h >> b) & 1 = 1 THEN cnt ELSE -cnt END AS w
+          FROM th, UNNEST(range({SIMHASH_BITS})) AS _(b)
+        ),
+        pb AS (SELECT doc_id, b, SUM(w) AS s FROM bits GROUP BY doc_id, b)
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+        FROM pb GROUP BY doc_id
+    """,
+}
+
+DEDUP_QUERIES = {
+    "d_dedup_exact": dedup_exact,
+    "d_ngram_jaccard": ngram_jaccard_pairs,
+    "d_minhash_sigs": minhash_signatures,
+    "d_minhash_lsh": minhash_lsh_pairs,
+    "d_simhash_sigs": simhash_signatures,
+}

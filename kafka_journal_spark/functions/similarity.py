@@ -1,0 +1,200 @@
+"""Similarity search over embedding columns (``array<float>``): brute-force
+cosine top-k as the exact baseline, and an LSH/IVF-style bucketed variant as
+the scale path.
+
+All vector math uses Spark higher-order functions (``zip_with`` +
+``aggregate``) — JVM-side, sequential left-fold summation, which makes the
+double arithmetic bit-identical to DuckDB's list_dot_product over DOUBLE[]
+(both are ordered sequential sums).  Results carry rounded scores and
+deterministic tie-breaks (score desc, vec_id asc).
+
+Scale notes:
+- brute force is O(Q x N): fine when the query set is broadcast (Q small);
+  the candidate scan stays a single pass, no shuffle besides the top-k.
+- the bucketed variant prunes candidates to the query's sign-bucket —
+  at 1000 executors the bucket column becomes the partition key, so each
+  query touches one partition instead of the full corpus (the IVF idea
+  with sign-random-projection as the quantizer).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+N_QUERIES = 8  # queries = vec_id < N_QUERIES
+TOP_K = 5
+BUCKET_DIMS = 6  # sign bits of the first 6 dims -> 64 buckets
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return df.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+        "label",
+    )
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def sign_bucket(vec: Column, dims: int = BUCKET_DIMS) -> Column:
+    """IVF-ish coarse quantizer: integer from the sign bits of the first
+    ``dims`` components."""
+    out = F.lit(0)
+    for i in range(dims):
+        out = out + F.when(vec[i] >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return out
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """Exact brute-force cosine top-k for each query vector (vec_id <
+    N_QUERIES), excluding self-matches."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
+    )
+    pairs = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("q_id"))
+    scored = pairs.select(
+        "q_id",
+        "vec_id",
+        F.round(cosine(F.col("q_vec"), F.col("vec")), 6).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "vec_id", "score", "rk")
+    )
+
+
+def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bucketing: (vec_id, bucket, label) under the sign quantizer."""
+    emb = _emb(spark, sf_dir)
+    return emb.select(
+        "vec_id", sign_bucket(F.col("vec")).cast("int").alias("bucket"), "label"
+    )
+
+
+def ann_bucketed_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """Approximate NN: each query searches only its own sign-bucket.
+
+    Recall < 1 by design; the exact variant (cosine_topk) is the baseline.
+    """
+    emb = _emb(spark, sf_dir).withColumn("bucket", sign_bucket(F.col("vec")))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    pairs = emb.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    scored = pairs.select(
+        "q_id",
+        "vec_id",
+        F.round(cosine(F.col("q_vec"), F.col("vec")), 6).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "vec_id", "score", "rk")
+    )
+
+
+def label_centroid_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label corpus stats: member count and mean vector norm (rounded) —
+    the aggregation shape of a k-means/IVF training step."""
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select("label", F.round(norm(F.col("vec")), 6).alias("n"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.min("n"), 6).alias("min_norm"),
+            F.round(F.max("n"), 6).alias("max_norm"),
+        )
+    )
+
+
+_DOT = "list_dot_product(a.vec, q.vec)"
+
+SIM_ORACLES: dict[str, str] = {
+    "e_cosine_topk": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        q AS (SELECT vec_id AS q_id, vec FROM e WHERE vec_id < {N_QUERIES}),
+        scored AS (
+          SELECT q.q_id, a.vec_id,
+                 ROUND(list_dot_product(q.vec, a.vec)
+                       / (sqrt(list_dot_product(q.vec, q.vec))
+                          * sqrt(list_dot_product(a.vec, a.vec))), 6) AS score
+          FROM e a, q WHERE a.vec_id != q.q_id
+        ),
+        r AS (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY score DESC, vec_id) AS INTEGER) AS rk
+          FROM scored
+        )
+        SELECT q_id, vec_id, score, rk FROM r WHERE rk <= {TOP_K}
+    """,
+    "e_lsh_buckets": f"""
+        SELECT vec_id,
+               CAST({" + ".join(f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(BUCKET_DIMS))} AS INTEGER) AS bucket,
+               label
+        FROM embeddings
+    """,
+    "e_ann_bucketed": f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS vec,
+                 {" + ".join(f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(BUCKET_DIMS))} AS bucket
+          FROM embeddings
+        ),
+        q AS (SELECT vec_id AS q_id, vec AS q_vec, bucket AS q_bucket FROM e WHERE vec_id < {N_QUERIES}),
+        scored AS (
+          SELECT q.q_id, a.vec_id,
+                 ROUND(list_dot_product(q.q_vec, a.vec)
+                       / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                          * sqrt(list_dot_product(a.vec, a.vec))), 6) AS score
+          FROM e a, q WHERE a.bucket = q.q_bucket AND a.vec_id != q.q_id
+        ),
+        r AS (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY score DESC, vec_id) AS INTEGER) AS rk
+          FROM scored
+        )
+        SELECT q_id, vec_id, score, rk FROM r WHERE rk <= {TOP_K}
+    """,
+    "e_label_stats": """
+        WITH e AS (
+          SELECT label,
+                 ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS n
+          FROM embeddings
+        )
+        SELECT label, COUNT(*) AS n_vectors,
+               ROUND(MIN(n), 6) AS min_norm, ROUND(MAX(n), 6) AS max_norm
+        FROM e GROUP BY label
+    """,
+}
+
+SIM_QUERIES = {
+    "e_cosine_topk": cosine_topk,
+    "e_lsh_buckets": lsh_buckets,
+    "e_ann_bucketed": ann_bucketed_topk,
+    "e_label_stats": label_centroid_sizes,
+}

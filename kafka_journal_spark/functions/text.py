@@ -1,0 +1,230 @@
+"""Text-analysis operators for the training-data pipeline (BASELINE north
+star; SURVEY.md §7.1 step 8): token counting, quality scoring, language-ID
+heuristic, document fingerprinting.
+
+Everything here is built from JVM-side ``pyspark.sql.functions`` (split /
+higher-order array functions / md5) — no Python UDFs, so the whole pipeline
+stays inside whole-stage codegen and scales linearly with executors.  Each
+operator has a matching DuckDB SQL oracle using identical arithmetic.
+
+Scale notes: all per-document (embarrassingly parallel, no shuffle); the
+only scan is `documents` with column pruning down to (doc_id, text[, lang]).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# tiny fixed stopword profiles (shared constants for Spark + SQL oracles)
+STOPWORDS_EN = ("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
+LANG_PROFILES = {
+    "en": ("the", "and", "of", "to", "a"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("de5", "shi4", "le5", "wo3", "ni3"),  # pinyin-ish placeholder profile
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def tokens_col(text: Column = None) -> Column:
+    """Whitespace tokenization with empty-token filtering (BPE-ish regex
+    splitting is a drop-in replacement for the pattern argument)."""
+    c = F.col("text") if text is None else text
+    return F.filter(F.split(c, r"\s+"), lambda x: x != F.lit(""))
+
+
+TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+
+def shingles_col(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles; empty when the doc has < n tokens."""
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_sql(toks_expr: str = "toks", n: int = 3) -> str:
+    return (
+        f"CASE WHEN len({toks_expr}) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len({toks_expr}) - {n - 2}), "
+        f"i -> array_to_string({toks_expr}[i:i+{n - 1}], ' '))) "
+        f"ELSE [] END"
+    )
+
+
+def d_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token statistics per document."""
+    toks = tokens_col()
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.size(shingles_col(toks)).alias("n_shingles"),
+        F.length("text").alias("n_chars_computed"),
+    )
+
+
+def d_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, punctuation ratio, stopword ratio, mean token
+    length, and a composite score — per-row double arithmetic (identical
+    operation order in the oracle), rounded for cross-engine stability."""
+    toks = tokens_col()
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length("text").alias("_len"),
+        F.size(toks).alias("n_tokens"),
+        (
+            F.length(F.regexp_replace("text", r"[^.,;:!?]", "")).cast("double")
+            / F.greatest(F.length("text"), F.lit(1)).cast("double")
+        ).alias("punct_ratio"),
+        (
+            F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS_EN))).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)).cast("double")
+        ).alias("stopword_ratio"),
+        (
+            F.aggregate(
+                toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+            )
+            / F.greatest(F.size(toks), F.lit(1)).cast("double")
+        ).alias("avg_token_len"),
+    )
+    score = (
+        F.least(F.col("n_tokens").cast("double") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(F.col("stopword_ratio") * 2.0, F.lit(1.0))) * 0.3
+        + F.least(F.col("avg_token_len") / 8.0, F.lit(1.0)) * 0.3
+    )
+    return df.select(
+        "doc_id",
+        "n_tokens",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def d_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-profile hit counts, argmax by count
+    then lexicographic language code; compared against the labeled lang."""
+    toks = tokens_col()
+    df = _docs(spark, sf_dir).select("doc_id", "lang", toks.alias("_toks"))
+    def _hit_counter(words):
+        # closure helper: pyspark counts the lambda's parameters, so the
+        # word list must be captured, not passed as a default argument
+        return lambda t: F.lower(t).isin(*words)
+
+    hits = [
+        F.size(F.filter(F.col("_toks"), _hit_counter(words))).alias(f"_h_{lang}")
+        for lang, words in sorted(LANG_PROFILES.items())
+    ]
+    df = df.select("doc_id", "lang", *hits)
+    # argmax with deterministic ties: highest count, then lang code asc —
+    # a chained CASE over the sorted codes picks the first one at the max
+    langs = sorted(LANG_PROFILES)
+    max_hits = F.greatest(*[F.col(f"_h_{lang}") for lang in langs])
+    expr = None
+    for lang in langs:
+        cond = F.col(f"_h_{lang}") == max_hits
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return df.select(
+        "doc_id",
+        "lang",
+        expr.alias("lang_pred"),
+        (expr == F.col("lang")).alias("is_match"),
+    )
+
+
+def d_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical document fingerprint: md5 over the normalized text
+    (lowercased, whitespace collapsed, trimmed)."""
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.md5(norm).alias("fingerprint")
+    )
+
+
+def _profile_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+    return f"len(list_filter(toks, t -> list_contains([{words}], lower(t))))"
+
+
+TEXT_ORACLES: dict[str, str] = {
+    "d_tokens": f"""
+        WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents)
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens,
+               CAST(len({shingles_sql()}) AS INTEGER) AS n_shingles,
+               CAST(length(text) AS INTEGER) AS n_chars_computed
+        FROM t
+    """,
+    "d_quality": f"""
+        WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents),
+        m AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS INTEGER) AS n_tokens,
+                 CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                     / CAST(GREATEST(length(text), 1) AS DOUBLE) AS punct_ratio,
+                 CAST(len(list_filter(toks, t -> list_contains(
+                     [{", ".join(f"'{w}'" for w in STOPWORDS_EN)}], lower(t)))) AS DOUBLE)
+                     / CAST(GREATEST(len(toks), 1) AS DOUBLE) AS stopword_ratio,
+                 list_sum(list_transform(toks, t -> CAST(length(t) AS DOUBLE)))
+                     / CAST(GREATEST(len(toks), 1) AS DOUBLE) AS avg_token_len
+          FROM t
+        )
+        SELECT doc_id, n_tokens,
+               ROUND(punct_ratio, 6) AS punct_ratio,
+               ROUND(stopword_ratio, 6) AS stopword_ratio,
+               ROUND(avg_token_len, 6) AS avg_token_len,
+               ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+                     + (1.0 - LEAST(stopword_ratio * 2.0, 1.0)) * 0.3
+                     + LEAST(avg_token_len / 8.0, 1.0) * 0.3, 6) AS quality_score
+        FROM m
+    """,
+    "d_lang_id": f"""
+        WITH t AS (SELECT doc_id, lang, {TOKS_SQL} AS toks FROM documents),
+        h AS (
+          SELECT doc_id, lang,
+                 {", ".join(f"{_profile_sql(lang)} AS h_{lang}" for lang in sorted(LANG_PROFILES))}
+          FROM t
+        ),
+        u AS (
+          SELECT doc_id, lang, cand.l AS cand_lang, cand.h AS cand_hits
+          FROM h, UNNEST([
+            {", ".join(f"{{'l': '{lang}', 'h': h_{lang}}}" for lang in sorted(LANG_PROFILES))}
+          ]) AS _(cand)
+        ),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY cand_hits DESC, cand_lang ASC) AS rk
+          FROM u
+        )
+        SELECT doc_id, lang, cand_lang AS lang_pred, (cand_lang = lang) AS is_match
+        FROM r WHERE rk = 1
+    """,
+    "d_fingerprint": """
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+        FROM documents
+    """,
+}
+
+TEXT_QUERIES = {
+    "d_tokens": d_tokens,
+    "d_quality": d_quality,
+    "d_lang_id": d_lang_id,
+    "d_fingerprint": d_fingerprint,
+}

@@ -1,0 +1,68 @@
+"""Semantic unit tests for the training-data operators (tokens, shingles,
+dedup candidates, similarity) on tiny hand-built frames."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_journal_spark.functions.dedup import hash64
+from kafka_journal_spark.functions.similarity import cosine, sign_bucket
+from kafka_journal_spark.functions.text import shingles_col, tokens_col
+
+
+def test_tokenize_and_shingles(spark):
+    df = spark.createDataFrame(
+        [(1, "a b  c d"), (2, "x y"), (3, "")], "doc_id int, text string"
+    )
+    out = df.select(
+        "doc_id",
+        tokens_col().alias("toks"),
+        shingles_col(tokens_col(), 3).alias("sh"),
+    ).collect()
+    got = {r.doc_id: (r.toks, r.sh) for r in out}
+    assert got[1] == (["a", "b", "c", "d"], ["a b c", "b c d"])
+    assert got[2] == (["x", "y"], [])
+    assert got[3][1] == []
+
+
+def test_hash64_is_md5_prefix(spark):
+    df = spark.createDataFrame([("abc",)], "s string")
+    [r] = df.select(hash64(F.col("s")).alias("h")).collect()
+    assert r.h == int("900150983cd24fb0d6963f7d28e17f72"[:8], 16)
+
+
+def test_cosine_identity_and_orthogonal(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [1.0, 0.0]), (2, [1.0, 0.0], [0.0, 1.0]), (3, [1.0, 1.0], [2.0, 2.0])],
+        "i int, a array<double>, b array<double>",
+    )
+    out = {r.i: r.c for r in df.select("i", F.round(cosine(F.col("a"), F.col("b")), 9).alias("c")).collect()}
+    assert out[1] == 1.0
+    assert out[2] == 0.0
+    assert out[3] == 1.0
+
+
+def test_sign_bucket(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 9.9])],
+        "i int, v array<double>",
+    )
+    [r] = df.select(sign_bucket(F.col("v")).alias("b")).collect()
+    # bits: dim0 +(1) dim1 -(0) dim2 +(4) dim3 -(0) dim4 +(16) dim5 -(0)
+    assert r.b == 1 + 4 + 16
+
+
+def test_exact_dedup_groups(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello  World", "en", "s", 11),
+            (2, "hello world", "en", "s", 11),
+            (3, "different", "en", "s", 9),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    from kafka_journal_spark.functions.dedup import dedup_exact
+
+    out = {r.doc_id: (r.canonical_id, r.group_size) for r in dedup_exact(spark, str(tmp_path)).collect()}
+    assert out == {1: (1, 2), 2: (1, 2), 3: (3, 1)}
