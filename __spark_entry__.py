@@ -64,6 +64,42 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def j_recovery_merge(spark, sf_dir):
         return R.recovery_merge(journal_actions(spark, sf_dir))
 
+    def j_wire_roundtrip(spark, sf_dir):
+        # encode to the Kafka envelope (header JSON + events blob), decode
+        # back — must reproduce the actions stream exactly
+        from kafka_journal_spark.codecs import (
+            decode_kafka_to_actions,
+            encode_actions_to_kafka,
+        )
+        from kafka_journal_spark.operators.actions import ACTION_COLUMNS
+
+        acts = journal_actions(spark, sf_dir)
+        return decode_kafka_to_actions(encode_actions_to_kafka(acts)).select(
+            *ACTION_COLUMNS
+        )
+
+    def j_stream_replicate(spark, sf_dir):
+        # incremental streaming replication (3 micro-batches by offset range)
+        # must equal one-shot materialization — the ConsistencySpec property
+        import tempfile
+
+        from kafka_journal_spark.sources.statestore import JournalStore
+        from kafka_journal_spark.streaming.replicator import replicate_batch
+        from pyspark.sql import functions as F
+
+        acts = journal_actions(spark, sf_dir)
+        hi = acts.agg(F.max("offset")).collect()[0][0] or 0
+        store = JournalStore(spark, tempfile.mkdtemp(prefix="kjs-stream-"))
+        cuts = [0, hi // 3, 2 * hi // 3, hi + 1]
+        for lo, up in zip(cuts, cuts[1:]):
+            replicate_batch(
+                acts.filter((F.col("offset") >= lo) & (F.col("offset") < up)), store
+            )
+        return store.read().select(
+            "id", "topic", "segment", "seq_nr", "partition", "offset",
+            "timestamp", "origin", "version", "payload_type", "payload_txt",
+        )
+
     return {
         "j_actions": j_actions,
         "j_journal": j_journal,
@@ -75,6 +111,8 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_ids": j_ids,
         "j_replay_limit": j_replay_limit,
         "j_recovery_merge": j_recovery_merge,
+        "j_wire_roundtrip": j_wire_roundtrip,
+        "j_stream_replicate": j_stream_replicate,
     }
 
 

@@ -76,7 +76,11 @@ def _q(body: str) -> str:
 
 ORACLES: dict[str, str] = {
     "j_actions": f"WITH __a AS ({ACTIONS_SQL}) SELECT * FROM __a",
+    # the wire round-trip must reproduce the actions stream bit-for-bit
+    "j_wire_roundtrip": f"WITH __a AS ({ACTIONS_SQL}) SELECT * FROM __a",
     "j_journal": _q("SELECT * FROM __journal"),
+    # incremental streaming replication == one-shot materialization
+    "j_stream_replicate": _q("SELECT * FROM __journal"),
     "j_meta": _q("SELECT * FROM __meta"),
     "j_pointers": f"""
         WITH __a AS ({ACTIONS_SQL})

@@ -1,0 +1,251 @@
+"""The streaming replicator: the reference's standing Kafka->Cassandra
+pipeline (SURVEY.md §3.3) as Structured Streaming + foreachBatch.
+
+Per micro-batch (replicate_batch), against the JournalStore:
+
+1. **offset dedup** (P7 / ``TopicReplicator.scala:148-153``): drop records
+   at-or-before the replicated pointer of their (topic, partition), plus
+   in-batch duplicates — makes redelivery and batch replay idempotent.
+2. **per-key collapse** (P3 / ``Batch.scala:27-156``): the same fold as the
+   batch materializer, evaluated with window functions *within the batch*:
+   purge horizon, effective delete watermark, merged appends.
+3. **state merge** (P4-P6 / ``ReplicatedCassandra.scala:133-465``): FULL
+   OUTER join of batch summaries with the existing metajournal:
+   - a batch purge rotates the key's ``record_id`` incarnation — prior rows
+     become orphans (filtered by R8 correlation on read, physically removed
+     by compaction); if nothing follows the purge the head row is deleted;
+   - delete watermarks merge monotonically (max);
+   - fresh journals get ``delete_to = first_seq - 1``
+     (``ReplicatedCassandra.scala:190-216``).
+4. **writes**: append-only journal rows (tagged with their incarnation),
+   then atomic swap of metajournal + pointers.  Crash between the two is
+   repaired by the offset guard (replay skips) and the read-side dedup.
+
+Scale notes: the only shuffle is the per-key fold (hash on (topic,id));
+metajournal/pointers are O(#keys)/O(#partitions) — they broadcast.  At
+1000 executors run one query per topic (or subscribePattern); Spark's
+checkpoint replaces the reference's pointer-commit loop, and cluster
+scheduling replaces DistributeJob (P9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_journal_spark import SEGMENT_SIZE_DEFAULT, SEGMENTS_DEFAULT
+from kafka_journal_spark.operators.replicate import _md5_bucket, explode_events
+from kafka_journal_spark.sources.statestore import JournalStore
+
+
+def _batch_summary(batch: DataFrame) -> DataFrame:
+    """Per-key fold of one micro-batch: purge horizon + post-purge aggregates."""
+    wk = Window.partitionBy("topic", "id")
+    df = batch.withColumn(
+        "_purge_off",
+        F.max(F.when(F.col("action_type") == "purge", F.col("offset"))).over(wk),
+    )
+    post = F.col("offset") > F.coalesce(F.col("_purge_off"), F.lit(-1))
+    app = (F.col("action_type") == "append") & post
+    dele = (F.col("action_type") == "delete") & post
+    return df.groupBy("topic", "id").agg(
+        F.min("partition").alias("partition"),
+        F.max("_purge_off").alias("purge_off"),
+        F.max(F.when(app, F.col("seq_nr_to"))).alias("max_app_seq"),
+        F.min(F.when(app, F.col("seq_nr_from"))).alias("first_app_seq"),
+        F.max(F.when(dele, F.col("delete_to"))).alias("post_del"),
+        F.max(F.when(F.col("action_type") != "mark", F.col("offset"))).alias("max_off"),
+        F.min(F.when(post, F.col("timestamp"))).alias("min_ts"),
+        F.max("timestamp").alias("max_ts"),
+    )
+
+
+def replicate_batch(batch: DataFrame, store: JournalStore) -> None:
+    """Apply one micro-batch of actions to the store (idempotent)."""
+    spark = batch.sparkSession
+    old_meta = store.metajournal()
+    old_ptr = store.pointers()
+
+    # 1. offset dedup: drop already-replicated and in-batch duplicates
+    ptr = F.broadcast(
+        old_ptr.select("topic", "partition", F.col("offset").alias("_ptr_off"))
+    )
+    fresh = (
+        batch.dropDuplicates(["topic", "partition", "offset"])
+        .join(ptr, ["topic", "partition"], "left")
+        .filter(F.col("offset") > F.coalesce(F.col("_ptr_off"), F.lit(-1)))
+        .drop("_ptr_off")
+    )
+    fresh = fresh.localCheckpoint(eager=True)  # cut the lineage once per batch
+    if fresh.isEmpty():
+        return
+
+    # 2. per-key collapse -> batch summary, merged with existing heads
+    summ = _batch_summary(fresh)
+    old = old_meta.select(
+        "topic",
+        "id",
+        F.col("partition").alias("o_partition"),
+        F.col("offset").alias("o_offset"),
+        F.col("seq_nr").alias("o_seq"),
+        F.col("delete_to").alias("o_dt"),
+        F.col("created").alias("o_created"),
+        F.col("updated").alias("o_updated"),
+        F.col("record_id").alias("o_rid"),
+    )
+    m = summ.join(old, ["topic", "id"], "full_outer")
+
+    purged = F.col("purge_off").isNotNull()
+    touched = F.col("max_off").isNotNull() | purged
+    # incarnation: rotate on purge; genesis for first-ever appearance
+    new_rid = F.when(
+        purged, F.md5(F.concat_ws("|", "topic", "id", F.col("purge_off")))
+    ).otherwise(
+        F.coalesce(F.col("o_rid"), F.md5(F.concat_ws("|", "topic", "id", F.col("max_off"))))
+    )
+    # head fields under purge vs merge (all watermarks monotone)
+    seq_nr = F.when(
+        purged,
+        F.greatest(F.coalesce("max_app_seq", F.lit(0)), F.coalesce("post_del", F.lit(0))),
+    ).otherwise(
+        F.greatest(
+            F.coalesce("o_seq", F.lit(0)),
+            F.coalesce("max_app_seq", F.lit(0)),
+            F.coalesce("post_del", F.lit(0)),
+        )
+    )
+    fresh_dt = F.coalesce("first_app_seq", F.lit(1)) - 1
+    delete_to = F.when(
+        purged,
+        F.nullif(F.greatest(F.coalesce("post_del", F.lit(0)), fresh_dt), F.lit(0)),
+    ).otherwise(
+        F.when(
+            F.col("o_rid").isNull(),  # first-ever appearance of the key
+            F.nullif(F.greatest(F.coalesce("post_del", F.lit(0)), fresh_dt), F.lit(0)),
+        ).otherwise(
+            F.nullif(
+                F.greatest(F.coalesce("o_dt", F.lit(0)), F.coalesce("post_del", F.lit(0))),
+                F.lit(0),
+            )
+        )
+    )
+    merged = m.select(
+        "topic",
+        "id",
+        F.coalesce("o_partition", "partition").alias("partition"),
+        F.greatest(F.coalesce("o_offset", F.lit(-1)), F.coalesce("max_off", F.lit(-1))).alias(
+            "offset"
+        ),
+        F.lit(SEGMENT_SIZE_DEFAULT).cast("int").alias("segment_size"),
+        seq_nr.cast("long").alias("seq_nr"),
+        delete_to.cast("long").alias("delete_to"),
+        F.when(purged, F.col("min_ts")).otherwise(F.coalesce("o_created", "min_ts")).alias(
+            "created"
+        ),
+        F.greatest(
+            F.coalesce("max_ts", F.to_timestamp(F.lit("1970-01-01"))),
+            F.coalesce("o_updated", F.to_timestamp(F.lit("1970-01-01"))),
+        ).alias("updated"),
+        new_rid.alias("record_id"),
+        purged.alias("_purged"),
+        F.col("max_app_seq").isNotNull().alias("_has_app"),
+        F.col("post_del").isNotNull().alias("_has_del"),
+    )
+    # a purge with nothing after it deletes the head row
+    new_meta = (
+        merged.filter(~(F.col("_purged") & ~F.col("_has_app") & ~F.col("_has_del")))
+        .select(
+            "topic",
+            _md5_bucket(F.col("id"), SEGMENTS_DEFAULT).alias("segment"),
+            "id",
+            "partition",
+            "offset",
+            "segment_size",
+            "seq_nr",
+            "delete_to",
+            "created",
+            F.to_date("created").alias("created_date"),
+            "updated",
+            "record_id",
+        )
+    )
+
+    # 3. journal rows: post-purge appends above the final watermark, tagged
+    #    with their incarnation
+    wk = Window.partitionBy("topic", "id")
+    appends = (
+        fresh.withColumn(
+            "_purge_off",
+            F.max(F.when(F.col("action_type") == "purge", F.col("offset"))).over(wk),
+        )
+        .filter(
+            (F.col("action_type") == "append")
+            & (F.col("offset") > F.coalesce(F.col("_purge_off"), F.lit(-1)))
+        )
+    )
+    rid_map = F.broadcast(
+        new_meta.select("topic", "id", F.col("record_id").alias("_rid"), F.col("delete_to").alias("_dt"))
+    )
+    events = explode_events(appends, extra_cols=()).join(rid_map, ["topic", "id"], "inner")
+    rows = (
+        events.filter(F.col("seq_nr") > F.coalesce(F.col("_dt"), F.lit(0)))
+        .select(
+            "id",
+            "topic",
+            F.floor((F.col("seq_nr") - 1) / SEGMENT_SIZE_DEFAULT).cast("long").alias("segment"),
+            "seq_nr",
+            "partition",
+            "offset",
+            "timestamp",
+            "origin",
+            "version",
+            F.col("_rid").alias("meta_record_id"),
+            "payload_type",
+            "payload_txt",
+        )
+    )
+
+    # 4. pointers merge
+    new_ptr = (
+        fresh.groupBy("topic", "partition")
+        .agg(F.max("offset").alias("b_off"), F.min("timestamp").alias("b_created"), F.max("timestamp").alias("b_updated"))
+        .join(
+            old_ptr.select(
+                "topic", "partition",
+                F.col("offset").alias("p_off"), F.col("created").alias("p_created"), F.col("updated").alias("p_updated"),
+            ),
+            ["topic", "partition"],
+            "full_outer",
+        )
+        .select(
+            "topic",
+            "partition",
+            F.greatest(F.coalesce("b_off", F.lit(-1)), F.coalesce("p_off", F.lit(-1))).alias("offset"),
+            F.coalesce("p_created", "b_created").alias("created"),
+            F.coalesce("b_updated", "p_updated").alias("updated"),
+        )
+    )
+
+    # materialize BEFORE mutating the store (inputs read from the same dirs)
+    new_meta = new_meta.localCheckpoint(eager=True)
+    new_ptr = new_ptr.localCheckpoint(eager=True)
+    rows = rows.localCheckpoint(eager=True)
+
+    store.append_journal(rows)
+    store.swap_metajournal(new_meta)
+    store.swap_pointers(new_ptr)
+
+
+def run_parquet_replicator(
+    spark, source_dir: str, store: JournalStore, schema_ddl: str
+) -> None:
+    """File-source replicator: stream actions parquet from ``source_dir``
+    into the store with exactly-once checkpointing (Trigger.AvailableNow)."""
+    stream = spark.readStream.schema(schema_ddl).parquet(source_dir)
+    q = (
+        stream.writeStream.foreachBatch(lambda df, _bid: replicate_batch(df, store))
+        .option("checkpointLocation", f"{store.root}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -30,10 +30,10 @@ ACTIONS_DDL = (
 )
 
 
-def make_actions(spark: SparkSession, rows):
+def make_actions(spark: SparkSession, rows, offset_base: int = 0):
     """rows: list of dicts with partial fields; missing fields default to None."""
     full = []
-    for i, r in enumerate(rows):
+    for i, r in enumerate(rows, start=offset_base):
         base = {
             "topic": "journal",
             "partition": 0,

@@ -1,0 +1,108 @@
+"""ConsistencySpec-style tests for the streaming replicator: applying a
+stream of actions in micro-batches (any split) must produce the same
+readable journal as one-shot batch materialization, including across purge
+incarnations, redelivery, and crash-replay."""
+
+from __future__ import annotations
+
+import pytest
+from conftest import ACTIONS_DDL, append, delete, make_actions, mark, purge
+
+from kafka_journal_spark.operators.replicate import materialize_journal
+from kafka_journal_spark.sources.statestore import JournalStore
+from kafka_journal_spark.streaming.replicator import (
+    replicate_batch,
+    run_parquet_replicator,
+)
+
+SCENARIOS = {
+    "appends_deletes": [
+        append("a", 1), append("a", 2), delete("a", 1), append("a", 3),
+        append("b", 1), delete("b", 1),
+    ],
+    "purge_and_fresh": [
+        append("a", 1), append("a", 2), purge("a"), append("a", 3), delete("a", 3),
+        append("a", 4), mark("a"),
+    ],
+    "purge_tail": [
+        append("a", 1), append("b", 1), purge("a"), purge("b"), append("b", 2),
+    ],
+    "interleaved": [
+        append("a", 1), append("b", 1), append("a", 2), delete("a", 2),
+        purge("b"), append("b", 2), append("a", 3), delete("b", 2),
+        append("b", 3),
+    ],
+}
+
+
+def _expected(spark, acts):
+    df = make_actions(spark, acts)
+    return sorted(
+        (r.id, r.seq_nr, r.offset)
+        for r in materialize_journal(df).select("id", "seq_nr", "offset").collect()
+    )
+
+
+def _got(store):
+    return sorted(
+        (r.id, r.seq_nr, r.offset)
+        for r in store.read().select("id", "seq_nr", "offset").collect()
+    )
+
+
+@pytest.mark.parametrize("name", sorted(SCENARIOS))
+@pytest.mark.parametrize("splits", [(1,), (3,), (1, 4), (2, 3, 5)])
+def test_incremental_equals_batch(spark, tmp_path, name, splits):
+    acts = SCENARIOS[name]
+    store = JournalStore(spark, str(tmp_path / f"{name}-{'-'.join(map(str, splits))}"))
+    bounds = [0, *[s for s in splits if s < len(acts)], len(acts)]
+    for lo, hi in zip(bounds, bounds[1:]):
+        if lo < hi:
+            replicate_batch(make_actions(spark, acts[lo:hi], offset_base=lo), store)
+    assert _got(store) == _expected(spark, acts), f"{name} splits={splits}"
+
+
+def test_redelivery_is_idempotent(spark, tmp_path):
+    acts = SCENARIOS["interleaved"]
+    store = JournalStore(spark, str(tmp_path / "redeliver"))
+    replicate_batch(make_actions(spark, acts[:5]), store)
+    # redeliver the whole first batch plus the tail (overlapping offsets)
+    replicate_batch(make_actions(spark, acts), store)
+    # and replay the full stream again
+    replicate_batch(make_actions(spark, acts), store)
+    assert _got(store) == _expected(spark, acts)
+
+
+def test_pointer_semantics(spark, tmp_path):
+    store = JournalStore(spark, str(tmp_path / "ptr"))
+    replicate_batch(make_actions(spark, [append("a", 1), append("a", 2), purge("b")]), store)
+    assert store.pointer("journal", "a") == 2
+    assert store.pointer("journal", "b") is None
+    replicate_batch(
+        make_actions(spark, [delete("a", 2), append("b", 1)], offset_base=3), store
+    )
+    assert store.pointer("journal", "a") == 2
+    assert store.pointer("journal", "b") == 1
+    assert _got(store) == [("b", 1, 4)]
+
+
+def test_compaction_preserves_reads(spark, tmp_path):
+    acts = SCENARIOS["purge_and_fresh"]
+    store = JournalStore(spark, str(tmp_path / "compact"))
+    replicate_batch(make_actions(spark, acts[:3]), store)
+    replicate_batch(make_actions(spark, acts[3:], offset_base=3), store)
+    before = _got(store)
+    store.compact()
+    assert _got(store) == before == _expected(spark, acts)
+
+
+def test_streaming_file_source(spark, tmp_path):
+    acts = SCENARIOS["interleaved"]
+    src = tmp_path / "src"
+    store = JournalStore(spark, str(tmp_path / "stream"))
+    # two availableNow passes over a growing source dir
+    make_actions(spark, acts[:5]).write.mode("append").parquet(str(src))
+    run_parquet_replicator(spark, str(src), store, ACTIONS_DDL)
+    make_actions(spark, acts[5:], offset_base=5).write.mode("append").parquet(str(src))
+    run_parquet_replicator(spark, str(src), store, ACTIONS_DDL)
+    assert _got(store) == _expected(spark, acts)
