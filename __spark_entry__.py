@@ -121,6 +121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kafka_journal_spark.functions.similarity import SIM_QUERIES
     from kafka_journal_spark.functions.text import TEXT_QUERIES
     from kafka_journal_spark.operators.analytics import ANALYTICS_QUERIES
+    from kafka_journal_spark.operators.expiry import EXPIRY_QUERIES
+    from kafka_journal_spark.operators.snapshots import SNAPSHOT_QUERIES
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(_journal_queries())
@@ -128,6 +130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(TEXT_QUERIES)
     out.update(DEDUP_QUERIES)
     out.update(SIM_QUERIES)
+    out.update(EXPIRY_QUERIES)
+    out.update(SNAPSHOT_QUERIES)
     return out
 
 
@@ -136,6 +140,8 @@ def oracle_sql() -> dict[str, str]:
     from kafka_journal_spark.functions.similarity import SIM_ORACLES
     from kafka_journal_spark.functions.text import TEXT_ORACLES
     from kafka_journal_spark.operators.analytics import ANALYTICS_ORACLES
+    from kafka_journal_spark.operators.expiry import EXPIRY_ORACLES
+    from kafka_journal_spark.operators.snapshots import SNAPSHOT_ORACLES
     from kafka_journal_spark.oracles import ORACLES
 
     out: dict[str, str] = {}
@@ -144,4 +150,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(TEXT_ORACLES)
     out.update(DEDUP_ORACLES)
     out.update(SIM_ORACLES)
+    out.update(EXPIRY_ORACLES)
+    out.update(SNAPSHOT_ORACLES)
     return out

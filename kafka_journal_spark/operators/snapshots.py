@@ -1,0 +1,166 @@
+"""Snapshot store: the reference's SnapshotStore contract
+(``snapshot/.../SnapshotStore.scala:11-61``, ``SnapshotRecord.scala:127``)
+with the ring-buffer slot index (``BufferNr.scala:11-31``) — the reference
+defines this API but ships no storage implementation ("there is no snapshot
+support yet", ``README.md:36``); we provide one.
+
+Model: per (topic, id) a ring of ``buffer_size`` slots; the n-th snapshot
+(1-based by seq_nr order) lands in slot ``(n-1) % buffer_size``, overwriting
+the previous occupant — so at most ``buffer_size`` snapshots are retained
+and the newest always survives.  ``load`` picks the latest retained snapshot
+within a ``SnapshotSelectionCriteria`` window
+(``SnapshotSelectionCriteria.scala:88-101``).
+
+The query surface derives a deterministic snapshot stream from the journal
+("snapshot every k-th event") so the whole thing has a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_journal_spark.operators.actions import journal_actions
+from kafka_journal_spark.operators.replicate import materialize_journal
+
+BUFFER_SIZE = 3  # ring slots per journal
+SNAP_EVERY = 5  # snapshot every 5th event (derived stream)
+
+
+@dataclass(frozen=True)
+class SnapshotSelectionCriteria:
+    max_seq_nr: Optional[int] = None
+    max_timestamp: Optional[str] = None
+    min_seq_nr: Optional[int] = None
+    min_timestamp: Optional[str] = None
+
+
+def snapshot_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived snapshot writes: every SNAP_EVERY-th event of each journal
+    becomes a snapshot (payload = the event payload)."""
+    j = materialize_journal(journal_actions(spark, sf_dir))
+    snaps = j.filter(F.pmod(F.col("seq_nr"), F.lit(SNAP_EVERY)) == 0)
+    return snaps.select(
+        "topic",
+        "id",
+        F.col("seq_nr"),
+        F.col("timestamp"),
+        F.col("origin"),
+        F.col("version"),
+        F.lit("text").alias("payload_type"),
+        F.col("payload_txt"),
+    )
+
+
+def snapshots_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retained ring-buffer contents: snapshot n -> slot (n-1) % SIZE,
+    later occupants overwrite earlier ones."""
+    s = snapshot_stream(spark, sf_dir)
+    worder = Window.partitionBy("topic", "id").orderBy("seq_nr")
+    slotted = s.withColumn(
+        "buffer_nr", F.pmod(F.row_number().over(worder) - 1, F.lit(BUFFER_SIZE))
+    )
+    wslot = Window.partitionBy("topic", "id", "buffer_nr").orderBy(F.col("seq_nr").desc())
+    return (
+        slotted.withColumn("_rn", F.row_number().over(wslot))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "topic", "id", F.col("buffer_nr").cast("int").alias("buffer_nr"),
+            "seq_nr", "timestamp", "origin", "version", "payload_type", "payload_txt",
+        )
+    )
+
+
+def load_snapshot(
+    spark: SparkSession,
+    sf_dir: str,
+    criteria: SnapshotSelectionCriteria = SnapshotSelectionCriteria(),
+) -> DataFrame:
+    """SnapshotStore.load: the latest retained snapshot per journal within
+    the criteria window."""
+    t = snapshots_table(spark, sf_dir)
+    if criteria.max_seq_nr is not None:
+        t = t.filter(F.col("seq_nr") <= criteria.max_seq_nr)
+    if criteria.min_seq_nr is not None:
+        t = t.filter(F.col("seq_nr") >= criteria.min_seq_nr)
+    if criteria.max_timestamp is not None:
+        t = t.filter(F.col("timestamp") <= F.lit(criteria.max_timestamp))
+    if criteria.min_timestamp is not None:
+        t = t.filter(F.col("timestamp") >= F.lit(criteria.min_timestamp))
+    w = Window.partitionBy("topic", "id").orderBy(F.col("seq_nr").desc())
+    return (
+        t.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("topic", "id", "buffer_nr", "seq_nr", "timestamp", "payload_txt")
+    )
+
+
+def _sn_queries():
+    def s_snapshots(spark, sf_dir):
+        return snapshots_table(spark, sf_dir)
+
+    def s_load_latest(spark, sf_dir):
+        return load_snapshot(spark, sf_dir)
+
+    def s_load_bounded(spark, sf_dir):
+        return load_snapshot(
+            spark, sf_dir, SnapshotSelectionCriteria(max_seq_nr=20)
+        )
+
+    return {
+        "s_snapshots": s_snapshots,
+        "s_load_latest": s_load_latest,
+        "s_load_bounded": s_load_bounded,
+    }
+
+
+SNAPSHOT_QUERIES = _sn_queries()
+
+SNAPSHOT_ORACLES: dict[str, str] = {}
+
+
+def _build_oracles() -> None:
+    from kafka_journal_spark.oracles import FOLD_SQL, JOURNAL_ROWS_SQL
+
+    base = f"""
+        WITH {FOLD_SQL}, {JOURNAL_ROWS_SQL},
+        snaps AS (
+          SELECT topic, id, seq_nr, timestamp, origin, version,
+                 'text' AS payload_type, payload_txt
+          FROM __journal WHERE seq_nr % {SNAP_EVERY} = 0
+        ),
+        slotted AS (
+          SELECT *, CAST((ROW_NUMBER() OVER (PARTITION BY topic, id ORDER BY seq_nr) - 1)
+                     % {BUFFER_SIZE} AS INTEGER) AS buffer_nr
+          FROM snaps
+        ),
+        retained AS (
+          SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY topic, id, buffer_nr
+                       ORDER BY seq_nr DESC) AS _rn
+            FROM slotted
+          ) WHERE _rn = 1
+        )
+    """
+    SNAPSHOT_ORACLES["s_snapshots"] = (
+        f"{base} SELECT topic, id, buffer_nr, seq_nr, timestamp, origin, version, "
+        f"payload_type, payload_txt FROM retained"
+    )
+    SNAPSHOT_ORACLES["s_load_latest"] = f"""{base}
+        SELECT topic, id, buffer_nr, seq_nr, timestamp, payload_txt FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY topic, id ORDER BY seq_nr DESC) AS _r2
+          FROM retained
+        ) WHERE _r2 = 1
+    """
+    SNAPSHOT_ORACLES["s_load_bounded"] = f"""{base}
+        SELECT topic, id, buffer_nr, seq_nr, timestamp, payload_txt FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY topic, id ORDER BY seq_nr DESC) AS _r2
+          FROM retained WHERE seq_nr <= 20
+        ) WHERE _r2 = 1
+    """
+
+
+_build_oracles()
