@@ -22,11 +22,16 @@ HEADLINE = [
     "j_meta",
     "j_read",
     "j_recovery_merge",
+    "j_wire_roundtrip",
     "q1",
     "q3",
     "q5",
     "q_window_running",
     "q_topk_per_group",
+    "d_dedup_exact",
+    "d_minhash_lsh",
+    "d_simhash_sigs",
+    "e_cosine_topk",
 ]
 
 

@@ -30,6 +30,21 @@ MINHASH_K = 16  # number of hash functions
 LSH_BANDS = 4  # bands of 4 rows each
 SIMHASH_BITS = 60  # fits a signed 64-bit in both engines (15 hex chars)
 JACCARD_THRESHOLD = 0.5
+#: shingles occurring in more than this many docs are excluded from the
+#: Jaccard universe: a shingle shared by n docs generates O(n^2) candidate
+#: pairs, and one appearing in thousands of documents carries no dedup
+#: signal.  The similarity is defined over the capped universe (both the
+#: intersection AND the per-doc sizes) so the estimator stays consistent.
+SHINGLE_DOC_FREQ_CAP = 100
+
+# MinHash permutation family: one md5 per shingle, then K affine
+# permutations h_i = (A[i]*h + B[i]) mod P — 16x fewer md5 calls than
+# hashing (i || shingle) per function.  P is prime > 2^32 so the affine map
+# genuinely permutes; A[i] < 2^30 keeps A[i]*h < 2^62 (no overflow in
+# either engine's signed 64-bit arithmetic).
+MINHASH_P = 4294967311
+MINHASH_A = [((2 * i + 1) * 2654435761) % (1 << 30) | 1 for i in range(MINHASH_K)]
+MINHASH_B = [(i * 40503 * 65537 + 17) % (1 << 30) for i in range(MINHASH_K)]
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,9 +88,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) distinct pairs — the base relation for Jaccard and
-    MinHash.  Column-pruned scan + one explode."""
-    df = _docs(spark, sf_dir).select(
-        "doc_id", shingles_col(tokens_col(), 3).alias("sh")
+    MinHash.  Column-pruned scan + one explode.
+
+    The tokenize+shingle expressions are CPU-dense per row, so parallelism
+    must not be bound by the input's file count (a single small parquet file
+    = a single partition = one core doing all the work): repartition first.
+    """
+    par = spark.sparkContext.defaultParallelism
+    df = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(par, "doc_id")
+        .select("doc_id", shingles_col(tokens_col(), 3).alias("sh"))
     )
     return df.select("doc_id", F.explode("sh").alias("shingle"))
 
@@ -90,7 +114,17 @@ def ngram_jaccard_pairs(
     share a shingle.  At 100 TB add a shingle-frequency cap before the join
     (``having count < N``) to bound bucket fan-out.
     """
-    sh = _doc_shingles(spark, sf_dir)
+    # materialize the shingle relation once: it feeds both sides of the
+    # self-join plus the size aggregation (3 uses); then apply the
+    # document-frequency cap before any pairing
+    raw_sh = _doc_shingles(spark, sf_dir).localCheckpoint(eager=True)
+    rare = (
+        raw_sh.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= SHINGLE_DOC_FREQ_CAP)
+        .select("shingle")
+    )
+    sh = raw_sh.join(F.broadcast(rare), "shingle").localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -120,17 +154,24 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str, k: int = MINHASH_K) -> DataFrame:
-    """(doc_id, sig array<long>) — sig[i] = min over shingles of
-    hash64(i || '|' || shingle)."""
-    sh = _doc_shingles(spark, sf_dir)
+    """(doc_id, sig array<long>) — sig[i] = min over shingles of the i-th
+    affine permutation of the shingle's base hash."""
+    a_arr = F.array(*[F.lit(a) for a in MINHASH_A])
+    b_arr = F.array(*[F.lit(b) for b in MINHASH_B])
+    sh = _doc_shingles(spark, sf_dir).select(
+        "doc_id", hash64(F.col("shingle")).alias("h")
+    )
     expanded = sh.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
-        F.col("shingle"),
+        F.col("h"),
     ).select(
         "doc_id",
         "i",
-        hash64(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("shingle"))).alias("h"),
+        (
+            (F.element_at(a_arr, F.col("i") + 1) * F.col("h") + F.element_at(b_arr, F.col("i") + 1))
+            % F.lit(MINHASH_P)
+        ).alias("h"),
     )
     per_i = expanded.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
     return (
@@ -148,7 +189,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic shingle->minhash->band->bucket-join pipeline; no all-pairs step.
     """
     r = MINHASH_K // LSH_BANDS
-    sigs = minhash_signatures(spark, sf_dir)
+    # the band bucket-join is a self-join: without materialization both
+    # sides would recompute the whole tokenize->shingle->minhash lineage
+    sigs = minhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
     bands = sigs.select(
         "doc_id",
         "sig",
@@ -198,8 +241,12 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash) — 60-bit SimHash over token hashes weighted by
     occurrence count; bit b is set when the weighted sum of (+1/-1) per
     token is positive."""
-    toks = _docs(spark, sf_dir).select(
-        "doc_id", F.explode(tokens_col()).alias("token")
+    par = spark.sparkContext.defaultParallelism
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(par, "doc_id")
+        .select("doc_id", F.explode(tokens_col()).alias("token"))
     )
     tok_counts = toks.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
     tok_hash = tok_counts.select(
@@ -279,10 +326,15 @@ DEDUP_ORACLES: dict[str, str] = {
     """,
     "d_ngram_jaccard": f"""
         WITH {_SHINGLES_CTE},
-        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM __sh GROUP BY doc_id),
+        __rare AS (
+          SELECT shingle FROM __sh GROUP BY shingle
+          HAVING COUNT(*) <= {SHINGLE_DOC_FREQ_CAP}
+        ),
+        __capped AS (SELECT s.* FROM __sh s JOIN __rare USING (shingle)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM __capped GROUP BY doc_id),
         common AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-          FROM __sh a JOIN __sh b
+          FROM __capped a JOIN __capped b
             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2
         )
@@ -297,9 +349,14 @@ DEDUP_ORACLES: dict[str, str] = {
     """,
     "d_minhash_sigs": f"""
         WITH {_SHINGLES_CTE},
+        __bh AS (
+          SELECT doc_id, {HASH64_SQL.format(x="shingle")} AS bh FROM __sh
+        ),
         ex AS (
-          SELECT doc_id, i, {HASH64_SQL.format(x="CAST(i AS VARCHAR) || '|' || shingle")} AS h
-          FROM __sh, UNNEST(range({MINHASH_K})) AS _(i)
+          SELECT doc_id, i,
+                 ([{", ".join(map(str, MINHASH_A))}][i + 1] * bh
+                  + [{", ".join(map(str, MINHASH_B))}][i + 1]) % {MINHASH_P} AS h
+          FROM __bh, UNNEST(range({MINHASH_K})) AS _(i)
         ),
         mh AS (SELECT doc_id, i, MIN(h) AS mh FROM ex GROUP BY doc_id, i)
         SELECT doc_id, list(mh ORDER BY i) AS sig
@@ -307,9 +364,14 @@ DEDUP_ORACLES: dict[str, str] = {
     """,
     "d_minhash_lsh": f"""
         WITH {_SHINGLES_CTE},
+        __bh AS (
+          SELECT doc_id, {HASH64_SQL.format(x="shingle")} AS bh FROM __sh
+        ),
         ex AS (
-          SELECT doc_id, i, {HASH64_SQL.format(x="CAST(i AS VARCHAR) || '|' || shingle")} AS h
-          FROM __sh, UNNEST(range({MINHASH_K})) AS _(i)
+          SELECT doc_id, i,
+                 ([{", ".join(map(str, MINHASH_A))}][i + 1] * bh
+                  + [{", ".join(map(str, MINHASH_B))}][i + 1]) % {MINHASH_P} AS h
+          FROM __bh, UNNEST(range({MINHASH_K})) AS _(i)
         ),
         mh AS (SELECT doc_id, i, MIN(h) AS mh FROM ex GROUP BY doc_id, i),
         sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY doc_id),

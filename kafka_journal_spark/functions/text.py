@@ -44,15 +44,27 @@ TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
 
 def shingles_col(toks: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles; empty when the doc has < n tokens."""
+    """Distinct word n-gram shingles; empty when the doc has < n tokens.
+
+    Built from n shifted copies of the token array folded with ``zip_with``
+    — each step is one O(len) pass, so the whole expression is O(n*len) per
+    document.  (The naive ``transform(sequence, i -> slice(toks, i, n))``
+    is O(len^2): ``slice`` copies O(len) per element — 10x+ slower on
+    real documents.)
+    """
+    sh = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
+        sh = F.zip_with(
+            sh,
+            shifted,
+            lambda a, b: F.when(
+                a.isNotNull() & b.isNotNull(), F.concat(a, F.lit(" "), b)
+            ),
+        )
     return F.when(
         F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
-            )
-        ),
+        F.array_distinct(F.filter(sh, lambda x: x.isNotNull())),
     ).otherwise(F.array().cast("array<string>"))
 
 

