@@ -100,6 +100,29 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "timestamp", "origin", "version", "payload_type", "payload_txt",
         )
 
+    def j_head_info(spark, sf_dir):
+        # HeadInfo fold (R3) over the un-replicated tail of the 0.7 split
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from kafka_journal_spark.operators.head import head_info_batch
+
+        acts = journal_actions(spark, sf_dir)
+        wp = Window.partitionBy("topic", "partition")
+        tail = (
+            acts.withColumn(
+                "_split", F.floor(F.max("offset").over(wp) * F.lit(0.7)).cast("long")
+            )
+            .filter(F.col("offset") > F.col("_split"))
+            .drop("_split")
+        )
+        return head_info_batch(tail)
+
+    def w_batching(spark, sf_dir):
+        from kafka_journal_spark.functions.batching import assign_batches
+
+        return assign_batches(journal_actions(spark, sf_dir), max_events=7)
+
     return {
         "j_actions": j_actions,
         "j_journal": j_journal,
@@ -113,6 +136,8 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_recovery_merge": j_recovery_merge,
         "j_wire_roundtrip": j_wire_roundtrip,
         "j_stream_replicate": j_stream_replicate,
+        "j_head_info": j_head_info,
+        "w_batching": w_batching,
     }
 
 
@@ -123,6 +148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kafka_journal_spark.operators.analytics import ANALYTICS_QUERIES
     from kafka_journal_spark.operators.expiry import EXPIRY_QUERIES
     from kafka_journal_spark.operators.snapshots import SNAPSHOT_QUERIES
+    from kafka_journal_spark.operators.events_analytics import EVENTS_QUERIES
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(_journal_queries())
@@ -132,6 +158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(SIM_QUERIES)
     out.update(EXPIRY_QUERIES)
     out.update(SNAPSHOT_QUERIES)
+    out.update(EVENTS_QUERIES)
     return out
 
 
@@ -142,6 +169,7 @@ def oracle_sql() -> dict[str, str]:
     from kafka_journal_spark.operators.analytics import ANALYTICS_ORACLES
     from kafka_journal_spark.operators.expiry import EXPIRY_ORACLES
     from kafka_journal_spark.operators.snapshots import SNAPSHOT_ORACLES
+    from kafka_journal_spark.operators.events_analytics import EVENTS_ORACLES
     from kafka_journal_spark.oracles import ORACLES
 
     out: dict[str, str] = {}
@@ -152,4 +180,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(SIM_ORACLES)
     out.update(EXPIRY_ORACLES)
     out.update(SNAPSHOT_ORACLES)
+    out.update(EVENTS_ORACLES)
     return out

@@ -118,6 +118,40 @@ def ann_bucketed_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataF
     )
 
 
+def ann_multiprobe_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """Multi-probe ANN: each query searches its own sign-bucket plus every
+    Hamming-1 neighbor bucket (one sign-bit flip) — the standard recall
+    repair for LSH: ~(dims+1)x candidates instead of the full corpus, with
+    recall several times the single-probe variant."""
+    emb = _emb(spark, sf_dir).withColumn("bucket", sign_bucket(F.col("vec")))
+    probes = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(BUCKET_DIMS)]
+    )
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("vec").alias("q_vec"),
+            F.explode(probes).alias("q_bucket"),
+        )
+    )
+    pairs = emb.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    scored = pairs.select(
+        "q_id",
+        "vec_id",
+        F.round(cosine(F.col("q_vec"), F.col("vec")), 6).alias("score"),
+    ).dropDuplicates(["q_id", "vec_id"])
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "vec_id", "score", "rk")
+    )
+
+
 def label_centroid_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label corpus stats: member count and mean vector norm (rounded) —
     the aggregation shape of a k-means/IVF training step."""
@@ -180,6 +214,31 @@ SIM_ORACLES: dict[str, str] = {
         )
         SELECT q_id, vec_id, score, rk FROM r WHERE rk <= {TOP_K}
     """,
+    "e_ann_multiprobe": f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS vec,
+                 {" + ".join(f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(BUCKET_DIMS))} AS bucket
+          FROM embeddings
+        ),
+        q AS (
+          SELECT vec_id AS q_id, vec AS q_vec, xor(bucket, flip) AS q_bucket
+          FROM e, UNNEST([0{"".join(f", {1 << i}" for i in range(BUCKET_DIMS))}]) AS _(flip)
+          WHERE vec_id < {N_QUERIES}
+        ),
+        scored AS (
+          SELECT DISTINCT q.q_id, a.vec_id,
+                 ROUND(list_dot_product(q.q_vec, a.vec)
+                       / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                          * sqrt(list_dot_product(a.vec, a.vec))), 6) AS score
+          FROM e a, q WHERE a.bucket = q.q_bucket AND a.vec_id != q.q_id
+        ),
+        r AS (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY score DESC, vec_id) AS INTEGER) AS rk
+          FROM scored
+        )
+        SELECT q_id, vec_id, score, rk FROM r WHERE rk <= {TOP_K}
+    """,
     "e_label_stats": """
         WITH e AS (
           SELECT label,
@@ -196,5 +255,6 @@ SIM_QUERIES = {
     "e_cosine_topk": cosine_topk,
     "e_lsh_buckets": lsh_buckets,
     "e_ann_bucketed": ann_bucketed_topk,
+    "e_ann_multiprobe": ann_multiprobe_topk,
     "e_label_stats": label_centroid_sizes,
 }

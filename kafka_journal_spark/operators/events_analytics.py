@@ -1,0 +1,149 @@
+"""Event-stream analytics filling the remaining §2.7 operator categories:
+distinct aggregation, set operations, the as-of join, and time-bucketed
+(tumbling-window) aggregation — each with an exact DuckDB oracle.
+
+The as-of join is the one operator Spark lacks natively (SURVEY §2.7 row):
+implemented as a union-tag + running ``last(..., ignorenulls)`` window — a
+single sort per key, no range-explosion, the standard Spark-first shape for
+"most recent prior fact per event".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_journal_spark.operators.actions import load_events
+
+
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count aggregation (approx_count_distinct available on
+    the same shape; the gate checks the exact form)."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over part-key sets: large parts that were
+    ordered, minus one brand, plus the never-ordered parts."""
+    import os
+
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    large = part.filter(F.col("p_size") > 20).select(F.col("p_partkey").alias("k"))
+    ordered = li.select(F.col("l_partkey").alias("k")).distinct()
+    brand1 = part.filter(F.col("p_brand") == "Brand#1").select(F.col("p_partkey").alias("k"))
+    never_ordered = part.select(F.col("p_partkey").alias("k")).exceptAll(ordered)
+    return large.intersect(ordered).exceptAll(brand1).union(never_ordered).distinct()
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase, the most recent prior click of the
+    same user (NULL if none).
+
+    Scale: one shuffle on user_id + one ordered window — no range join
+    explosion; at 100 TB this beats an interval-join formulation because the
+    state per key is a single carried value.
+    """
+    ev = load_events(spark, sf_dir).select("event_id", "ts", "user_id", "event_type")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = ev.withColumn(
+        "click_id",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("event_id")), ignorenulls=True
+        ).over(w),
+    ).withColumn(
+        "click_ts",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+        ).over(w),
+    )
+    return carried.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "click_id",
+        "click_ts",
+    )
+
+
+def x_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time aggregation (batch form of the streaming
+    windowed agg; in streaming the same expression runs under a watermark)."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def j_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT topic (Pointer2Statements.SelectTopics)."""
+    from kafka_journal_spark.operators.actions import journal_actions
+
+    return journal_actions(spark, sf_dir).select("topic").distinct()
+
+
+EVENTS_ORACLES: dict[str, str] = {
+    "q_distinct": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        FROM events GROUP BY event_type
+    """,
+    "q_setops": """
+        SELECT DISTINCT k FROM (
+          (SELECT p_partkey AS k FROM part WHERE p_size > 20
+           INTERSECT
+           SELECT DISTINCT l_partkey AS k FROM lineitem)
+          EXCEPT ALL
+          SELECT p_partkey AS k FROM part WHERE p_brand = 'Brand#1'
+        )
+        UNION
+        SELECT k FROM (
+          SELECT p_partkey AS k FROM part
+          EXCEPT ALL
+          SELECT DISTINCT l_partkey AS k FROM lineitem
+        )
+    """,
+    "q_asof_join": """
+        WITH carried AS (
+          SELECT event_id, ts, user_id, event_type,
+                 LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_id,
+                 LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ts
+          FROM events
+        )
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, click_id, click_ts
+        FROM carried WHERE event_type = 'purchase'
+    """,
+    "x_window_tumbling": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "j_topics": "SELECT DISTINCT 'journal' AS topic FROM events",
+}
+
+EVENTS_QUERIES = {
+    "q_distinct": q_distinct,
+    "q_setops": q_setops,
+    "q_asof_join": q_asof_join,
+    "x_window_tumbling": x_window_tumbling,
+    "j_topics": j_topics,
+}

@@ -108,6 +108,48 @@ ORACLES: dict[str, str] = {
              FROM __journal WHERE seq_nr BETWEEN 2 AND 1000000
            ) WHERE _rn <= 10"""
     ),
+    # R3 batch form: HeadInfo fold over the un-replicated tail (0.7 split)
+    "j_head_info": f"""
+        WITH __a AS ({ACTIONS_SQL}),
+        s AS (SELECT *, CAST(FLOOR(MAX("offset") OVER (PARTITION BY topic, partition) * 0.7) AS BIGINT) AS _split FROM __a),
+        tail AS (SELECT * FROM s WHERE "offset" > _split),
+        p AS (SELECT *, MAX(CASE WHEN action_type = 'purge' THEN "offset" END)
+                  OVER (PARTITION BY topic, id) AS _p FROM tail),
+        q AS (SELECT *, ("offset" > COALESCE(_p, -1)) AS _post FROM p),
+        r AS (SELECT *, MAX(CASE WHEN _post AND action_type = 'append' THEN seq_nr_to END)
+                  OVER (PARTITION BY topic, id ORDER BY "offset"
+                        ROWS UNBOUNDED PRECEDING) AS _seq_so_far FROM q),
+        agg AS (
+          SELECT topic, id, MAX(_p) AS _p,
+                 MIN(CASE WHEN _post AND action_type = 'append' THEN "offset" END) AS _first_app_off,
+                 MAX(CASE WHEN _post AND action_type = 'append' THEN seq_nr_to END) AS _max_seq,
+                 MAX(CASE WHEN _post AND action_type = 'delete' THEN
+                       CASE WHEN _seq_so_far IS NOT NULL THEN LEAST(delete_to, _seq_so_far)
+                            ELSE delete_to END END) AS _del_to
+          FROM r GROUP BY topic, id
+        )
+        SELECT topic, id,
+               CASE WHEN _max_seq IS NOT NULL THEN 'append'
+                    WHEN _del_to IS NOT NULL THEN 'delete'
+                    WHEN _p IS NOT NULL THEN 'purge' ELSE 'empty' END AS kind,
+               CASE WHEN _max_seq IS NOT NULL THEN _first_app_off END AS "offset",
+               CAST(COALESCE(CASE WHEN _max_seq IS NOT NULL THEN _max_seq END, 0) AS BIGINT) AS seq_nr,
+               CAST(CASE WHEN _max_seq IS NOT NULL OR _del_to IS NOT NULL THEN _del_to END AS BIGINT) AS delete_to
+        FROM agg
+    """,
+    # W5 unit-weight batching (max_events=7 so sf0.01 has multi-batch keys)
+    "w_batching": f"""
+        WITH __a AS ({ACTIONS_SQL}),
+        rn AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY topic, id ORDER BY "offset") AS _rn
+          FROM __a WHERE action_type = 'append'
+        ),
+        b AS (SELECT *, CAST(FLOOR((_rn - 1) / 7) AS BIGINT) AS batch_nr FROM rn)
+        SELECT topic, id, batch_nr, COUNT(*) AS n_events,
+               MIN(seq_nr_from) AS seq_lo, MAX(seq_nr_to) AS seq_hi,
+               MIN("offset") AS first_offset, MAX("offset") AS last_offset
+        FROM b GROUP BY 1, 2, 3
+    """,
     # the merge result must equal full materialization (consistency property)
     "j_recovery_merge": _q(
         """SELECT id, topic, seq_nr, partition, "offset", timestamp, origin,
