@@ -123,6 +123,18 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return assign_batches(journal_actions(spark, sf_dir), max_events=7)
 
+    def j_integrity(spark, sf_dir):
+        # seq_nr-uniqueness check over a journal with a simulated
+        # double-replication (every row duplicated at a shifted offset):
+        # every (id, seq_nr) must be flagged with exactly 2 copies
+        from pyspark.sql import functions as F
+
+        from kafka_journal_spark.operators.read import integrity_violations
+
+        j = materialize_journal(journal_actions(spark, sf_dir))
+        dup = j.withColumn("offset", F.col("offset") + F.lit(1_000_000))
+        return integrity_violations(j.unionByName(dup))
+
     return {
         "j_actions": j_actions,
         "j_journal": j_journal,
@@ -138,6 +150,7 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_stream_replicate": j_stream_replicate,
         "j_head_info": j_head_info,
         "w_batching": w_batching,
+        "j_integrity": j_integrity,
     }
 
 

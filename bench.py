@@ -26,8 +26,10 @@ HEADLINE = [
     "q1",
     "q3",
     "q5",
+    "q6",
     "q_window_running",
     "q_topk_per_group",
+    "q_asof_join",
     "d_dedup_exact",
     "d_minhash_lsh",
     "d_simhash_sigs",

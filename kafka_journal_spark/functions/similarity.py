@@ -167,6 +167,43 @@ def label_centroid_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cosine_topk_pandas(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """The Arrow path: identical result to ``cosine_topk`` but the vector
+    math runs in a pandas grouped kernel (the shape you'd use when the
+    scorer is a real model / BLAS call).  The kernel sums sequentially so
+    the doubles match the JVM fold bit-for-bit.
+
+    Scale: candidates arrive Arrow-batched per query group; broadcastable
+    query set, one shuffle on q_id.
+    """
+    import pandas as pd
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
+    )
+    pairs = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("q_id"))
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        def dot_seq(a, b):
+            return sum(x * y for x, y in zip(a, b))
+
+        rows = []
+        for r in pdf.itertuples():
+            d = dot_seq(r.q_vec, r.vec)
+            na = dot_seq(r.q_vec, r.q_vec) ** 0.5
+            nb = dot_seq(r.vec, r.vec) ** 0.5
+            rows.append((r.q_id, r.vec_id, round(d / (na * nb), 6)))
+        out = pd.DataFrame(rows, columns=["q_id", "vec_id", "score"])
+        out = out.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        out["rk"] = range(1, len(out) + 1)
+        return out
+
+    return pairs.select("q_id", "vec_id", "vec", "q_vec").groupBy("q_id").applyInPandas(
+        score_group, schema="q_id long, vec_id long, score double, rk int"
+    )
+
+
 _DOT = "list_dot_product(a.vec, q.vec)"
 
 SIM_ORACLES: dict[str, str] = {
@@ -256,5 +293,9 @@ SIM_QUERIES = {
     "e_lsh_buckets": lsh_buckets,
     "e_ann_bucketed": ann_bucketed_topk,
     "e_ann_multiprobe": ann_multiprobe_topk,
+    "e_cosine_pandas": cosine_topk_pandas,
     "e_label_stats": label_centroid_sizes,
 }
+
+# the pandas kernel reproduces the exact brute-force result
+SIM_ORACLES["e_cosine_pandas"] = SIM_ORACLES["e_cosine_topk"]

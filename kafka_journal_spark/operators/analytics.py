@@ -121,6 +121,29 @@ def q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global aggregate — the pushdown
+    showcase (every predicate reaches the parquet scan; zero shuffle
+    beyond the final partial-agg merge)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (_EP() * F.col("l_discount").cast("decimal(6,2)")).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running per-customer order total (window-function coverage).
 
@@ -216,6 +239,15 @@ ANALYTICS_ORACLES: dict[str, str] = {
         WHERE c_nationkey = s_nationkey
         GROUP BY n_name
     """,
+    "q6": f"""
+        SELECT CAST(SUM(CAST({_SQL_EP} * CAST(l_discount AS DECIMAL(6,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
     "q_window_running": """
         SELECT o_orderkey, o_custkey, o_orderdate,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
@@ -254,6 +286,7 @@ ANALYTICS_QUERIES = {
     "q1": q1_pricing_summary,
     "q3": q3_shipping_priority,
     "q5": q5_local_volume,
+    "q6": q6_forecast_revenue,
     "q_window_running": q_window_running,
     "q_rollup": q_rollup,
     "q_semi_anti": q_semi_anti,

@@ -78,6 +78,24 @@ def replay_limit(journal: DataFrame, from_seq_nr: int, to_seq_nr: int, max_event
     )
 
 
+def integrity_violations(journal: DataFrame) -> DataFrame:
+    """Data-integrity check (config ``seq_nr_uniqueness``, reference
+    ``EventualCassandra.scala:170-191``): journal rows sharing a
+    (topic, id, seq_nr) with distinct offsets are duplicates — the reference
+    raises ``JournalError`` on them during reads; we surface them as a
+    violations relation so the caller can fail or quarantine.
+    """
+    return (
+        journal.groupBy("topic", "id", "seq_nr")
+        .agg(
+            F.countDistinct("offset").alias("n_copies"),
+            F.min("offset").alias("first_offset"),
+            F.max("offset").alias("last_offset"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
 def recovery_merge(actions: DataFrame, split_frac: float = 0.7, from_seq_nr: int = 1) -> DataFrame:
     """R1: the flagship two-source recovery read.
 

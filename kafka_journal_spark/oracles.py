@@ -150,6 +150,15 @@ ORACLES: dict[str, str] = {
                MIN("offset") AS first_offset, MAX("offset") AS last_offset
         FROM b GROUP BY 1, 2, 3
     """,
+    # every journal row duplicated once at a shifted offset -> every
+    # (topic, id, seq_nr) flagged with exactly 2 copies
+    "j_integrity": _q(
+        """SELECT topic, id, seq_nr,
+                  CAST(2 AS BIGINT) AS n_copies,
+                  "offset" AS first_offset,
+                  "offset" + 1000000 AS last_offset
+           FROM __journal"""
+    ),
     # the merge result must equal full materialization (consistency property)
     "j_recovery_merge": _q(
         """SELECT id, topic, seq_nr, partition, "offset", timestamp, origin,
