@@ -26,6 +26,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kafka_journal_spark.operators import read as R
     from kafka_journal_spark.operators.actions import journal_actions
+    from kafka_journal_spark.sql_surface import q_sql_surface
     from kafka_journal_spark.operators.replicate import (
         materialize_journal,
         materialize_metajournal,
@@ -151,6 +152,7 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_head_info": j_head_info,
         "w_batching": w_batching,
         "j_integrity": j_integrity,
+        "q_sql_surface": q_sql_surface,
     }
 
 

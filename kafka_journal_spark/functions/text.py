@@ -159,6 +159,31 @@ def d_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: GPT-2-ish pre-tokenizer, lookahead-free so both Java regex (Spark) and
+#: RE2 (DuckDB) accept it: a token is an optionally-space-prefixed run of
+#: letters, digits, or other non-space symbols
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def d_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style token counting: pre-tokenizer segments per document (the
+    count a byte-pair encoder's input stage would see), alongside the
+    whitespace count for comparison.
+
+    The pattern goes through the Python API with a lit() — embedding it in
+    an F.expr SQL string would escape-process the backslash classes
+    (Spark's SQL parser turns '\\s' into 's'; DuckDB's does not), silently
+    diverging the two engines.
+    """
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(tokens_col()).alias("n_ws_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_bpe_distinct"),
+    )
+
+
 def d_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical document fingerprint: md5 over the normalized text
     (lowercased, whitespace collapsed, trimmed)."""
@@ -232,10 +257,24 @@ TEXT_ORACLES: dict[str, str] = {
                md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
         FROM documents
     """,
+    "d_tokens_bpe": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_extract_all(text, '{BPE_PATTERN}', 0) AS bt,
+                 {TOKS_SQL} AS wt
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(bt) AS INTEGER) AS n_bpe_tokens,
+               CAST(len(wt) AS INTEGER) AS n_ws_tokens,
+               CAST(len(list_distinct(bt)) AS INTEGER) AS n_bpe_distinct
+        FROM t
+    """,
 }
 
 TEXT_QUERIES = {
     "d_tokens": d_tokens,
+    "d_tokens_bpe": d_tokens_bpe,
     "d_quality": d_quality,
     "d_lang_id": d_lang_id,
     "d_fingerprint": d_fingerprint,

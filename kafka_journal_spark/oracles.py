@@ -150,6 +150,19 @@ ORACLES: dict[str, str] = {
                MIN("offset") AS first_offset, MAX("offset") AS last_offset
         FROM b GROUP BY 1, 2, 3
     """,
+    # pure-SQL surface over the registered views (correlated EXISTS)
+    "q_sql_surface": _q(
+        """SELECT m.topic,
+                  COUNT(*) AS n_journals,
+                  CAST(SUM(CASE WHEN EXISTS (
+                      SELECT 1 FROM __journal j
+                      WHERE j.topic = m.topic AND j.id = m.id
+                  ) THEN 1 ELSE 0 END) AS BIGINT) AS n_with_rows,
+                  CAST(MAX(m.seq_nr) AS BIGINT) AS max_seq_nr,
+                  CAST(SUM(m.seq_nr) AS BIGINT) AS total_seq
+           FROM __meta m
+           GROUP BY m.topic"""
+    ),
     # every journal row duplicated once at a shifted offset -> every
     # (topic, id, seq_nr) flagged with exactly 2 copies
     "j_integrity": _q(
