@@ -152,6 +152,32 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> Dat
     )
 
 
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vector (the k-means / IVF training step), one row per
+    (label, dim).
+
+    Float sums are order-dependent, so the mean is computed over
+    DECIMAL(20,10)-cast components — exact and engine-independent — then
+    cast back to double.  Scale: explode to (label, dim, value) and hash-agg;
+    one shuffle keyed (label, dim), perfectly balanced.
+    """
+    emb = _emb(spark, sf_dir)
+    # quantize each component with FLOOR (tie-free, unlike decimal casts or
+    # ROUND whose half-way behavior differs between engines), sum exactly as
+    # integers, then divide in double — fully order- and engine-independent
+    exploded = emb.select("label", F.posexplode("vec").alias("dim", "val")).select(
+        "label", "dim", F.floor(F.col("val") * 1e7).cast("long").alias("v")
+    )
+    # output stays integral (quantized sum + count): even ROUND on doubles
+    # disagrees between engines at exact half-way points, so the mean is
+    # left to the consumer as sum_q7 / n / 1e7
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(F.sum("v").alias("sum_q7"), F.count("*").alias("n"))
+        .select("label", "dim", "sum_q7", "n")
+    )
+
+
 def label_centroid_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label corpus stats: member count and mean vector norm (rounded) —
     the aggregation shape of a k-means/IVF training step."""
@@ -295,7 +321,18 @@ SIM_QUERIES = {
     "e_ann_multiprobe": ann_multiprobe_topk,
     "e_cosine_pandas": cosine_topk_pandas,
     "e_label_stats": label_centroid_sizes,
+    "e_centroids": label_centroids,
 }
 
 # the pandas kernel reproduces the exact brute-force result
 SIM_ORACLES["e_cosine_pandas"] = SIM_ORACLES["e_cosine_topk"]
+
+SIM_ORACLES["e_centroids"] = """
+    WITH ex AS (
+      SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e7) AS BIGINT) AS v
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS _(i)
+    )
+    SELECT label, dim, CAST(SUM(v) AS BIGINT) AS sum_q7, COUNT(*) AS n
+    FROM ex GROUP BY label, dim
+"""

@@ -128,8 +128,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1994-01-01"))
-            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
         )
@@ -141,6 +141,58 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
+    )
+
+
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customer revenue from returned items, top 20.
+
+    Scale: filtered orders join lineitem (shuffle), customer+nation
+    broadcast; TakeOrderedAndProject caps the result.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.sum(_DISC_PRICE()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation ratio (promo revenue share)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01"))
+    )
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.when(F.col("p_type").startswith("PROMO"), _DISC_PRICE()).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return joined.agg(
+        (
+            F.sum(promo).cast("double") * 100.0 / F.sum(_DISC_PRICE()).cast("double")
+        ).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (full grouping-set lattice) over orders."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
     )
 
 
@@ -243,10 +295,40 @@ ANALYTICS_ORACLES: dict[str, str] = {
         SELECT CAST(SUM(CAST({_SQL_EP} * CAST(l_discount AS DECIMAL(6,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
                COUNT(*) AS n_rows
         FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-          AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
           AND l_discount BETWEEN 0.05 AND 0.07
           AND l_quantity < 24
+    """,
+    "q10": f"""
+        SELECT c_custkey, c_name, n_name, c_acctbal,
+               CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name, c_acctbal
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    "q14": f"""
+        SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {_SQL_DISC_PRICE}
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100.0
+               / CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS promo_revenue_pct,
+               COUNT(*) AS n_rows
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+    """,
+    "q_cube": """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
     "q_window_running": """
         SELECT o_orderkey, o_custkey, o_orderdate,
@@ -287,6 +369,9 @@ ANALYTICS_QUERIES = {
     "q3": q3_shipping_priority,
     "q5": q5_local_volume,
     "q6": q6_forecast_revenue,
+    "q10": q10_returned_revenue,
+    "q14": q14_promo_effect,
+    "q_cube": q_cube,
     "q_window_running": q_window_running,
     "q_rollup": q_rollup,
     "q_semi_anti": q_semi_anti,
