@@ -49,7 +49,7 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return R.read_journal(materialize_journal(journal_actions(spark, sf_dir)), 1)
 
     def j_read_from(spark, sf_dir):
-        return R.read_journal(materialize_journal(journal_actions(spark, sf_dir)), 4)
+        return R.read_journal(materialize_journal(journal_actions(spark, sf_dir)), 20)
 
     def j_pointer(spark, sf_dir):
         return R.pointer(materialize_metajournal(journal_actions(spark, sf_dir)))

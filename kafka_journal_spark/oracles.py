@@ -96,7 +96,7 @@ ORACLES: dict[str, str] = {
     "j_read_from": _q(
         """SELECT id, topic, seq_nr, partition, "offset", timestamp, origin,
                   version, payload_type, payload_txt
-           FROM __journal WHERE seq_nr >= 4"""
+           FROM __journal WHERE seq_nr >= 20"""
     ),
     "j_pointer": _q('SELECT topic, id, partition, "offset", seq_nr FROM __meta'),
     "j_ids": _q("SELECT topic, id FROM __meta WHERE topic = 'journal'"),
