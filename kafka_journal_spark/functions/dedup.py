@@ -411,6 +411,24 @@ DEDUP_ORACLES: dict[str, str] = {
     """,
 }
 
+# the curation oracle composes quality + lang-id + exact-dedup (built here
+# because text.py's d_curation imports this module's dedup_exact at call
+# time — module-level cross-import would cycle)
+from kafka_journal_spark.functions.text import TEXT_ORACLES as _TEXT_ORACLES  # noqa: E402
+
+DEDUP_ORACLES["d_curation"] = f"""
+    WITH __q AS ({_TEXT_ORACLES["d_quality"]}),
+         __l AS ({_TEXT_ORACLES["d_lang_id"]}),
+         __c AS ({DEDUP_ORACLES["d_dedup_exact"]})
+    SELECT __q.doc_id, __q.quality_score, __l.is_match,
+           (__c.doc_id = __c.canonical_id) AS is_canonical,
+           (__q.quality_score >= 0.5 AND __l.is_match
+            AND __c.doc_id = __c.canonical_id) AS keep
+    FROM __q
+    JOIN __l ON __q.doc_id = __l.doc_id
+    JOIN __c ON __q.doc_id = __c.doc_id
+"""
+
 DEDUP_QUERIES = {
     "d_dedup_exact": dedup_exact,
     "d_ngram_jaccard": ngram_jaccard_pairs,

@@ -272,9 +272,39 @@ TEXT_ORACLES: dict[str, str] = {
     """,
 }
 
+def d_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation filter a training-data pipeline runs: keep a
+    document iff (a) its quality score clears the bar, (b) the lang-ID
+    heuristic agrees with its label, and (c) it is the canonical member of
+    its exact-dedup group.  Output: per-document keep decision + reasons.
+
+    Scale: three per-document relations joined on doc_id — co-partitioned
+    after the first shuffle; the whole filter is one pass over the corpus.
+    """
+    from kafka_journal_spark.functions.dedup import dedup_exact
+
+    q = d_quality(spark, sf_dir).select("doc_id", "quality_score")
+    l = d_lang_id(spark, sf_dir).select("doc_id", "is_match")
+    c = dedup_exact(spark, sf_dir).select("doc_id", "canonical_id")
+    df = q.join(l, "doc_id").join(c, "doc_id")
+    keep = (
+        (F.col("quality_score") >= 0.5)
+        & F.col("is_match")
+        & (F.col("doc_id") == F.col("canonical_id"))
+    )
+    return df.select(
+        "doc_id",
+        "quality_score",
+        "is_match",
+        (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+        keep.alias("keep"),
+    )
+
+
 TEXT_QUERIES = {
     "d_tokens": d_tokens,
     "d_tokens_bpe": d_tokens_bpe,
+    "d_curation": d_curation,
     "d_quality": d_quality,
     "d_lang_id": d_lang_id,
     "d_fingerprint": d_fingerprint,

@@ -90,6 +90,37 @@ def x_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a user's events split into sessions at
+    >30-minute silences (batch form of a session window; in streaming the
+    same semantics ride ``F.session_window`` with a watermark).
+
+    The gap test compares timestamps with interval arithmetic (exact at µs)
+    — an epoch-seconds subtraction would truncate sub-second parts
+    differently across engines.
+
+    Scale: one shuffle on user_id; lag + running sum over one sort.
+    """
+    ev = load_events(spark, sf_dir).select("event_id", "ts", "user_id")
+    ws = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_session = F.when(
+        F.lag("ts").over(ws).isNull()
+        | (F.col("ts") > F.lag("ts").over(ws) + F.expr("INTERVAL 30 MINUTES")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    df = ev.withColumn(
+        "session_id",
+        F.sum(new_session).over(
+            ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )
+    return df.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
 def j_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT DISTINCT topic (Pointer2Statements.SelectTopics)."""
     from kafka_journal_spark.operators.actions import journal_actions
@@ -138,9 +169,31 @@ EVENTS_ORACLES: dict[str, str] = {
         FROM events GROUP BY 1, 2
     """,
     "j_topics": "SELECT DISTINCT 'journal' AS topic FROM events",
+    "q_sessionize": """
+        WITH o AS (
+          SELECT event_id, ts, user_id,
+                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          FROM events
+        ),
+        s AS (
+          SELECT *, CASE WHEN prev_ts IS NULL
+                          OR ts > prev_ts + INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END AS ns
+          FROM o
+        ),
+        t AS (
+          SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          FROM s
+        )
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM t GROUP BY user_id, session_id
+    """,
 }
 
 EVENTS_QUERIES = {
+    "q_sessionize": q_sessionize,
     "q_distinct": q_distinct,
     "q_setops": q_setops,
     "q_asof_join": q_asof_join,
