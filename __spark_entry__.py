@@ -124,6 +124,15 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return assign_batches(journal_actions(spark, sf_dir), max_events=7)
 
+    def j_read_by_tag(spark, sf_dir):
+        # tag-filtered read (akka Tagged use-case): events carrying a tag
+        from pyspark.sql import functions as F
+
+        j = materialize_journal(journal_actions(spark, sf_dir))
+        return j.filter(F.array_contains("tags", "click")).select(
+            "id", "topic", "seq_nr", "offset", "payload_txt", "tags"
+        )
+
     def j_integrity(spark, sf_dir):
         # seq_nr-uniqueness check over a journal with a simulated
         # double-replication (every row duplicated at a shifted offset):
@@ -152,6 +161,7 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_head_info": j_head_info,
         "w_batching": w_batching,
         "j_integrity": j_integrity,
+        "j_read_by_tag": j_read_by_tag,
         "q_sql_surface": q_sql_surface,
     }
 

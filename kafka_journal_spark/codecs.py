@@ -138,13 +138,18 @@ def events_payload_json(df: DataFrame) -> Column:
     Works from either a ``payloads`` array (multi-event batch) or the single
     ``payload`` column; tags default to empty.
     """
+    tags = (
+        F.coalesce(F.col("tags"), F.array().cast("array<string>"))
+        if "tags" in df.columns
+        else F.array().cast("array<string>")
+    )
     if "payloads" in df.columns:
         events = F.zip_with(
             F.sequence("seq_nr_from", "seq_nr_to"),
             F.col("payloads"),
             lambda s, p: F.struct(
                 s.alias("seqNr"),
-                F.array().cast("array<string>").alias("tags"),
+                tags.alias("tags"),
                 F.col("payload_type").alias("payloadType"),
                 p.alias("payload"),
             ),
@@ -153,7 +158,7 @@ def events_payload_json(df: DataFrame) -> Column:
         events = F.array(
             F.struct(
                 F.col("seq_nr_from").alias("seqNr"),
-                F.array().cast("array<string>").alias("tags"),
+                tags.alias("tags"),
                 F.col("payload_type").alias("payloadType"),
                 F.col("payload").alias("payload"),
             )
@@ -242,6 +247,9 @@ def decode_kafka_to_actions(kafka_df: DataFrame) -> DataFrame:
         F.col("_hdr.append.payloadType").alias("payload_type"),
         F.when(F.col("_type") == "append", F.col("_blob.events")[0]["payload"]).alias(
             "payload"
+        ),
+        F.when(F.col("_type") == "append", F.col("_blob.events")[0]["tags"]).alias(
+            "tags"
         ),
         F.when(
             F.col("_type") == "append",

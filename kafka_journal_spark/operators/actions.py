@@ -51,6 +51,7 @@ ACTION_COLUMNS = [
     "seq_nr_to",
     "payload_type",
     "payload",
+    "tags",
     "delete_to",
     "mark_id",
 ]
@@ -69,6 +70,7 @@ def actions_from_events(events: DataFrame) -> DataFrame:
         .otherwise("append")
         .alias("action_type"),
         F.col("ts").alias("timestamp"),
+        F.col("event_type").alias("_orig_type"),
         F.col("value"),
         F.col("props"),
     )
@@ -100,6 +102,9 @@ def actions_from_events(events: DataFrame) -> DataFrame:
             F.when(app, F.col("appends_so_far")).alias("seq_nr_to"),
             F.when(app, F.lit("text")).alias("payload_type"),
             F.when(app, F.col("props")).alias("payload"),
+            # event tags (akka Tagged, reference Tags.scala): the original
+            # event type tags each appended event
+            F.when(app, F.array(F.col("_orig_type"))).alias("tags"),
             F.when(
                 dele,
                 F.lit(1)
@@ -131,6 +136,7 @@ ACTIONS_SQL = f"""
                 ELSE 'append'
             END AS action_type,
             ts AS timestamp,
+            event_type AS _orig_type,
             value,
             props
         FROM events
@@ -149,6 +155,7 @@ ACTIONS_SQL = f"""
         CASE WHEN action_type = 'append' THEN appends_so_far END AS seq_nr_to,
         CASE WHEN action_type = 'append' THEN 'text' END AS payload_type,
         CASE WHEN action_type = 'append' THEN props END AS payload,
+        CASE WHEN action_type = 'append' THEN [_orig_type] END AS tags,
         CASE WHEN action_type = 'delete'
              THEN 1 + (CAST(FLOOR(ABS(value)) AS BIGINT) % appends_so_far) END AS delete_to,
         CASE WHEN action_type = 'mark' THEN 'mark-' || CAST("offset" AS VARCHAR) END AS mark_id

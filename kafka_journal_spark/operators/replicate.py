@@ -89,6 +89,9 @@ def explode_events(appends: DataFrame, extra_cols: tuple[str, ...] = ()) -> Data
     else:
         df = appends.withColumn("_ev", F.explode(F.sequence("seq_nr_from", "seq_nr_to")))
         seq, pl = F.col("_ev"), F.col("payload")
+    tag_cols = (
+        [F.col("tags")] if "tags" in appends.columns else []
+    )  # batch-level tags apply to every event of the batch
     return df.select(
         "id",
         "topic",
@@ -100,6 +103,7 @@ def explode_events(appends: DataFrame, extra_cols: tuple[str, ...] = ()) -> Data
         "version",
         "payload_type",
         pl.alias("payload_txt"),
+        *tag_cols,
         *extra_cols,
     )
 
@@ -119,6 +123,7 @@ def materialize_journal(
         & (F.col("seq_nr_to") > F.coalesce(F.col("_del_to"), F.lit(0)))
     )
     events = explode_events(rows, extra_cols=("_del_to",))
+    tag_cols = [F.col("tags")] if "tags" in events.columns else []
     return (
         events.filter(F.col("seq_nr") > F.coalesce(F.col("_del_to"), F.lit(0)))
         .select(
@@ -133,6 +138,7 @@ def materialize_journal(
             F.col("version"),
             F.col("payload_type"),
             F.col("payload_txt"),
+            *tag_cols,
         )
     )
 

@@ -42,7 +42,7 @@ JOURNAL_ROWS_SQL = f"""
             CAST(FLOOR((seq_nr_from - 1) / {SEGMENT_SIZE_DEFAULT}) AS BIGINT) AS segment,
             seq_nr_from AS seq_nr,
             partition, "offset", timestamp, origin, version,
-            payload_type, payload AS payload_txt
+            payload_type, payload AS payload_txt, tags
         FROM __fold
         WHERE action_type = 'append' AND _eff AND seq_nr_from > COALESCE(_del_to, 0)
     )
@@ -80,7 +80,17 @@ ORACLES: dict[str, str] = {
     "j_wire_roundtrip": f"WITH __a AS ({ACTIONS_SQL}) SELECT * FROM __a",
     "j_journal": _q("SELECT * FROM __journal"),
     # incremental streaming replication == one-shot materialization
-    "j_stream_replicate": _q("SELECT * FROM __journal"),
+    # (the streaming store schema predates tags: explicit column list)
+    "j_stream_replicate": _q(
+        """SELECT id, topic, segment, seq_nr, partition, "offset", timestamp,
+                  origin, version, payload_type, payload_txt
+           FROM __journal"""
+    ),
+    # tag-filtered read (akka Tagged use-case, reference Tags.scala)
+    "j_read_by_tag": _q(
+        """SELECT id, topic, seq_nr, "offset", payload_txt, tags
+           FROM __journal WHERE list_contains(tags, 'click')"""
+    ),
     "j_meta": _q("SELECT * FROM __meta"),
     "j_pointers": f"""
         WITH __a AS ({ACTIONS_SQL})
