@@ -3,6 +3,7 @@ R2 recovery planner."""
 
 from __future__ import annotations
 
+import pytest
 from conftest import ACTIONS_DDL, append, delete, make_actions, mark, purge
 
 from kafka_journal_spark.folds import HeadInfo, head_info
@@ -80,6 +81,57 @@ def test_head_info_stream_carries_state_across_batches(spark, tmp_path):
     assert (last.kind, last.seq_nr, last.delete_to) == ("append", 2, 2)
     # the first batch's summary must also have been emitted
     assert (rows[0].kind, rows[0].seq_nr, rows[0].delete_to) == ("append", 2, None)
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs google.protobuf (absent in this container)",
+)
+def test_head_info_stream_tws_matches_pure_fold(spark, tmp_path):
+    # same assertions as the applyInPandasWithState variant, on the
+    # Spark 4 transformWithStateInPandas API
+    from kafka_journal_spark.streaming.head_state import head_info_stream_tws
+
+    acts = [
+        append("a", 1), append("a", 2), delete("a", 1),
+        append("b", 1), purge("b"), append("b", 2),
+    ]
+    src = tmp_path / "tws-src"
+    make_actions(spark, acts).write.parquet(str(src))
+    stream = spark.readStream.schema(ACTIONS_DDL).parquet(str(src))
+    q = (
+        head_info_stream_tws(stream)
+        .writeStream.format("memory")
+        .queryName("heads_tws")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "tws-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.id: (r.kind, r.offset, r.seq_nr, r.delete_to)
+        for r in spark.sql("SELECT * FROM heads_tws").collect()
+    }
+    from kafka_journal_spark.folds import ActionRec
+
+    by_key = {}
+    for r in make_actions(spark, acts).collect():
+        by_key.setdefault(r.id, []).append(
+            ActionRec(r.action_type, r.offset, r.seq_nr_from, r.seq_nr_to, r.delete_to)
+        )
+    for key, recs in by_key.items():
+        h = head_info(recs)
+        assert got[key] == (h.kind, h.offset, h.seq_nr, h.delete_to), key
 
 
 def test_plan_selection():

@@ -1,0 +1,57 @@
+"""Skew/scale smoke: one hot key with 200k actions through the replication
+fold — the shape that breaks naive per-key buffering.  The fold's windows
+are partition-only (no ORDER BY for the max-aggregates), so Spark never
+sorts the hot key, and events-per-key memory stays the only bound —
+documented design limit (SURVEY §7.2: per-key head state is small, events
+are not state)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_journal_spark.operators.replicate import (
+    materialize_journal,
+    materialize_metajournal,
+)
+
+
+@pytest.fixture(scope="module")
+def hot_key_actions(spark):
+    n = 200_000
+    df = spark.range(n).select(
+        F.lit("journal").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.col("id").alias("offset"),
+        F.lit("hot").alias("id"),
+        # every 10_000th action is a delete of the prefix so far
+        F.when(F.col("id") % 10_000 == 9_999, "delete").otherwise("append").alias(
+            "action_type"
+        ),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("timestamp"),
+        F.lit("o").alias("origin"),
+        F.lit("1").alias("version"),
+        F.when(F.col("id") % 10_000 != 9_999, F.col("id") + 1).alias("seq_nr_from"),
+        F.when(F.col("id") % 10_000 != 9_999, F.col("id") + 1).alias("seq_nr_to"),
+        F.lit("text").alias("payload_type"),
+        F.lit("p").alias("payload"),
+        F.when(F.col("id") % 10_000 == 9_999, F.col("id") - 5_000).alias("delete_to"),
+        F.lit(None).cast("string").alias("mark_id"),
+    )
+    return df
+
+
+def test_hot_key_fold_completes_and_is_correct(spark, hot_key_actions):
+    # seq_nr == offset+1 for appends; final delete watermark is the last
+    # delete's delete_to = 199_999 - 5_000 - 1 = 194_998... computed below
+    meta = materialize_metajournal(hot_key_actions).collect()
+    assert len(meta) == 1
+    last_delete_offset = 199_999
+    expected_delete_to = last_delete_offset - 5_000
+    assert meta[0].delete_to == expected_delete_to
+    n_rows = materialize_journal(hot_key_actions).count()
+    # surviving appends: seq_nr > delete_to, i.e. offsets delete_to..199_999
+    # minus the delete actions among them
+    candidates = range(expected_delete_to, 200_000)
+    expected = sum(1 for off in candidates if off % 10_000 != 9_999)
+    assert n_rows == expected
