@@ -99,6 +99,7 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return store.read().select(
             "id", "topic", "segment", "seq_nr", "partition", "offset",
             "timestamp", "origin", "version", "payload_type", "payload_txt",
+            "tags",
         )
 
     def j_head_info(spark, sf_dir):

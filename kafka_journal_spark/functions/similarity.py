@@ -154,12 +154,11 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> Dat
 
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean vector (the k-means / IVF training step), one row per
-    (label, dim).
+    (label, dim), as floor-quantized integer sums (exact, order- and
+    engine-independent; consumers derive the mean as sum_q7 / n / 1e7).
 
-    Float sums are order-dependent, so the mean is computed over
-    DECIMAL(20,10)-cast components — exact and engine-independent — then
-    cast back to double.  Scale: explode to (label, dim, value) and hash-agg;
-    one shuffle keyed (label, dim), perfectly balanced.
+    Scale: explode to (label, dim, value) and hash-agg; one shuffle keyed
+    (label, dim), perfectly balanced.
     """
     emb = _emb(spark, sf_dir)
     # quantize each component with FLOOR (tie-free, unlike decimal casts or
@@ -229,8 +228,6 @@ def cosine_topk_pandas(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> Data
         score_group, schema="q_id long, vec_id long, score double, rk int"
     )
 
-
-_DOT = "list_dot_product(a.vec, q.vec)"
 
 SIM_ORACLES: dict[str, str] = {
     "e_cosine_topk": f"""

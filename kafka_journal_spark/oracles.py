@@ -80,10 +80,9 @@ ORACLES: dict[str, str] = {
     "j_wire_roundtrip": f"WITH __a AS ({ACTIONS_SQL}) SELECT * FROM __a",
     "j_journal": _q("SELECT * FROM __journal"),
     # incremental streaming replication == one-shot materialization
-    # (the streaming store schema predates tags: explicit column list)
     "j_stream_replicate": _q(
         """SELECT id, topic, segment, seq_nr, partition, "offset", timestamp,
-                  origin, version, payload_type, payload_txt
+                  origin, version, payload_type, payload_txt, tags
            FROM __journal"""
     ),
     # tag-filtered read (akka Tagged use-case, reference Tags.scala)

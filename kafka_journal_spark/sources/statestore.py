@@ -32,7 +32,8 @@ from pyspark.sql import functions as F
 JOURNAL_SCHEMA_DDL = (
     "id string, topic string, segment long, seq_nr long, partition int, "
     "offset long, timestamp timestamp, origin string, version string, "
-    "meta_record_id string, payload_type string, payload_txt string"
+    "meta_record_id string, payload_type string, payload_txt string, "
+    "tags array<string>"
 )
 META_SCHEMA_DDL = (
     "topic string, segment long, id string, partition int, offset long, "

@@ -44,7 +44,3 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
 
-
-SQL_SURFACE_ORACLES = {
-    "q_sql_surface": None  # built in oracles.py (shares the journal CTEs)
-}

@@ -187,6 +187,9 @@ def replicate_batch(batch: DataFrame, store: JournalStore) -> None:
         new_meta.select("topic", "id", F.col("record_id").alias("_rid"), F.col("delete_to").alias("_dt"))
     )
     events = explode_events(appends, extra_cols=()).join(rid_map, ["topic", "id"], "inner")
+    tags_col = (
+        F.col("tags") if "tags" in events.columns else F.lit(None).cast("array<string>")
+    )
     rows = (
         events.filter(F.col("seq_nr") > F.coalesce(F.col("_dt"), F.lit(0)))
         .select(
@@ -202,6 +205,7 @@ def replicate_batch(batch: DataFrame, store: JournalStore) -> None:
             F.col("_rid").alias("meta_record_id"),
             "payload_type",
             "payload_txt",
+            tags_col.alias("tags"),
         )
     )
 
