@@ -1,0 +1,213 @@
+"""The user-facing journal client: the reference's ``Journal`` API surface
+(``journal/.../Journal.scala:20-60`` — append / read / pointer / delete /
+purge) over this engine.
+
+A client owns an **actions log** (the Kafka stand-in: an append-only
+parquet log per topic, offset-ordered per partition) and a **JournalStore**
+(the replicated side).  Semantics match the reference:
+
+- ``append``    — W1: one atomic batch of events -> one action record;
+  seq_nrs continue from the current pointer (reads-own-writes: the pointer
+  consults the un-replicated tail too).
+- ``delete_to`` — W2: writer-side clamp to the pointer; no-op None on an
+  absent journal (``Journals.scala:326-332``).
+- ``purge``     — W3.
+- ``read``      — R1/R2: plans from the tail's HeadInfo (folded with the
+  same pure fold the streaming head state uses) and stitches the
+  replicated prefix with the un-replicated tail — a reader sees appends
+  *before* the replicator has run, exactly the reference's recovery
+  guarantee.
+- ``pointer``   — R6 over both sources.
+- ``replicate`` — drains the un-replicated tail through the same
+  ``replicate_batch`` the streaming pipeline uses.
+
+Mark (W4) does not exist here by design: the end-offset of the actions log
+is the fence (SURVEY §3.1) — the client never needs to write to read.
+
+Client calls are single-key and driver-side (like the reference's); bulk
+work belongs to the replicator/streaming pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_journal_spark.folds import ActionRec, head_info
+from kafka_journal_spark.plans.recovery import read_with_plan
+from kafka_journal_spark.sources.statestore import JournalStore
+from kafka_journal_spark.streaming.replicator import replicate_batch
+
+N_PARTITIONS = 8
+
+ACTIONS_LOG_DDL = (
+    "topic string, partition int, offset long, id string, action_type string, "
+    "timestamp timestamp, origin string, version string, seq_nr_from long, "
+    "seq_nr_to long, payload_type string, payload string, payloads array<string>, "
+    "tags array<string>, delete_to long, mark_id string"
+)
+
+
+class JournalClient:
+    def __init__(self, spark: SparkSession, root: str, origin: str = "client"):
+        self.spark = spark
+        self.root = root
+        self.origin = origin
+        self.log_path = os.path.join(root, "actions-log")
+        self.store = JournalStore(spark, os.path.join(root, "store"))
+        os.makedirs(root, exist_ok=True)
+
+    # -- log access --------------------------------------------------------
+
+    def _log(self) -> DataFrame:
+        if os.path.exists(self.log_path):
+            return self.spark.read.schema(ACTIONS_LOG_DDL).parquet(self.log_path)
+        return self.spark.createDataFrame([], ACTIONS_LOG_DDL)
+
+    def _next_offset(self) -> int:
+        row = self._log().agg(F.max("offset").alias("m")).collect()[0]
+        return (row.m if row.m is not None else -1) + 1
+
+    def _tail(self, topic: str, key: str) -> DataFrame:
+        """Un-replicated actions of a key (offset beyond the replicated
+        pointer of its partition)."""
+        ptr = {
+            (r.topic, r.partition): r.offset for r in self.store.pointers().collect()
+        }
+        part = self._partition(key)
+        replicated = ptr.get((topic, part), -1)
+        return self._log().filter(
+            (F.col("topic") == topic)
+            & (F.col("id") == key)
+            & (F.col("offset") > replicated)
+        )
+
+    def _tail_head(self, topic: str, key: str):
+        recs = [
+            ActionRec(r.action_type, r.offset, r.seq_nr_from, r.seq_nr_to, r.delete_to)
+            for r in self._tail(topic, key).collect()
+        ]
+        return head_info(recs)
+
+    @staticmethod
+    def _partition(key: str) -> int:
+        import hashlib
+
+        return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % N_PARTITIONS
+
+    def _emit(self, rows: list[dict]) -> int:
+        df = self.spark.createDataFrame(rows, ACTIONS_LOG_DDL)  # type: ignore[arg-type]
+        df.write.mode("append").parquet(self.log_path)
+        return rows[-1]["offset"]
+
+    # -- the Journal API ---------------------------------------------------
+
+    def pointer(self, topic: str, key: str) -> Optional[int]:
+        """Last seq_nr, consulting the un-replicated tail first (R6)."""
+        h = self._tail_head(topic, key)
+        if h.kind == "append":
+            return h.seq_nr
+        if h.kind == "purge":
+            return None
+        if h.kind == "delete":
+            stored = self.store.pointer(topic, key)
+            return max(stored or 0, h.delete_to) or None
+        return self.store.pointer(topic, key)
+
+    def append(self, topic: str, key: str, payloads: list[str], tags=None) -> tuple[int, int]:
+        """Atomically append a batch of events; returns (partition, offset)."""
+        import datetime as dt
+
+        assert payloads
+        ptr = self.pointer(topic, key) or 0
+        first, last = ptr + 1, ptr + len(payloads)
+        off = self._next_offset()
+        part = self._partition(key)
+        self._emit(
+            [
+                {
+                    "topic": topic, "partition": part, "offset": off, "id": key,
+                    "action_type": "append", "timestamp": dt.datetime.utcnow(),
+                    "origin": self.origin, "version": "1.0",
+                    "seq_nr_from": first, "seq_nr_to": last,
+                    "payload_type": "text", "payload": payloads[0],
+                    "payloads": payloads, "tags": list(tags or []),
+                    "delete_to": None, "mark_id": None,
+                }
+            ]
+        )
+        return part, off
+
+    def delete_to(self, topic: str, key: str, to: int) -> Optional[int]:
+        """Prefix delete clamped to the pointer; None on absent journal."""
+        import datetime as dt
+
+        ptr = self.pointer(topic, key)
+        if ptr is None:
+            return None
+        off = self._next_offset()
+        self._emit(
+            [
+                {
+                    "topic": topic, "partition": self._partition(key), "offset": off,
+                    "id": key, "action_type": "delete",
+                    "timestamp": dt.datetime.utcnow(), "origin": self.origin,
+                    "version": "1.0", "seq_nr_from": None, "seq_nr_to": None,
+                    "payload_type": None, "payload": None, "payloads": None,
+                    "tags": None, "delete_to": min(to, ptr), "mark_id": None,
+                }
+            ]
+        )
+        return off
+
+    def purge(self, topic: str, key: str) -> Optional[int]:
+        import datetime as dt
+
+        if self.pointer(topic, key) is None and self._tail(topic, key).isEmpty():
+            if not self.store.metajournal().filter(
+                (F.col("topic") == topic) & (F.col("id") == key)
+            ).take(1):
+                return None
+        off = self._next_offset()
+        self._emit(
+            [
+                {
+                    "topic": topic, "partition": self._partition(key), "offset": off,
+                    "id": key, "action_type": "purge",
+                    "timestamp": dt.datetime.utcnow(), "origin": self.origin,
+                    "version": "1.0", "seq_nr_from": None, "seq_nr_to": None,
+                    "payload_type": None, "payload": None, "payloads": None,
+                    "tags": None, "delete_to": None, "mark_id": None,
+                }
+            ]
+        )
+        return off
+
+    def read(self, topic: str, key: str, from_seq_nr: int = 1) -> list[tuple[int, str]]:
+        """Recovery read: (seq_nr, payload) pairs — replicated prefix
+        stitched with the un-replicated tail per the R2 plan."""
+        head = self._tail_head(topic, key)
+        tail = self._tail(topic, key)
+        df = read_with_plan(self.store, tail, topic, key, head, from_seq_nr)
+        return sorted((r.seq_nr, r.payload_txt) for r in df.collect())
+
+    def replicate(self) -> None:
+        """Drain the un-replicated log through the replication fold (the
+        standing pipeline's foreachBatch, invoked on demand)."""
+        ptr = {
+            (r.topic, r.partition): r.offset for r in self.store.pointers().collect()
+        }
+        log = self._log()
+        if ptr:
+            conds = None
+            for (t, p), o in ptr.items():
+                c = (F.col("topic") == t) & (F.col("partition") == p) & (
+                    F.col("offset") <= o
+                )
+                conds = c if conds is None else (conds | c)
+            log = log.filter(~conds)
+        if not log.isEmpty():
+            replicate_batch(log, self.store)

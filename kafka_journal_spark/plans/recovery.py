@@ -75,10 +75,30 @@ def read_with_plan(
         "timestamp timestamp, origin string, version string, payload_type string, "
         "payload_txt string",
     )
+    # an un-replicated purge in the tail erases the replicated prefix — the
+    # HeadInfo summary loses the purge once a fresh append follows it, so
+    # the purge horizon is read from the tail directly.  (The reference
+    # returns the STALE prefix in this window — its Append branch's
+    # monotonic guard drops the fresh events, Journals.scala:220-255; we
+    # match the journal model instead.)
+    tail_purge_off = -1
+    if kafka_tail is not None:
+        row = (
+            kafka_tail.filter(
+                (F.col("topic") == topic)
+                & (F.col("id") == key)
+                & (F.col("action_type") == "purge")
+            )
+            .agg(F.max("offset").alias("m"))
+            .collect()[0]
+        )
+        tail_purge_off = row.m if row.m is not None else -1
     parts = []
     if plan.read_store:
         parts.append(
-            store.read(topic=topic, key=key, from_seq_nr=plan.from_seq_nr).select(*cols)
+            store.read(topic=topic, key=key, from_seq_nr=plan.from_seq_nr)
+            .filter(F.col("offset") > F.lit(tail_purge_off))
+            .select(*cols)
         )
     if plan.read_kafka and kafka_tail is not None:
         tail = kafka_tail.filter(

@@ -1,0 +1,65 @@
+"""The reference README flow (README.md:20-31) through JournalClient:
+append -> read (before AND after replication must agree) -> delete ->
+purge -> fresh journal."""
+
+from __future__ import annotations
+
+from kafka_journal_spark.api import JournalClient
+
+
+def test_reference_readme_flow(spark, tmp_path):
+    c = JournalClient(spark, str(tmp_path / "client"))
+
+    # append two batches
+    c.append("orders", "order-1", ["created"])
+    c.append("orders", "order-1", ["paid", "shipped"])
+    assert c.pointer("orders", "order-1") == 3
+
+    # read-your-writes: nothing replicated yet, reads see the Kafka tail
+    assert c.read("orders", "order-1") == [(1, "created"), (2, "paid"), (3, "shipped")]
+
+    # replicate; the read result must not change (ConsistencySpec)
+    c.replicate()
+    assert c.read("orders", "order-1") == [(1, "created"), (2, "paid"), (3, "shipped")]
+    assert c.pointer("orders", "order-1") == 3
+
+    # half-replicated: a new append rides the tail, read stitches both
+    c.append("orders", "order-1", ["delivered"])
+    assert c.read("orders", "order-1") == [
+        (1, "created"), (2, "paid"), (3, "shipped"), (4, "delivered"),
+    ]
+
+    # prefix delete (clamped) — visible immediately, also after replication
+    c.delete_to("orders", "order-1", 2)
+    assert c.read("orders", "order-1") == [(3, "shipped"), (4, "delivered")]
+    c.replicate()
+    assert c.read("orders", "order-1") == [(3, "shipped"), (4, "delivered")]
+    assert c.pointer("orders", "order-1") == 4
+
+    # read(from) lower bound
+    assert c.read("orders", "order-1", from_seq_nr=4) == [(4, "delivered")]
+
+    # purge erases; pointer None; fresh journal restarts at seq 1
+    c.purge("orders", "order-1")
+    assert c.read("orders", "order-1") == []
+    assert c.pointer("orders", "order-1") is None
+    c.append("orders", "order-1", ["reborn"])
+    assert c.read("orders", "order-1") == [(1, "reborn")]
+    c.replicate()
+    assert c.read("orders", "order-1") == [(1, "reborn")]
+
+
+def test_delete_on_absent_journal_is_noop(spark, tmp_path):
+    c = JournalClient(spark, str(tmp_path / "client2"))
+    assert c.delete_to("orders", "ghost", 5) is None
+    assert c.read("orders", "ghost") == []
+
+
+def test_keys_are_isolated(spark, tmp_path):
+    c = JournalClient(spark, str(tmp_path / "client3"))
+    c.append("t", "a", ["a1"])
+    c.append("t", "b", ["b1", "b2"])
+    c.purge("t", "a")
+    c.replicate()
+    assert c.read("t", "a") == []
+    assert c.read("t", "b") == [(1, "b1"), (2, "b2")]
