@@ -187,6 +187,36 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of compound brand/size/quantity
+    predicates over the join — tests complex-predicate handling (the OR of
+    ANDs partially pushes per branch; the join stays a broadcast)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("l_quantity").between(1, 11)
+            & F.col("p_size").between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("l_quantity").between(10, 20)
+            & F.col("p_size").between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("l_quantity").between(20, 30)
+            & F.col("p_size").between(1, 15)
+        )
+    )
+    return j.filter(cond).agg(
+        F.sum(_DISC_PRICE()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregation (full grouping-set lattice) over orders."""
     orders = _t(spark, sf_dir, "orders")
@@ -323,6 +353,14 @@ ANALYTICS_ORACLES: dict[str, str] = {
         WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
     """,
+    "q19": f"""
+        SELECT CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+           OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+           OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+    """,
     "q_cube": """
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS n_orders,
@@ -371,6 +409,7 @@ ANALYTICS_QUERIES = {
     "q6": q6_forecast_revenue,
     "q10": q10_returned_revenue,
     "q14": q14_promo_effect,
+    "q19": q19_discounted_revenue,
     "q_cube": q_cube,
     "q_window_running": q_window_running,
     "q_rollup": q_rollup,

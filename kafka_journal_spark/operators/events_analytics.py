@@ -121,6 +121,47 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: signup -> later click -> later purchase
+    per user (sequence-pattern aggregation).
+
+    Each stage's anchor is the earliest qualifying event strictly after the
+    previous stage's anchor — three conditional-min aggregations per user,
+    no self-joins.  Scale: one shuffle on user_id.
+    """
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_type")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t1"),
+        F.collect_list(F.struct("ts", "event_type")).alias("evs"),
+    )
+    t2 = F.array_min(
+        F.transform(
+            F.filter(
+                F.col("evs"),
+                lambda e: (e["event_type"] == F.lit("click")) & (e["ts"] > F.col("t1")),
+            ),
+            lambda e: e["ts"],
+        )
+    )
+    per_user = per_user.withColumn("t2", F.when(F.col("t1").isNotNull(), t2))
+    t3 = F.array_min(
+        F.transform(
+            F.filter(
+                F.col("evs"),
+                lambda e: (e["event_type"] == F.lit("purchase")) & (e["ts"] > F.col("t2")),
+            ),
+            lambda e: e["ts"],
+        )
+    )
+    per_user = per_user.withColumn("t3", F.when(F.col("t2").isNotNull(), t3))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_signup"),
+        F.count("t2").alias("n_signup_click"),
+        F.count("t3").alias("n_signup_click_purchase"),
+    )
+
+
 def j_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT DISTINCT topic (Pointer2Statements.SelectTopics)."""
     from kafka_journal_spark.operators.actions import journal_actions
@@ -169,6 +210,32 @@ EVENTS_ORACLES: dict[str, str] = {
         FROM events GROUP BY 1, 2
     """,
     "j_topics": "SELECT DISTINCT 'journal' AS topic FROM events",
+    "q_funnel": """
+        WITH u AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+          FROM events GROUP BY user_id
+        ),
+        u2 AS (
+          SELECT u.user_id, u.t1,
+                 (SELECT MIN(e.ts) FROM events e
+                  WHERE e.user_id = u.user_id AND e.event_type = 'click'
+                    AND e.ts > u.t1) AS t2
+          FROM u
+        ),
+        u3 AS (
+          SELECT u2.user_id, u2.t1, u2.t2,
+                 (SELECT MIN(e.ts) FROM events e
+                  WHERE e.user_id = u2.user_id AND e.event_type = 'purchase'
+                    AND e.ts > u2.t2) AS t3
+          FROM u2
+        )
+        SELECT COUNT(*) AS n_users,
+               COUNT(t1) AS n_signup,
+               COUNT(t2) AS n_signup_click,
+               COUNT(t3) AS n_signup_click_purchase
+        FROM u3
+    """,
     "q_sessionize": """
         WITH o AS (
           SELECT event_id, ts, user_id,
@@ -194,6 +261,7 @@ EVENTS_ORACLES: dict[str, str] = {
 
 EVENTS_QUERIES = {
     "q_sessionize": q_sessionize,
+    "q_funnel": q_funnel,
     "q_distinct": q_distinct,
     "q_setops": q_setops,
     "q_asof_join": q_asof_join,
