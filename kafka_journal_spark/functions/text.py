@@ -257,6 +257,15 @@ TEXT_ORACLES: dict[str, str] = {
                md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
         FROM documents
     """,
+    "d_strings": """
+        SELECT doc_id,
+               upper(substring(text, 1, 10)) AS head_upper,
+               CAST(length(trim(text)) AS INTEGER) AS trimmed_len,
+               CAST(levenshtein(substring(text, 1, 8), 'spark sql') AS INTEGER) AS lev_to_spark,
+               lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
+               reverse(substring(text, 1, 6)) AS head_rev
+        FROM documents
+    """,
     "d_tokens_bpe": f"""
         WITH t AS (
           SELECT doc_id,
@@ -301,10 +310,25 @@ def d_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar-function family over documents: case ops, substring,
+    edit distance to a reference token, padded keys — the §2.7 scalar-fn
+    coverage row, all whole-stage-codegen expressions."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 10)).alias("head_upper"),
+        F.length(F.trim("text")).alias("trimmed_len"),
+        F.levenshtein(F.substring("text", 1, 8), F.lit("spark sql")).alias("lev_to_spark"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id"),
+        F.reverse(F.substring("text", 1, 6)).alias("head_rev"),
+    )
+
+
 TEXT_QUERIES = {
     "d_tokens": d_tokens,
     "d_tokens_bpe": d_tokens_bpe,
     "d_curation": d_curation,
+    "d_strings": d_strings,
     "d_quality": d_quality,
     "d_lang_id": d_lang_id,
     "d_fingerprint": d_fingerprint,

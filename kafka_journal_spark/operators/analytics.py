@@ -226,6 +226,19 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (sort-based; both engines
+    use linear interpolation and agree bit-for-bit — verified empirically).
+    approx_percentile is the 100 TB drop-in with identical query shape."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", 0.5).alias("p50"),
+        F.percentile("o_totalprice", 0.9).alias("p90"),
+        F.percentile("o_totalprice", 0.99).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running per-customer order total (window-function coverage).
 
@@ -368,6 +381,14 @@ ANALYTICS_ORACLES: dict[str, str] = {
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
+    "q_percentiles": """
+        SELECT o_orderstatus,
+               quantile_cont(o_totalprice, 0.5) AS p50,
+               quantile_cont(o_totalprice, 0.9) AS p90,
+               quantile_cont(o_totalprice, 0.99) AS p99,
+               COUNT(*) AS n
+        FROM orders GROUP BY o_orderstatus
+    """,
     "q_window_running": """
         SELECT o_orderkey, o_custkey, o_orderdate,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
@@ -410,6 +431,7 @@ ANALYTICS_QUERIES = {
     "q10": q10_returned_revenue,
     "q14": q14_promo_effect,
     "q19": q19_discounted_revenue,
+    "q_percentiles": q_percentiles,
     "q_cube": q_cube,
     "q_window_running": q_window_running,
     "q_rollup": q_rollup,
