@@ -24,6 +24,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_journal_spark.functions.numeric import round6, round6_sql
 from kafka_journal_spark.functions.text import TOKS_SQL, shingles_col, shingles_sql, tokens_col
 
 MINHASH_K = 16  # number of hash functions
@@ -144,7 +145,7 @@ def ngram_jaccard_pairs(
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
         .filter(raw >= F.lit(threshold))
-        .select("doc_a", "doc_b", "n_common", F.round(raw, 6).alias("jaccard"))
+        .select("doc_a", "doc_b", "n_common", round6(raw).alias("jaccard"))
     )
 
 
@@ -179,6 +180,13 @@ def minhash_signatures(spark: SparkSession, sf_dir: str, k: int = MINHASH_K) -> 
         .agg(F.array_sort(F.collect_list(F.struct("i", "mh"))).alias("_s"))
         .select("doc_id", F.transform("_s", lambda s: s["mh"]).alias("sig"))
     )
+
+
+def minhash_signatures_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate projection of :func:`minhash_signatures`: the signature array is
+    serialized with ``to_json`` because the driver's pandas canonicalizer
+    cannot sort list cells.  The engine API keeps the real array."""
+    return minhash_signatures(spark, sf_dir).withColumn("sig", F.to_json("sig"))
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -229,7 +237,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double")
         / F.lit(float(MINHASH_K))
     )
-    return cand.select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+    return cand.select("doc_a", "doc_b", round6(est).alias("est_jaccard"))
 
 
 # ---------------------------------------------------------------------------
@@ -339,8 +347,8 @@ DEDUP_ORACLES: dict[str, str] = {
           GROUP BY 1, 2
         )
         SELECT doc_a, doc_b, n_common,
-               ROUND(CAST(n_common AS DOUBLE)
-                     / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+               {round6_sql("CAST(n_common AS DOUBLE)"
+                           " / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)")} AS jaccard
         FROM common
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
@@ -359,7 +367,7 @@ DEDUP_ORACLES: dict[str, str] = {
           FROM __bh, UNNEST(range({MINHASH_K})) AS _(i)
         ),
         mh AS (SELECT doc_id, i, MIN(h) AS mh FROM ex GROUP BY doc_id, i)
-        SELECT doc_id, list(mh ORDER BY i) AS sig
+        SELECT doc_id, to_json(list(mh ORDER BY i)) AS sig
         FROM mh GROUP BY doc_id
     """,
     "d_minhash_lsh": f"""
@@ -390,8 +398,8 @@ DEDUP_ORACLES: dict[str, str] = {
                AND a.doc_id < b.doc_id
         )
         SELECT doc_a, doc_b,
-               ROUND(CAST(len(list_filter(range(1, {MINHASH_K} + 1),
-                     i -> sig_a[i] = sig_b[i])) AS DOUBLE) / {MINHASH_K}.0, 6) AS est_jaccard
+               {round6_sql(f"CAST(len(list_filter(range(1, {MINHASH_K} + 1), "
+                           f"i -> sig_a[i] = sig_b[i])) AS DOUBLE) / {MINHASH_K}.0")} AS est_jaccard
         FROM cand
     """,
     "d_simhash_sigs": f"""
@@ -432,7 +440,7 @@ DEDUP_ORACLES["d_curation"] = f"""
 DEDUP_QUERIES = {
     "d_dedup_exact": dedup_exact,
     "d_ngram_jaccard": ngram_jaccard_pairs,
-    "d_minhash_sigs": minhash_signatures,
+    "d_minhash_sigs": minhash_signatures_gate,
     "d_minhash_lsh": minhash_lsh_pairs,
     "d_simhash_sigs": simhash_signatures,
 }

@@ -18,6 +18,8 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_journal_spark.functions.numeric import round6, round6_sql
+
 # tiny fixed stopword profiles (shared constants for Spark + SQL oracles)
 STOPWORDS_EN = ("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
 LANG_PROFILES = {
@@ -121,10 +123,10 @@ def d_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "doc_id",
         "n_tokens",
-        F.round("punct_ratio", 6).alias("punct_ratio"),
-        F.round("stopword_ratio", 6).alias("stopword_ratio"),
-        F.round("avg_token_len", 6).alias("avg_token_len"),
-        F.round(score, 6).alias("quality_score"),
+        round6(F.col("punct_ratio")).alias("punct_ratio"),
+        round6(F.col("stopword_ratio")).alias("stopword_ratio"),
+        round6(F.col("avg_token_len")).alias("avg_token_len"),
+        round6(score).alias("quality_score"),
     )
 
 
@@ -223,12 +225,14 @@ TEXT_ORACLES: dict[str, str] = {
           FROM t
         )
         SELECT doc_id, n_tokens,
-               ROUND(punct_ratio, 6) AS punct_ratio,
-               ROUND(stopword_ratio, 6) AS stopword_ratio,
-               ROUND(avg_token_len, 6) AS avg_token_len,
-               ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
-                     + (1.0 - LEAST(stopword_ratio * 2.0, 1.0)) * 0.3
-                     + LEAST(avg_token_len / 8.0, 1.0) * 0.3, 6) AS quality_score
+               {round6_sql("punct_ratio")} AS punct_ratio,
+               {round6_sql("stopword_ratio")} AS stopword_ratio,
+               {round6_sql("avg_token_len")} AS avg_token_len,
+               {round6_sql(
+                   "LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4"
+                   " + (1.0 - LEAST(stopword_ratio * 2.0, 1.0)) * 0.3"
+                   " + LEAST(avg_token_len / 8.0, 1.0) * 0.3"
+               )} AS quality_score
         FROM m
     """,
     "d_lang_id": f"""

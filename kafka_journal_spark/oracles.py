@@ -74,20 +74,36 @@ def _q(body: str) -> str:
     return f"WITH {FOLD_SQL}, {JOURNAL_ROWS_SQL}, {METAJOURNAL_SQL} {body}"
 
 
+#: array-typed columns are serialized with ``to_json`` in gate outputs (both
+#: engines emit the identical compact JSON; the driver's pandas canonicalizer
+#: cannot sort raw list cells) — the engine APIs keep real arrays.
 ORACLES: dict[str, str] = {
     "j_actions": f"WITH __a AS ({ACTIONS_SQL}) SELECT * FROM __a",
     # the wire round-trip must reproduce the actions stream bit-for-bit
-    "j_wire_roundtrip": f"WITH __a AS ({ACTIONS_SQL}) SELECT * FROM __a",
-    "j_journal": _q("SELECT * FROM __journal"),
+    "j_wire_roundtrip": f"""
+        WITH __a AS ({ACTIONS_SQL})
+        SELECT topic, partition, "offset", id, action_type, timestamp, origin,
+               version, seq_nr_from, seq_nr_to, payload_type, payload,
+               to_json(tags) AS tags, delete_to, mark_id
+        FROM __a
+    """,
+    "j_journal": _q(
+        """SELECT id, topic, segment, seq_nr, partition, "offset", timestamp,
+                  origin, version, payload_type, payload_txt,
+                  to_json(tags) AS tags
+           FROM __journal"""
+    ),
     # incremental streaming replication == one-shot materialization
     "j_stream_replicate": _q(
         """SELECT id, topic, segment, seq_nr, partition, "offset", timestamp,
-                  origin, version, payload_type, payload_txt, tags
+                  origin, version, payload_type, payload_txt,
+                  to_json(tags) AS tags
            FROM __journal"""
     ),
     # tag-filtered read (akka Tagged use-case, reference Tags.scala)
     "j_read_by_tag": _q(
-        """SELECT id, topic, seq_nr, "offset", payload_txt, tags
+        """SELECT id, topic, seq_nr, "offset", payload_txt,
+                  to_json(tags) AS tags
            FROM __journal WHERE list_contains(tags, 'click')"""
     ),
     "j_meta": _q("SELECT * FROM __meta"),
