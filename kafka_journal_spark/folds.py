@@ -104,8 +104,15 @@ def head_info_step(h: HeadInfo, a: ActionRec) -> HeadInfo:
     if a.kind == "append":
         if h.kind == "append":
             return replace(h, seq_nr=a.seq_nr_to)
-        # empty / delete / purge -> become append; keep a delete watermark
-        keep = h.delete_to if h.kind == "delete" else None
+        # empty / delete / purge -> become append.  A pure-delete watermark is
+        # clamped to the seq_nr just below the append's range and dropped
+        # entirely when the append starts at 1 (HeadInfo.scala:232-247:
+        # ``range.from.prev[Option].map { _.toDeleteTo min deleteTo }``) —
+        # otherwise a foreign/redelivered stream whose delete watermark
+        # overshoots the next append would plan the read past live events.
+        keep = None
+        if h.kind == "delete" and a.seq_nr_from is not None and a.seq_nr_from > 1:
+            keep = min(h.delete_to, a.seq_nr_from - 1)
         return HeadInfo(kind="append", offset=a.offset, seq_nr=a.seq_nr_to, delete_to=keep)
     # delete
     to = a.delete_to

@@ -20,10 +20,13 @@ from pyspark.sql import functions as F
 def head_info_batch(actions: DataFrame) -> DataFrame:
     """Per-key final HeadInfo over an action DataFrame.
 
-    Clamping semantics: a delete seen while in Append state clamps to the
-    seq_nr appended so far; a delete with no prior append keeps its raw
-    watermark (Delete state).  The max over those per-delete clamped values
-    is the final watermark.
+    Clamping semantics (HeadInfo.scala:206-247): a delete seen while in
+    Append state clamps to the seq_nr appended so far; a delete with no
+    prior append keeps its raw watermark while the state stays Delete, but
+    when the first append arrives the accumulated pure-delete watermark is
+    clamped to ``min(watermark, first_seq_nr_from - 1)`` and dropped
+    entirely when the append starts at 1 (``range.from.prev[Option]``).
+    The max over the per-delete clamped values is the final watermark.
     """
     wk = Window.partitionBy("topic", "id")
     wseq = (
@@ -43,22 +46,38 @@ def head_info_batch(actions: DataFrame) -> DataFrame:
             F.when(F.col("_post") & (F.col("action_type") == "append"), F.col("seq_nr_to"))
         ).over(wseq),
     )
-    clamped = F.when(
-        F.col("_post") & (F.col("action_type") == "delete"),
-        F.when(
-            F.col("_seq_so_far").isNotNull(),
-            F.least(F.col("delete_to"), F.col("_seq_so_far")),
-        ).otherwise(F.col("delete_to")),
+    is_app = F.col("_post") & (F.col("action_type") == "append")
+    is_del = F.col("_post") & (F.col("action_type") == "delete")
+    # deletes seen in Append state clamp to the seq appended so far;
+    # deletes seen before any append (Delete state) are folded separately
+    # and clamped by the FIRST append's range start (or kept raw when no
+    # append ever arrives)
+    del_in_append = F.when(
+        is_del & F.col("_seq_so_far").isNotNull(),
+        F.least(F.col("delete_to"), F.col("_seq_so_far")),
     )
+    del_pre_append = F.when(is_del & F.col("_seq_so_far").isNull(), F.col("delete_to"))
     agg = df.groupBy("topic", "id").agg(
         F.max("_purge_off").alias("_p"),
-        F.min(
-            F.when(F.col("_post") & (F.col("action_type") == "append"), F.col("offset"))
-        ).alias("_first_app_off"),
-        F.max(
-            F.when(F.col("_post") & (F.col("action_type") == "append"), F.col("seq_nr_to"))
-        ).alias("_max_seq"),
-        F.max(clamped).alias("_del_to"),
+        F.min(F.when(is_app, F.col("offset"))).alias("_first_app_off"),
+        F.max(F.when(is_app, F.col("seq_nr_to"))).alias("_max_seq"),
+        F.min(F.when(is_app, F.col("seq_nr_from"))).alias("_first_from"),
+        F.max(del_in_append).alias("_del_in"),
+        F.max(del_pre_append).alias("_del_pre"),
+    )
+    # final watermark: Delete state keeps the raw max; Append state takes
+    # max(clamped in-append deletes, pre-append watermark clamped to
+    # first_from - 1, dropped when first_from == 1)  (HeadInfo.scala:232-247)
+    # (F.least/GREATEST skip nulls in both engines, so guard explicitly)
+    pre_kept = F.when(
+        F.col("_del_pre").isNotNull() & (F.col("_first_from") > 1),
+        F.least(F.col("_del_pre"), F.col("_first_from") - 1),
+    )
+    agg = agg.withColumn(
+        "_del_to",
+        F.when(F.col("_max_seq").isNull(), F.col("_del_pre")).otherwise(
+            F.greatest(F.col("_del_in"), pre_kept)
+        ),
     )
     kind = (
         F.when(F.col("_max_seq").isNotNull(), "append")

@@ -158,8 +158,12 @@ def recovery_merge(actions: DataFrame, split_frac: float = 0.7, from_seq_nr: int
         )
     )
 
+    # no broadcast hint on tail_fold: it is bounded only by replicator lag
+    # (unbounded in theory), so a forced broadcast is the thing that dies
+    # first at 100x scale — AQE broadcasts it at runtime when it is actually
+    # small, and falls back to a shuffle join when it is not
     visible = (
-        merged.join(F.broadcast(tail_fold), ["topic", "id"], "left")
+        merged.join(tail_fold, ["topic", "id"], "left")
         .filter(F.col("offset") > F.coalesce(F.col("_t_purge"), F.lit(-1)))
         .filter(F.col("seq_nr") > F.coalesce(F.col("_t_del"), F.lit(0)))
         .filter(F.col("seq_nr") >= F.lit(from_seq_nr))

@@ -165,10 +165,20 @@ def materialize_metajournal(
         F.min("timestamp").alias("created"),
         F.max("timestamp").alias("updated"),
     )
-    seq_nr = F.greatest(F.coalesce(F.col("_max_app_seq"), F.lit(0)), F.coalesce(F.col("_d"), F.lit(0)))
+    # the delete watermark is clamped to the appended head when one exists
+    # (ReplicatedCassandra.scala:309-316: ``deleteTo.value.min(seqNr1)``) —
+    # a delete overshooting the head must not inflate pointer() to seq_nrs
+    # never appended; a delete-only journal keeps the raw watermark
+    # (ReplicatedCassandra.scala:298-307: head created with seqNr = deleteTo)
+    # (F.least skips nulls, so guard both sides explicitly)
+    d_clamped = F.when(
+        F.col("_d").isNotNull() & F.col("_max_app_seq").isNotNull(),
+        F.least(F.col("_d"), F.col("_max_app_seq")),
+    ).otherwise(F.col("_d"))
+    seq_nr = F.greatest(F.coalesce(F.col("_max_app_seq"), F.lit(0)), F.coalesce(d_clamped, F.lit(0)))
     delete_to = F.nullif(
         F.greatest(
-            F.coalesce(F.col("_d"), F.lit(0)),
+            F.coalesce(d_clamped, F.lit(0)),
             F.coalesce(F.col("_first_app_seq"), F.lit(1)) - 1,
         ),
         F.lit(0),

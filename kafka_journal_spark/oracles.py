@@ -49,23 +49,40 @@ JOURNAL_ROWS_SQL = f"""
 """
 
 METAJOURNAL_SQL = f"""
+    -- delete watermark clamped to the appended head when one exists
+    -- (ReplicatedCassandra.scala:309-316); raw on delete-only journals
+    __meta_agg AS (
+        SELECT
+            topic, id,
+            MIN(partition) AS partition,
+            MAX("offset") AS "offset",
+            MAX(seq_nr_to) AS _max_app,
+            MIN(seq_nr_from) AS _first_app,
+            MAX(delete_to) AS _d,
+            MIN(timestamp) AS created,
+            MAX(timestamp) AS updated
+        FROM __fold
+        WHERE _eff AND action_type IN ('append', 'delete')
+        GROUP BY topic, id
+    ),
     __meta AS (
         SELECT
             topic,
             ('0x' || substr(md5(id), 1, 8))::BIGINT % {SEGMENTS_DEFAULT} AS segment,
             id,
-            MIN(partition) AS partition,
-            MAX("offset") AS "offset",
+            partition,
+            "offset",
             CAST({SEGMENT_SIZE_DEFAULT} AS INTEGER) AS segment_size,
-            CAST(GREATEST(COALESCE(MAX(seq_nr_to), 0), COALESCE(MAX(delete_to), 0)) AS BIGINT) AS seq_nr,
-            CAST(NULLIF(GREATEST(COALESCE(MAX(delete_to), 0),
-                                 COALESCE(MIN(seq_nr_from), 1) - 1), 0) AS BIGINT) AS delete_to,
-            MIN(timestamp) AS created,
-            CAST(MIN(timestamp) AS DATE) AS created_date,
-            MAX(timestamp) AS updated
-        FROM __fold
-        WHERE _eff AND action_type IN ('append', 'delete')
-        GROUP BY topic, id
+            CAST(GREATEST(COALESCE(_max_app, 0),
+                          COALESCE(CASE WHEN _d IS NOT NULL AND _max_app IS NOT NULL THEN LEAST(_d, _max_app) ELSE _d END, 0))
+                 AS BIGINT) AS seq_nr,
+            CAST(NULLIF(GREATEST(
+                COALESCE(CASE WHEN _d IS NOT NULL AND _max_app IS NOT NULL THEN LEAST(_d, _max_app) ELSE _d END, 0),
+                COALESCE(_first_app, 1) - 1), 0) AS BIGINT) AS delete_to,
+            created,
+            CAST(created AS DATE) AS created_date,
+            updated
+        FROM __meta_agg
     )
 """
 
@@ -144,14 +161,27 @@ ORACLES: dict[str, str] = {
         r AS (SELECT *, MAX(CASE WHEN _post AND action_type = 'append' THEN seq_nr_to END)
                   OVER (PARTITION BY topic, id ORDER BY "offset"
                         ROWS UNBOUNDED PRECEDING) AS _seq_so_far FROM q),
-        agg AS (
+        agg0 AS (
           SELECT topic, id, MAX(_p) AS _p,
                  MIN(CASE WHEN _post AND action_type = 'append' THEN "offset" END) AS _first_app_off,
                  MAX(CASE WHEN _post AND action_type = 'append' THEN seq_nr_to END) AS _max_seq,
-                 MAX(CASE WHEN _post AND action_type = 'delete' THEN
-                       CASE WHEN _seq_so_far IS NOT NULL THEN LEAST(delete_to, _seq_so_far)
-                            ELSE delete_to END END) AS _del_to
+                 MIN(CASE WHEN _post AND action_type = 'append' THEN seq_nr_from END) AS _first_from,
+                 MAX(CASE WHEN _post AND action_type = 'delete' AND _seq_so_far IS NOT NULL
+                       THEN LEAST(delete_to, _seq_so_far) END) AS _del_in,
+                 MAX(CASE WHEN _post AND action_type = 'delete' AND _seq_so_far IS NULL
+                       THEN delete_to END) AS _del_pre
           FROM r GROUP BY topic, id
+        ),
+        -- HeadInfo.scala:232-247: the pure-delete watermark is clamped to
+        -- first_from - 1 by the first append (dropped when first_from = 1)
+        agg AS (
+          SELECT topic, id, _p, _first_app_off, _max_seq,
+                 CASE WHEN _max_seq IS NULL THEN _del_pre
+                      ELSE GREATEST(_del_in,
+                             CASE WHEN _del_pre IS NOT NULL AND _first_from > 1
+                                  THEN LEAST(_del_pre, _first_from - 1) END)
+                 END AS _del_to
+          FROM agg0
         )
         SELECT topic, id,
                CASE WHEN _max_seq IS NOT NULL THEN 'append'

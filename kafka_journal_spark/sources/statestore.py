@@ -14,9 +14,10 @@ Layout (mirrors SURVEY.md §1.3, designed for 100 TB):
   batch via tmp-dir + rename.
 - ``pointers/``    — per-(topic,partition) replicated offsets, ditto.
 
-The read path (``read()``) joins journal to metajournal (broadcast — heads
-are tiny relative to events) and applies: incarnation match, delete_to
-watermark, seq_nr lower bound, plus the R5 defensive dedup (first offset per
+The read path (``read()``) joins journal to metajournal (broadcast only
+under a key filter — an unfiltered head table is O(#keys) and AQE picks the
+join strategy for it) and applies: incarnation match, delete_to watermark,
+seq_nr lower bound, plus the R5 defensive dedup (first offset per
 (id, seq_nr) wins) that also makes crash-replayed appends harmless.
 """
 
@@ -79,9 +80,25 @@ class JournalStore:
         rows.write.mode("append").partitionBy("topic").parquet(self._path("journal"))
 
     def _swap(self, name: str, df: DataFrame) -> None:
-        """Atomic small-table replacement: write tmp, rename over."""
+        """Atomic table replacement: write tmp, rename over.
+
+        The write parallelism is size-aware, not hard-coded: a range
+        repartition on the natural sort key spreads an O(#keys) metajournal
+        over the shuffle-partition count, and AQE's partition coalescing
+        collapses that to a handful of tasks when the table is actually
+        small — so the same code path writes one file at test scale and
+        hundreds of balanced files for a billion-key head table (a
+        ``coalesce(1)`` here would funnel 100 TB-scale metadata through a
+        single task).
+        """
         tmp = self._path(f"_{name}.{uuid.uuid4().hex[:8]}.tmp")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        sort_cols = [c for c in ("topic", "segment", "id", "partition") if c in df.columns]
+        (
+            df.repartitionByRange(*sort_cols)
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", 4_000_000)
+            .parquet(tmp)
+        )
         final = self._path(name)
         if os.path.exists(final):
             shutil.rmtree(final)
@@ -108,8 +125,13 @@ class JournalStore:
         if key is not None:
             j = j.filter(F.col("id") == key)
             m = m.filter(F.col("id") == key)
+        # broadcast the head side only when a key filter bounds it to O(1)
+        # rows; an unfiltered (or merely topic-filtered) metajournal is
+        # O(#keys) and would OOM the executors at 100x scale — let AQE pick
+        # the strategy from the observed size there
+        m_side = F.broadcast(m) if key is not None else m
         df = (
-            j.join(F.broadcast(m), ["topic", "id"], "inner")
+            j.join(m_side, ["topic", "id"], "inner")
             .filter(F.col("meta_record_id") == F.col("record_id"))
             .filter(F.col("seq_nr") > F.coalesce(F.col("_dt"), F.lit(0)))
             .filter(F.col("seq_nr") >= F.lit(from_seq_nr))

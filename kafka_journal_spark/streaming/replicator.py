@@ -103,28 +103,47 @@ def replicate_batch(batch: DataFrame, store: JournalStore) -> None:
     ).otherwise(
         F.coalesce(F.col("o_rid"), F.md5(F.concat_ws("|", "topic", "id", F.col("max_off"))))
     )
-    # head fields under purge vs merge (all watermarks monotone)
+    # head fields under purge vs merge (all watermarks monotone).  A delete
+    # watermark is clamped to the appended head it can see
+    # (ReplicatedCassandra.scala:309-316: ``deleteTo.value.min(seqNr1)``);
+    # with no head in sight (delete-only journal) it stays raw, mirroring the
+    # head-insert branch (ReplicatedCassandra.scala:298-307).
+    def _clamped(head):
+        return F.when(
+            F.col("post_del").isNotNull() & head.isNotNull(),
+            F.least(F.col("post_del"), head),
+        ).otherwise(F.col("post_del"))
+
+    # post-purge the only appended head is the batch's own
+    head_purged = F.when(F.col("max_app_seq").isNotNull(), F.col("max_app_seq"))
+    # merge path: existing head (o_seq) and/or batch appends
+    head_merged = F.when(
+        F.col("o_rid").isNotNull() | F.col("max_app_seq").isNotNull(),
+        F.greatest(F.coalesce("o_seq", F.lit(0)), F.coalesce("max_app_seq", F.lit(0))),
+    )
+    del_purged = _clamped(head_purged)
+    del_merged = _clamped(head_merged)
     seq_nr = F.when(
         purged,
-        F.greatest(F.coalesce("max_app_seq", F.lit(0)), F.coalesce("post_del", F.lit(0))),
+        F.greatest(F.coalesce("max_app_seq", F.lit(0)), F.coalesce(del_purged, F.lit(0))),
     ).otherwise(
         F.greatest(
             F.coalesce("o_seq", F.lit(0)),
             F.coalesce("max_app_seq", F.lit(0)),
-            F.coalesce("post_del", F.lit(0)),
+            F.coalesce(del_merged, F.lit(0)),
         )
     )
     fresh_dt = F.coalesce("first_app_seq", F.lit(1)) - 1
     delete_to = F.when(
         purged,
-        F.nullif(F.greatest(F.coalesce("post_del", F.lit(0)), fresh_dt), F.lit(0)),
+        F.nullif(F.greatest(F.coalesce(del_purged, F.lit(0)), fresh_dt), F.lit(0)),
     ).otherwise(
         F.when(
             F.col("o_rid").isNull(),  # first-ever appearance of the key
-            F.nullif(F.greatest(F.coalesce("post_del", F.lit(0)), fresh_dt), F.lit(0)),
+            F.nullif(F.greatest(F.coalesce(del_merged, F.lit(0)), fresh_dt), F.lit(0)),
         ).otherwise(
             F.nullif(
-                F.greatest(F.coalesce("o_dt", F.lit(0)), F.coalesce("post_del", F.lit(0))),
+                F.greatest(F.coalesce("o_dt", F.lit(0)), F.coalesce(del_merged, F.lit(0))),
                 F.lit(0),
             )
         )
@@ -183,8 +202,11 @@ def replicate_batch(batch: DataFrame, store: JournalStore) -> None:
             & (F.col("offset") > F.coalesce(F.col("_purge_off"), F.lit(-1)))
         )
     )
-    rid_map = F.broadcast(
-        new_meta.select("topic", "id", F.col("record_id").alias("_rid"), F.col("delete_to").alias("_dt"))
+    # no broadcast hint: new_meta is the FULL merged head table (O(#keys)),
+    # not just the batch's keys — AQE broadcasts it at runtime while it is
+    # small and shuffle-joins once it is not
+    rid_map = new_meta.select(
+        "topic", "id", F.col("record_id").alias("_rid"), F.col("delete_to").alias("_dt")
     )
     events = explode_events(appends, extra_cols=()).join(rid_map, ["topic", "id"], "inner")
     tags_col = (

@@ -54,6 +54,36 @@ def test_head_info_delete_then_append_keeps_watermark():
     assert h == HeadInfo(kind="append", offset=2, seq_nr=6, delete_to=4)
 
 
+def test_head_info_append_after_delete_clamps_watermark():
+    # HeadInfo.scala:232-247: the pure-delete watermark is clamped to
+    # range.from - 1 when the first append arrives — a foreign stream whose
+    # delete overshoots the next append must not plan the read past live
+    # events
+    h = head_info([delete_rec(1, 100), append_rec(2, 5, 6)])
+    assert h == HeadInfo(kind="append", offset=2, seq_nr=6, delete_to=4)
+
+
+def test_head_info_append_at_one_after_delete_drops_watermark():
+    # range.from.prev is None for from == 1 -> deleteTo dropped entirely
+    h = head_info([delete_rec(1, 100), append_rec(2, 1, 2)])
+    assert h == HeadInfo(kind="append", offset=2, seq_nr=2, delete_to=None)
+
+
+@given(
+    st.integers(min_value=1, max_value=200),
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=20),
+)
+def test_head_info_delete_append_clamp_property(del_to, seq_from, n):
+    # delete(to) then append [from, from+n): the kept watermark is always
+    # None (from == 1) or min(to, from - 1) — never >= the append range
+    h = head_info([delete_rec(1, del_to), append_rec(2, seq_from, seq_from + n - 1)])
+    expected = None if seq_from == 1 else min(del_to, seq_from - 1)
+    assert h.delete_to == expected
+    if h.delete_to is not None:
+        assert h.delete_to < seq_from
+
+
 def test_head_info_purge_resets():
     assert head_info([append_rec(1, 1), purge_rec(2)]) == HeadInfo(kind="purge")
     h = head_info([append_rec(1, 1), purge_rec(2), append_rec(3, 2)])

@@ -52,6 +52,23 @@ def test_delete_all(spark):
     assert _meta_map(df) == {"a": (2, 2)}
 
 
+def test_delete_overshoot_clamped_to_head(spark):
+    # a delete whose watermark exceeds the appended head is clamped to it
+    # (ReplicatedCassandra.scala:309-316) — pointer() must not report
+    # seq_nrs never appended
+    df = make_actions(spark, [append("a", 1), append("a", 2), delete("a", 99)])
+    assert _journal_map(df) == {}
+    assert _meta_map(df) == {"a": (2, 2)}
+
+
+def test_delete_only_journal_keeps_raw_watermark(spark):
+    # a delete on a journal with no appends creates the head with the raw
+    # watermark (ReplicatedCassandra.scala:298-307: seqNr = deleteTo)
+    df = make_actions(spark, [delete("a", 7)])
+    assert _journal_map(df) == {}
+    assert _meta_map(df) == {"a": (7, 7)}
+
+
 def test_delete_covers_delete(spark):
     # a delete covering an earlier delete replaces it (Batch.scala:94-155)
     df = make_actions(

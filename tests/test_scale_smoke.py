@@ -41,6 +41,40 @@ def hot_key_actions(spark):
     return df
 
 
+def _logical_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_unfiltered_read_has_no_meta_broadcast_hint(spark, tmp_path):
+    """The unfiltered store read must NOT pin the O(#keys) metajournal to a
+    broadcast — that hint is what OOMs first at 100x scale.  A key-filtered
+    read keeps the hint (the filter bounds the head side to O(1) rows)."""
+    from conftest import append, make_actions
+
+    from kafka_journal_spark.sources.statestore import JournalStore
+    from kafka_journal_spark.streaming.replicator import replicate_batch
+
+    store = JournalStore(spark, str(tmp_path / "bplan"))
+    replicate_batch(make_actions(spark, [append("a", 1), append("b", 1)]), store)
+
+    unfiltered = _logical_plan(store.read())
+    assert "broadcast" not in unfiltered.lower(), unfiltered
+    keyed = _logical_plan(store.read(topic="journal", key="a"))
+    assert "broadcast" in keyed.lower(), keyed
+
+
+def test_recovery_merge_has_no_tail_broadcast_hint(spark):
+    from conftest import append, delete, make_actions
+
+    from kafka_journal_spark.operators.read import recovery_merge
+
+    df = make_actions(
+        spark, [append("a", 1), append("a", 2), delete("a", 1), append("a", 3)]
+    )
+    plan = _logical_plan(recovery_merge(df))
+    assert "broadcast" not in plan.lower(), plan
+
+
 def test_hot_key_fold_completes_and_is_correct(spark, hot_key_actions):
     # seq_nr == offset+1 for appends; final delete watermark is the last
     # delete's delete_to = 199_999 - 5_000 - 1 = 194_998... computed below

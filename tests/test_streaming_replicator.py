@@ -35,6 +35,22 @@ SCENARIOS = {
 }
 
 
+# NOTE: an overshooting delete is deliberately NOT a SCENARIOS entry — the
+# reference applies the clamp per poll (Batch collapse), so batch boundaries
+# legitimately change the outcome; "incremental == one-shot" only holds for
+# writer-clamped streams.
+def test_overshoot_delete_clamped_across_batches(spark, tmp_path):
+    # delete watermark arriving in a later batch than the appends it covers
+    # is clamped to the existing head (ReplicatedCassandra.scala:309-316)
+    store = JournalStore(spark, str(tmp_path / "overshoot"))
+    replicate_batch(make_actions(spark, [append("a", 1), append("a", 2)]), store)
+    replicate_batch(make_actions(spark, [delete("a", 99)], offset_base=2), store)
+    meta = {r.id: (r.seq_nr, r.delete_to) for r in store.metajournal().collect()}
+    assert meta == {"a": (2, 2)}
+    assert store.pointer("journal", "a") == 2
+    assert _got(store) == []
+
+
 def _expected(spark, acts):
     df = make_actions(spark, acts)
     return sorted(
