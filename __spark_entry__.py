@@ -86,6 +86,30 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return rt.withColumn("tags", F.to_json("tags"))
 
+    def j_wire_roundtrip_bin(spark, sf_dir):
+        # binary-payload round-trip through the versioned scodec envelope
+        # (Events.scala:14-36): appends carry payload_bin = unhex(md5(payload))
+        # (guaranteed non-UTF8 bytes), encode to the binary envelope, decode
+        # back; gate projection hex-encodes the bytes for the oracle
+        from kafka_journal_spark.codecs import (
+            decode_kafka_to_actions,
+            encode_actions_to_kafka,
+        )
+
+        acts = journal_actions(spark, sf_dir)
+        is_app = F.col("action_type") == "append"
+        bin_acts = acts.withColumn(
+            "payload_bin", F.when(is_app, F.unhex(F.md5("payload")))
+        ).withColumn("payload_type", F.when(is_app, F.lit("binary")))
+        rt = decode_kafka_to_actions(encode_actions_to_kafka(bin_acts))
+        return rt.select(
+            "topic", "partition", "offset", "id", "action_type", "timestamp",
+            "origin", "version", "seq_nr_from", "seq_nr_to", "payload_type",
+            F.hex("payload_bin").alias("payload_hex"),
+            F.to_json("tags").alias("tags"),
+            "metadata", "delete_to", "mark_id",
+        )
+
     def j_stream_replicate(spark, sf_dir):
         # incremental streaming replication (3 micro-batches by offset range)
         # must equal one-shot materialization — the ConsistencySpec property
@@ -163,6 +187,7 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_replay_limit": j_replay_limit,
         "j_recovery_merge": j_recovery_merge,
         "j_wire_roundtrip": j_wire_roundtrip,
+        "j_wire_roundtrip_bin": j_wire_roundtrip_bin,
         "j_stream_replicate": j_stream_replicate,
         "j_head_info": j_head_info,
         "w_batching": w_batching,
@@ -288,12 +313,16 @@ def _all_oracles() -> dict[str, str]:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _all_queries()
-    return {name: q[name] for name in GATE_ORDER if name in q}
+    missing = [name for name in GATE_ORDER if name not in q]
+    assert not missing, f"GATE_ORDER names without a registered query: {missing}"
+    return {name: q[name] for name in GATE_ORDER}
 
 
 def oracle_sql() -> dict[str, str]:
     o = _all_oracles()
-    return {name: o[name] for name in GATE_ORDER if name in o}
+    missing = [name for name in GATE_ORDER if name not in o]
+    assert not missing, f"GATE_ORDER names without an oracle: {missing}"
+    return {name: o[name] for name in GATE_ORDER}
 
 
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -13,9 +13,30 @@ The reference serializes:
   ``Events.scala:131``).
 
 We reproduce those JSON shapes with ``to_json``/``from_json`` — JVM-side,
-no Python in the hot path.  The binary scodec envelope of the reference is a
-Scala-ecosystem artifact; our canonical encoding is the JSON document (we
-keep ``payload_type`` so a binary-codec reader could be added as a UDF).
+no Python in the hot path.
+
+For batches containing a **binary** payload the reference switches the whole
+record value to a versioned scodec envelope (``KafkaWrite.scala:88-98``:
+any binary event => ``eventsToBytes`` with ``PayloadType.Binary``); that
+format is implemented here bit-for-bit by ``encode_events_binary`` /
+``decode_events_binary`` (Arrow-batched pandas UDFs — byte packing is the
+one genuinely non-relational step, everything around it stays JVM-side):
+
+- ``Events.scala:14-36``: ``[version:byte=1][events][metadata]`` with decode
+  fallback to version-0 (``0x00`` prefix) and the legacy headerless layout
+  (any other first byte is skipped);
+- events (``ScodecHelper.nelCodec`` over ``listOfN(int32,
+  variableSizeBytes(int32, event))``): ``int32 N`` then per event
+  ``int32 size`` + body;
+- event body (``Event.scala:13-37``): ``int64 seqNr``;
+  ``int32``-sized tags block of ``utf8_32`` strings (``Tags.scala:9-12``);
+  ``uint8`` payload discriminator (0=none, 1=binary, 2=json, 3=text) and an
+  ``int32``-sized payload region;
+- metadata (``PayloadMetadata.scala:19-24`` via ``formatCodec`` =
+  ``codecs.bytes``): the REST of the buffer as UTF-8 JSON (``{}`` when
+  empty).
+
+All integers are big-endian (scodec default).
 
 ``kafka_df`` here means the exact shape ``spark.read.format("kafka")``
 produces: key/value binary, headers array<struct<key:string,value:binary>>,
@@ -25,6 +46,7 @@ unchanged.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — needed to resolve pandas UDF type hints
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -170,21 +192,222 @@ def events_payload_json(df: DataFrame) -> Column:
     return F.to_json(doc)
 
 
+# ---------------------------------------------------------------------------
+# Binary envelope (Events.scala:14-36 versioned scodec codec)
+# ---------------------------------------------------------------------------
+
+#: decoded shape of a binary events blob
+EVENT_BIN_STRUCT = T.StructType(
+    [
+        T.StructField("seqNr", T.LongType()),
+        T.StructField("tags", T.ArrayType(T.StringType())),
+        T.StructField("payloadType", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+EVENTS_BIN_SCHEMA = T.StructType(
+    [
+        T.StructField("events", T.ArrayType(EVENT_BIN_STRUCT)),
+        T.StructField("metadata", T.StringType()),
+    ]
+)
+
+#: Event.scala:25-35 payload discriminator (uint8)
+_DISC_OF_TYPE = {"binary": 1, "json": 2, "text": 3}
+_TYPE_OF_DISC = {1: "binary", 2: "json", 3: "text"}
+
+
+def pack_events_binary(events: list[dict], metadata_json: str = "{}") -> bytes:
+    """Pure-Python packer for the version-1 envelope (the golden-testable
+    kernel the pandas UDFs batch over).
+
+    ``events``: dicts with ``seqNr`` (int), ``tags`` (list[str]),
+    ``payloadType`` (binary|json|text|None), ``payload`` (bytes|str|None).
+    """
+    import struct as _s
+
+    out = [b"\x01", _s.pack(">i", len(events))]
+    for ev in events:
+        body = bytearray()
+        body += _s.pack(">q", int(ev["seqNr"]))
+        tags_block = b"".join(
+            _s.pack(">i", len(t.encode("utf-8"))) + t.encode("utf-8")
+            for t in list(ev.get("tags") or [])
+        )
+        body += _s.pack(">i", len(tags_block)) + tags_block
+        payload = ev.get("payload")
+        if payload is None:
+            # "even the None option is int32-size-prefixed" (Event.scala:28-31)
+            body += _s.pack(">Bi", 0, 0)
+        else:
+            if isinstance(payload, str):
+                payload = payload.encode("utf-8")
+            disc = _DISC_OF_TYPE[ev.get("payloadType") or "binary"]
+            body += _s.pack(">Bi", disc, len(payload)) + bytes(payload)
+        out.append(_s.pack(">i", len(body)))
+        out.append(bytes(body))
+    out.append((metadata_json or "{}").encode("utf-8"))
+    return b"".join(out)
+
+
+def unpack_events_binary(buf: bytes | None) -> dict | None:
+    """Decode any of the three envelope variants (``codecs.choice(version1,
+    version0, default)``, Events.scala:21-30): first byte 1 => events +
+    metadata-as-rest; 0 => events, empty metadata; anything else => the
+    legacy layout that skips one byte (``codecs.ignore(ByteJ.SIZE)``)."""
+    import struct as _s
+
+    if buf is None or len(buf) < 5:
+        return None
+    version = buf[0]
+    pos = 1
+    (n,) = _s.unpack_from(">i", buf, pos)
+    pos += 4
+    events = []
+    for _ in range(n):
+        (size,) = _s.unpack_from(">i", buf, pos)
+        pos += 4
+        end = pos + size
+        (seq,) = _s.unpack_from(">q", buf, pos)
+        pos += 8
+        (tsize,) = _s.unpack_from(">i", buf, pos)
+        pos += 4
+        tend = pos + tsize
+        tags = []
+        while pos < tend:
+            (tl,) = _s.unpack_from(">i", buf, pos)
+            pos += 4
+            tags.append(buf[pos : pos + tl].decode("utf-8"))
+            pos += tl
+        disc, psize = _s.unpack_from(">Bi", buf, pos)
+        pos += 5
+        payload = bytes(buf[pos : pos + psize])
+        pos += psize
+        ptype = _TYPE_OF_DISC.get(disc)
+        events.append(
+            {
+                "seqNr": seq,
+                "tags": tags,
+                "payloadType": ptype,
+                "payload": payload if ptype is not None else None,
+            }
+        )
+        pos = end
+    metadata = "{}"
+    if version == 1 and pos < len(buf):
+        metadata = buf[pos:].decode("utf-8") or "{}"
+    return {"events": events, "metadata": metadata}
+
+
+def _encode_events_bin_udf():
+    """Arrow-batched encoder: array<struct> events column -> envelope bytes."""
+    import pandas as pd
+
+    @F.pandas_udf(T.BinaryType())
+    def enc(events: pd.Series, metadata: pd.Series) -> pd.Series:
+        out = []
+        for evs, md in zip(events, metadata):
+            # non-append rows surface as None/placeholder structs — skip them
+            evs = [
+                e
+                for e in (list(evs) if evs is not None else [])
+                if e is not None and e.get("seqNr") is not None
+            ]
+            out.append(pack_events_binary(evs, md) if evs else None)
+        return pd.Series(out)
+
+    return enc
+
+
+def _decode_events_bin_udf():
+    """Arrow-batched decoder: envelope bytes -> struct<events, metadata>."""
+    import pandas as pd
+
+    @F.pandas_udf(EVENTS_BIN_SCHEMA)
+    def dec(value: pd.Series) -> pd.DataFrame:
+        rows = []
+        for v in value:
+            try:
+                rows.append(unpack_events_binary(v))
+            except Exception:
+                # corrupt/foreign blob: tolerate, never crash the scan
+                rows.append(None)
+        return pd.DataFrame(
+            {
+                "events": [r["events"] if r else None for r in rows],
+                "metadata": [r["metadata"] if r else None for r in rows],
+            }
+        )
+
+    return dec
+
+
+def events_struct_binary(df: DataFrame) -> Column:
+    """Build the array<struct> events column the binary encoder consumes.
+
+    Positionally zips ``sequence(seq_nr_from, seq_nr_to)`` with the
+    ``payloads_bin`` array when present (multi-event batches), else wraps the
+    single ``payload_bin``.  Tags are batch-level (as in ``events_payload_json``).
+    """
+    tags = (
+        F.coalesce(F.col("tags"), F.array().cast("array<string>"))
+        if "tags" in df.columns
+        else F.array().cast("array<string>")
+    )
+    if "payloads_bin" in df.columns:
+        return F.zip_with(
+            F.sequence("seq_nr_from", "seq_nr_to"),
+            F.col("payloads_bin"),
+            lambda s, p: F.struct(
+                s.alias("seqNr"),
+                tags.alias("tags"),
+                F.col("payload_type").alias("payloadType"),
+                p.alias("payload"),
+            ),
+        )
+    return F.array(
+        F.struct(
+            F.col("seq_nr_from").alias("seqNr"),
+            tags.alias("tags"),
+            F.col("payload_type").alias("payloadType"),
+            F.col("payload_bin").alias("payload"),
+        )
+    )
+
+
 def encode_actions_to_kafka(actions: DataFrame) -> DataFrame:
     """actions -> Kafka-record-shaped DataFrame (S1 sink shape).
 
     key = journal id (keyed produce pins a key to one partition, exactly the
-    reference's ordering guarantee), value = events JSON blob (appends only),
+    reference's ordering guarantee), value = events blob (appends only),
     headers = [(journal.action, header JSON)].
+
+    Appends whose ``payload_type`` is ``binary`` (and which carry a
+    ``payload_bin``/``payloads_bin`` column) are encoded with the versioned
+    scodec envelope instead of the JSON document — the reference's
+    "any binary event => whole batch binary" rule (KafkaWrite.scala:88-98).
     """
     is_append = F.col("action_type") == "append"
+    if "payload_bin" in actions.columns or "payloads_bin" in actions.columns:
+        enc = _encode_events_bin_udf()
+        is_bin = is_append & (F.col("payload_type") == "binary")
+        value = F.when(
+            is_bin,
+            enc(
+                # mask so the Arrow batch only packs genuine binary appends
+                F.when(is_bin, events_struct_binary(actions)),
+                F.lit("{}"),
+            ),
+        ).when(is_append, events_payload_json(actions).cast("binary"))
+    else:
+        value = F.when(is_append, events_payload_json(actions).cast("binary"))
     return actions.select(
         F.col("topic"),
         F.col("partition"),
         F.col("offset"),
         F.col("timestamp"),
         F.col("id").cast("binary").alias("key"),
-        F.when(is_append, events_payload_json(actions).cast("binary")).alias("value"),
+        value.alias("value"),
         F.array(
             F.struct(
                 F.lit(KAFKA_HEADER_KEY).alias("key"),
@@ -221,8 +444,23 @@ def decode_kafka_to_actions(kafka_df: DataFrame) -> DataFrame:
         .otherwise("mark")
     )
     df = df.withColumn("_type", action_type)
+    is_app = F.col("_type") == "append"
+    # header-driven blob dispatch (the header names the blob's payloadType —
+    # PayloadAndType.scala): binary appends go through the scodec envelope
+    # decoder, everything else through the JSON document parser
+    is_bin = is_app & (F.col("_hdr.append.payloadType") == "binary")
     blob = F.from_json(F.col("value").cast("string"), EVENTS_PAYLOAD_SCHEMA)
-    df = df.withColumn("_blob", F.when(F.col("_type") == "append", blob))
+    df = df.withColumn("_blob", F.when(is_app & ~is_bin, blob))
+    dec = _decode_events_bin_udf()
+    df = df.withColumn("_blob_bin", F.when(is_bin, dec(F.when(is_bin, F.col("value")))))
+    # per-event tag arrays (task: tags are per-event in the reference,
+    # PayloadAndType.scala:49-120 — events[0].tags must not be stamped
+    # batch-wide); `tags` keeps the first event's tags for the single-event
+    # action shape, `tags_list` carries the full per-event alignment that
+    # explode_events zips positionally
+    tags_list = F.when(
+        is_bin, F.transform(F.col("_blob_bin.events"), lambda e: e["tags"])
+    ).when(is_app, F.transform(F.col("_blob.events"), lambda e: e["tags"]))
     return df.select(
         F.col("topic"),
         F.col("partition"),
@@ -245,16 +483,18 @@ def decode_kafka_to_actions(kafka_df: DataFrame) -> DataFrame:
         F.col("_hdr.append.range.from").alias("seq_nr_from"),
         F.col("_hdr.append.range.to").alias("seq_nr_to"),
         F.col("_hdr.append.payloadType").alias("payload_type"),
-        F.when(F.col("_type") == "append", F.col("_blob.events")[0]["payload"]).alias(
-            "payload"
-        ),
-        F.when(F.col("_type") == "append", F.col("_blob.events")[0]["tags"]).alias(
-            "tags"
-        ),
+        F.when(is_app & ~is_bin, F.col("_blob.events")[0]["payload"]).alias("payload"),
+        F.get(tags_list, 0).alias("tags"),
+        tags_list.alias("tags_list"),
         F.when(
-            F.col("_type") == "append",
+            is_app & ~is_bin,
             F.transform(F.col("_blob.events"), lambda e: e["payload"]),
         ).alias("payloads"),
+        F.when(is_bin, F.col("_blob_bin.events")[0]["payload"]).alias("payload_bin"),
+        F.when(
+            is_bin, F.transform(F.col("_blob_bin.events"), lambda e: e["payload"])
+        ).alias("payloads_bin"),
+        F.when(is_bin, F.col("_blob_bin.metadata")).alias("metadata"),
         F.col("_hdr.delete.to").alias("delete_to"),
         F.col("_hdr.mark.id").alias("mark_id"),
     )

@@ -78,20 +78,38 @@ def explode_events(appends: DataFrame, extra_cols: tuple[str, ...] = ()) -> Data
     ``sequence(seq_nr_from, seq_nr_to)``; otherwise the single ``payload``
     column is used (single-event appends).  Stays JVM-side: explode over
     ``sequence`` — no Python UDF.
+
+    Tags are per-event in the reference (``PayloadAndType.scala:49-120``): a
+    ``tags_list`` column (one tag-array per event, as produced by
+    ``decode_kafka_to_actions``) is zipped positionally; only without it does
+    the batch-level ``tags`` column apply to every event of the batch.
     """
+    per_event_tags = "tags_list" in appends.columns
     if "payloads" in appends.columns:
-        zipped = F.arrays_zip(
+        zip_args = [
             F.sequence("seq_nr_from", "seq_nr_to").alias("seq_nrs"),
             F.col("payloads"),
-        )
+        ]
+        if per_event_tags:
+            zip_args.append(F.col("tags_list"))
+        zipped = F.arrays_zip(*zip_args)
         df = appends.withColumn("_ev", F.explode(zipped))
         seq, pl = F.col("_ev.seq_nrs"), F.col("_ev.payloads")
+        if per_event_tags:
+            tag_cols = [F.col("_ev.tags_list").alias("tags")]
+        elif "tags" in appends.columns:
+            tag_cols = [F.col("tags")]
+        else:
+            tag_cols = []
     else:
         df = appends.withColumn("_ev", F.explode(F.sequence("seq_nr_from", "seq_nr_to")))
         seq, pl = F.col("_ev"), F.col("payload")
-    tag_cols = (
-        [F.col("tags")] if "tags" in appends.columns else []
-    )  # batch-level tags apply to every event of the batch
+        if per_event_tags:
+            tag_cols = [F.get(F.col("tags_list"), 0).alias("tags")]
+        elif "tags" in appends.columns:
+            tag_cols = [F.col("tags")]
+        else:
+            tag_cols = []
     return df.select(
         "id",
         "topic",

@@ -98,6 +98,44 @@ def load_snapshot(
     )
 
 
+def recovery_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-seeded recovery (the reference's SnapshotStore intent,
+    ``snapshot/.../SnapshotStore.scala:11-61``: recover state from the latest
+    snapshot, then replay only the journal suffix after it).
+
+    The relation is the stitched recovery source per journal: one
+    ``source='snapshot'`` row (the seed) where a retained snapshot exists,
+    plus ``source='journal'`` rows for events with ``seq_nr`` beyond the
+    seed; journals without snapshots replay in full.
+
+    Scale: one (topic, id) join of the journal against the O(#keys) snapshot
+    heads — no broadcast hint (AQE decides), and the suffix predicate lands
+    right after the join so only surviving rows flow on.
+    """
+    j = materialize_journal(journal_actions(spark, sf_dir))
+    latest = load_snapshot(spark, sf_dir).select(
+        "topic",
+        "id",
+        F.col("seq_nr").alias("_snap_seq"),
+        F.col("payload_txt").alias("_snap_payload"),
+    )
+    snap_rows = latest.select(
+        "topic",
+        "id",
+        F.lit("snapshot").alias("source"),
+        F.col("_snap_seq").alias("seq_nr"),
+        F.col("_snap_payload").alias("payload_txt"),
+    )
+    suffix = (
+        j.join(latest.select("topic", "id", "_snap_seq"), ["topic", "id"], "left")
+        .filter(F.col("seq_nr") > F.coalesce(F.col("_snap_seq"), F.lit(0)))
+        .select(
+            "topic", "id", F.lit("journal").alias("source"), "seq_nr", "payload_txt"
+        )
+    )
+    return snap_rows.unionByName(suffix)
+
+
 def _sn_queries():
     def s_snapshots(spark, sf_dir):
         return snapshots_table(spark, sf_dir)
@@ -110,10 +148,14 @@ def _sn_queries():
             spark, sf_dir, SnapshotSelectionCriteria(max_seq_nr=20)
         )
 
+    def s_recovery_hybrid(spark, sf_dir):
+        return recovery_hybrid(spark, sf_dir)
+
     return {
         "s_snapshots": s_snapshots,
         "s_load_latest": s_load_latest,
         "s_load_bounded": s_load_bounded,
+        "s_recovery_hybrid": s_recovery_hybrid,
     }
 
 
@@ -160,6 +202,19 @@ def _build_oracles() -> None:
           SELECT *, ROW_NUMBER() OVER (PARTITION BY topic, id ORDER BY seq_nr DESC) AS _r2
           FROM retained WHERE seq_nr <= 20
         ) WHERE _r2 = 1
+    """
+    SNAPSHOT_ORACLES["s_recovery_hybrid"] = f"""{base},
+        latest AS (
+          SELECT topic, id, seq_nr, payload_txt FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY topic, id ORDER BY seq_nr DESC) AS _r2
+            FROM retained
+          ) WHERE _r2 = 1
+        )
+        SELECT topic, id, 'snapshot' AS source, seq_nr, payload_txt FROM latest
+        UNION ALL
+        SELECT j.topic, j.id, 'journal' AS source, j.seq_nr, j.payload_txt
+        FROM __journal j LEFT JOIN latest s ON j.topic = s.topic AND j.id = s.id
+        WHERE j.seq_nr > COALESCE(s.seq_nr, 0)
     """
 
 

@@ -104,6 +104,20 @@ ORACLES: dict[str, str] = {
                to_json(tags) AS tags, delete_to, mark_id
         FROM __a
     """,
+    # binary-envelope round-trip: decode(encode(x)) == x with the payload
+    # carried as raw md5 bytes (hex-projected for the gate; Spark hex() and
+    # DuckDB upper(md5()) agree)
+    "j_wire_roundtrip_bin": f"""
+        WITH __a AS ({ACTIONS_SQL})
+        SELECT topic, partition, "offset", id, action_type, timestamp, origin,
+               version, seq_nr_from, seq_nr_to,
+               CASE WHEN action_type = 'append' THEN 'binary' END AS payload_type,
+               CASE WHEN action_type = 'append' THEN upper(md5(payload)) END AS payload_hex,
+               to_json(tags) AS tags,
+               CASE WHEN action_type = 'append' THEN '{{}}' END AS metadata,
+               delete_to, mark_id
+        FROM __a
+    """,
     "j_journal": _q(
         """SELECT id, topic, segment, seq_nr, partition, "offset", timestamp,
                   origin, version, payload_type, payload_txt,

@@ -37,7 +37,15 @@ class ReadPlan:
     kafka_from_offset: Optional[int] = None  # first un-replicated append offset
 
 
-def plan_recovery(head: HeadInfo, from_seq_nr: int = 1) -> ReadPlan:
+def plan_recovery(
+    head: HeadInfo, from_seq_nr: int = 1, snapshot_seq_nr: Optional[int] = None
+) -> ReadPlan:
+    """Pick sources and lower bound; ``snapshot_seq_nr`` is the seq_nr of the
+    latest retained snapshot the caller will seed state from (the reference's
+    SnapshotStore intent, ``snapshot/.../SnapshotStore.scala:11-61``): replay
+    starts after it, tightening the bound exactly like a delete watermark."""
+    if snapshot_seq_nr is not None:
+        from_seq_nr = max(from_seq_nr, snapshot_seq_nr + 1)
     if head.kind == "purge":
         return ReadPlan(read_store=False, read_kafka=False, from_seq_nr=from_seq_nr)
     if head.kind == "empty":

@@ -71,3 +71,115 @@ def test_value_blob_absent_for_control_records(spark):
     # encode directly: control records carry no value blob
     enc = encode_actions_to_kafka(df).collect()
     assert all(r.value is None for r in enc)
+
+
+# ------------------- binary envelope (Events.scala:14-36) -------------------
+
+
+def test_golden_binary_envelope():
+    # byte-for-byte pin of the version-1 envelope: [01][N][size][event][meta]
+    # event = int64 seqNr, int32-sized utf8_32 tags block, uint8 payload
+    # discriminator, int32-sized payload (Event.scala:13-37, Tags.scala:9-12)
+    from kafka_journal_spark.codecs import pack_events_binary
+
+    buf = pack_events_binary(
+        [{"seqNr": 1, "tags": ["click"], "payloadType": "binary", "payload": b"\x00\x01\xff"}]
+    )
+    assert buf.hex() == (
+        "01"  # version
+        "00000001"  # 1 event
+        "0000001d"  # event size = 29
+        "0000000000000001"  # seqNr
+        "00000009" + "00000005" + "click".encode().hex()  # tags block
+        + "01"  # discriminator: binary
+        "00000003" + "0001ff"  # payload
+        "7b7d"  # metadata "{}"
+    )
+
+
+def test_binary_envelope_roundtrip_kernel():
+    from kafka_journal_spark.codecs import pack_events_binary, unpack_events_binary
+
+    events = [
+        {"seqNr": 3, "tags": ["a", "b"], "payloadType": "binary", "payload": b"\xde\xad"},
+        {"seqNr": 4, "tags": [], "payloadType": "text", "payload": "hello"},
+        {"seqNr": 5, "tags": ["x"], "payloadType": None, "payload": None},
+    ]
+    out = unpack_events_binary(pack_events_binary(events, '{"expireAfter":60}'))
+    assert out["metadata"] == '{"expireAfter":60}'
+    got = out["events"]
+    assert [e["seqNr"] for e in got] == [3, 4, 5]
+    assert [e["tags"] for e in got] == [["a", "b"], [], ["x"]]
+    assert got[0]["payload"] == b"\xde\xad"
+    assert got[1]["payload"] == b"hello" and got[1]["payloadType"] == "text"
+    assert got[2]["payload"] is None and got[2]["payloadType"] is None
+
+
+def test_binary_envelope_legacy_variants():
+    # decode fallback parity with codecs.choice(version1, version0, default)
+    from kafka_journal_spark.codecs import pack_events_binary, unpack_events_binary
+
+    v1 = pack_events_binary([{"seqNr": 1, "tags": [], "payloadType": "binary", "payload": b"z"}])
+    body = v1[1 : len(v1) - 2]  # strip version byte and "{}" metadata
+    assert unpack_events_binary(b"\x00" + body)["events"][0]["seqNr"] == 1  # version0
+    assert unpack_events_binary(b"\x7f" + body)["events"][0]["seqNr"] == 1  # default
+    assert unpack_events_binary(None) is None
+    assert unpack_events_binary(b"") is None
+
+
+def test_binary_roundtrip_dataframe(spark):
+    # appends carry non-UTF8 binary payloads through the envelope; control
+    # records are untouched
+    acts = make_actions(
+        spark, [append("a", 1), append("a", 2), delete("a", 1), mark("a")]
+    )
+    bin_acts = acts.withColumn(
+        "payload_bin",
+        F.when(F.col("action_type") == "append", F.unhex(F.md5("payload"))),
+    ).withColumn(
+        "payload_type",
+        F.when(F.col("action_type") == "append", F.lit("binary")),
+    )
+    decoded = decode_kafka_to_actions(encode_actions_to_kafka(bin_acts))
+    rows = {r.offset: r for r in decoded.collect()}
+    orig = {r.offset: r for r in bin_acts.collect()}
+    for off, r in orig.items():
+        if r.action_type == "append":
+            assert bytes(rows[off].payload_bin) == bytes(r.payload_bin), off
+            assert rows[off].payload_type == "binary"
+            assert rows[off].metadata == "{}"
+        else:
+            assert rows[off].payload_bin is None
+
+
+def test_decode_carries_per_event_tags(spark):
+    # a multi-event blob with heterogeneous tags must decode each event's own
+    # tags (PayloadAndType.scala:49-120), not stamp events[0].tags batch-wide
+    import json
+
+    from kafka_journal_spark.operators.replicate import explode_events
+
+    value = json.dumps(
+        {
+            "events": [
+                {"seqNr": 7, "tags": ["red"], "payloadType": "text", "payload": "p7"},
+                {"seqNr": 8, "tags": ["blue", "bold"], "payloadType": "text", "payload": "p8"},
+            ],
+            "metadata": {},
+        }
+    ).encode()
+    header = (
+        b'{"append":{"range":{"from":7,"to":8},"origin":"o","version":"1",'
+        b'"payloadType":"json"}}'
+    )
+    kafka_df = spark.createDataFrame(
+        [("journal", 0, 10, b"a", value, [("journal.action", header)], None)],
+        "topic string, partition int, offset long, key binary, value binary, "
+        "headers array<struct<key:string,value:binary>>, timestamp timestamp",
+    )
+    decoded = decode_kafka_to_actions(kafka_df)
+    [r] = decoded.collect()
+    assert r.tags == ["red"]
+    assert r.tags_list == [["red"], ["blue", "bold"]]
+    events = {e.seq_nr: e.tags for e in explode_events(decoded).collect()}
+    assert events == {7: ["red"], 8: ["blue", "bold"]}

@@ -63,6 +63,48 @@ def test_ring_buffer_retention(spark):
             assert seq % SNAP_EVERY == 0
 
 
+def test_recovery_hybrid_reconstructs_full_visibility(spark):
+    # snapshot seed + journal suffix must cover exactly the journal's visible
+    # seq range: suffix starts right after the seed, no gap, no overlap
+    from kafka_journal_spark.operators.actions import journal_actions
+    from kafka_journal_spark.operators.replicate import materialize_journal
+    from kafka_journal_spark.operators.snapshots import recovery_hybrid
+
+    hybrid = recovery_hybrid(spark, SF).collect()
+    seeds = {(r.topic, r.id): r.seq_nr for r in hybrid if r.source == "snapshot"}
+    suffix = {}
+    for r in hybrid:
+        if r.source == "journal":
+            suffix.setdefault((r.topic, r.id), []).append(r.seq_nr)
+    journal = {}
+    for r in materialize_journal(journal_actions(spark, SF)).collect():
+        journal.setdefault((r.topic, r.id), []).append(r.seq_nr)
+    for key, seqs in journal.items():
+        seed = seeds.get(key, 0)
+        expect = sorted(s for s in seqs if s > seed)
+        assert sorted(suffix.get(key, [])) == expect, key
+    # every seeded journal's suffix strictly follows its seed
+    for key, seqs in suffix.items():
+        if key in seeds:
+            assert all(s > seeds[key] for s in seqs), key
+
+
+def test_plan_recovery_snapshot_bound():
+    from kafka_journal_spark.folds import HeadInfo
+    from kafka_journal_spark.plans.recovery import plan_recovery
+
+    empty = HeadInfo(kind="empty")
+    assert plan_recovery(empty, 1, snapshot_seq_nr=10).from_seq_nr == 11
+    # the tighter of snapshot and caller bound wins
+    assert plan_recovery(empty, 20, snapshot_seq_nr=10).from_seq_nr == 20
+    # a delete watermark past the snapshot still tightens further
+    d = HeadInfo(kind="delete", delete_to=15)
+    assert plan_recovery(d, 1, snapshot_seq_nr=10).from_seq_nr == 16
+    # purge still short-circuits both sources
+    p = plan_recovery(HeadInfo(kind="purge"), 1, snapshot_seq_nr=10)
+    assert (p.read_store, p.read_kafka) == (False, False)
+
+
 def test_load_respects_criteria(spark):
     latest = {r.id: r.seq_nr for r in load_snapshot(spark, SF).collect()}
     bounded = {
