@@ -388,6 +388,18 @@ def encode_actions_to_kafka(actions: DataFrame) -> DataFrame:
     "any binary event => whole batch binary" rule (KafkaWrite.scala:88-98).
     """
     is_append = F.col("action_type") == "append"
+    # per-record user headers (EventRecord.scala:65-82 ``headers: Headers``)
+    # ride alongside the journal.action header as ordinary Kafka headers
+    user_headers = (
+        F.transform(
+            F.map_entries(F.coalesce(F.col("headers"), F.create_map())),
+            lambda e: F.struct(
+                e["key"].alias("key"), e["value"].cast("binary").alias("value")
+            ),
+        )
+        if "headers" in actions.columns
+        else F.array().cast("array<struct<key:string,value:binary>>")
+    )
     if "payload_bin" in actions.columns or "payloads_bin" in actions.columns:
         enc = _encode_events_bin_udf()
         is_bin = is_append & (F.col("payload_type") == "binary")
@@ -408,11 +420,14 @@ def encode_actions_to_kafka(actions: DataFrame) -> DataFrame:
         F.col("timestamp"),
         F.col("id").cast("binary").alias("key"),
         value.alias("value"),
-        F.array(
-            F.struct(
-                F.lit(KAFKA_HEADER_KEY).alias("key"),
-                action_header_json(actions).cast("binary").alias("value"),
-            )
+        F.concat(
+            F.array(
+                F.struct(
+                    F.lit(KAFKA_HEADER_KEY).alias("key"),
+                    action_header_json(actions).cast("binary").alias("value"),
+                )
+            ),
+            user_headers,
         ).alias("headers"),
     )
 
@@ -495,6 +510,16 @@ def decode_kafka_to_actions(kafka_df: DataFrame) -> DataFrame:
             is_bin, F.transform(F.col("_blob_bin.events"), lambda e: e["payload"])
         ).alias("payloads_bin"),
         F.when(is_bin, F.col("_blob_bin.metadata")).alias("metadata"),
+        # user headers: everything except the journal.action dispatch header
+        # (EventRecord.scala:65-82)
+        F.map_from_entries(
+            F.transform(
+                F.filter(F.col("headers"), lambda h: h["key"] != KAFKA_HEADER_KEY),
+                lambda h: F.struct(
+                    h["key"].alias("key"), h["value"].cast("string").alias("value")
+                ),
+            )
+        ).alias("headers"),
         F.col("_hdr.delete.to").alias("delete_to"),
         F.col("_hdr.mark.id").alias("mark_id"),
     )

@@ -25,11 +25,8 @@ message per expired key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-
-from kafka_journal_spark.operators.actions import journal_actions
-from kafka_journal_spark.operators.replicate import with_fold_columns
 
 #: deterministic expiry assignment for the derived stream: appends whose
 #: offset % 10 == 0 expire after (1 + floor(abs_value) % 30) days
@@ -52,33 +49,18 @@ def actions_with_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def metajournal_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-key expiry state: follows the LAST effective append
-    (update/ignore-is-not-a-thing-for-appends/remove semantics)."""
+    """Per-key expiry state, read straight off the metajournal head's
+    ``expire_after_days``/``expire_on`` columns (the reference's
+    ``MetaJournalStatements.scala:24-57`` expiry columns; the head follows
+    the LAST effective append per ``ExpiryService.scala:60-75``) — the head
+    IS the source, nothing is re-derived here.  Delete-only journals have a
+    head row with null expiry."""
+    from kafka_journal_spark.operators.replicate import materialize_metajournal
+
     acts = actions_with_expiry(spark, sf_dir)
-    df = with_fold_columns(acts)
-    eff_app = df.filter(
-        F.col("_eff") & (F.col("action_type") == "append")
+    return materialize_metajournal(acts).select(
+        "topic", "id", "expire_after_days", "expire_on"
     )
-    w = Window.partitionBy("topic", "id").orderBy(F.col("offset").desc())
-    last = (
-        eff_app.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "topic",
-            "id",
-            F.col("expire_after_days").alias("expire_after_days"),
-            F.when(
-                F.col("expire_after_days").isNotNull(),
-                F.to_date(
-                    F.timestamp_seconds(
-                        F.unix_timestamp("timestamp")
-                        + F.col("expire_after_days") * 86400
-                    )
-                ),
-            ).alias("expire_on"),
-        )
-    )
-    return last
 
 
 def expiry_candidates(spark: SparkSession, sf_dir: str, cutoff: str = EXPIRY_CUTOFF) -> DataFrame:
@@ -130,7 +112,17 @@ def _build_oracles() -> None:
           FROM r WHERE _rn = 1
         )
     """
-    EXPIRY_ORACLES["x_meta_expiry"] = f"{last_app} SELECT * FROM last"
+    # the head table has one row per live journal (append OR delete-only,
+    # the latter with null expiry) — mirror the widened META schema
+    EXPIRY_ORACLES["x_meta_expiry"] = f"""{last_app},
+        keys AS (
+          SELECT topic, id FROM __fold
+          WHERE _eff AND action_type IN ('append', 'delete')
+          GROUP BY topic, id
+        )
+        SELECT k.topic, k.id, l.expire_after_days, l.expire_on
+        FROM keys k LEFT JOIN last l ON k.topic = l.topic AND k.id = l.id
+    """
     EXPIRY_ORACLES["x_expiry_candidates"] = (
         f"{last_app} SELECT topic, id, expire_on FROM last "
         f"WHERE expire_on <= DATE '{EXPIRY_CUTOFF}'"

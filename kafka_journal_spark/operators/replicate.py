@@ -84,32 +84,50 @@ def explode_events(appends: DataFrame, extra_cols: tuple[str, ...] = ()) -> Data
     ``decode_kafka_to_actions``) is zipped positionally; only without it does
     the batch-level ``tags`` column apply to every event of the batch.
     """
-    per_event_tags = "tags_list" in appends.columns
-    if "payloads" in appends.columns:
-        zip_args = [
-            F.sequence("seq_nr_from", "seq_nr_to").alias("seq_nrs"),
-            F.col("payloads"),
-        ]
+    cols = appends.columns
+    per_event_tags = "tags_list" in cols
+    # number of events in the batch — used to align optional per-event arrays
+    # that may be null for this action (e.g. payloads on a binary batch)
+    nsize = (F.col("seq_nr_to") - F.col("seq_nr_from") + F.lit(1)).cast("int")
+
+    def _aligned(name: str, dtype: str) -> Column:
+        return F.coalesce(F.col(name), F.array_repeat(F.lit(None).cast(dtype), nsize))
+
+    if "payloads" in cols or "payloads_bin" in cols:
+        zip_args = [F.sequence("seq_nr_from", "seq_nr_to").alias("seq_nrs")]
+        if "payloads" in cols:
+            zip_args.append(_aligned("payloads", "string").alias("payloads"))
+        if "payloads_bin" in cols:
+            zip_args.append(_aligned("payloads_bin", "binary").alias("payloads_bin"))
         if per_event_tags:
-            zip_args.append(F.col("tags_list"))
-        zipped = F.arrays_zip(*zip_args)
-        df = appends.withColumn("_ev", F.explode(zipped))
-        seq, pl = F.col("_ev.seq_nrs"), F.col("_ev.payloads")
+            zip_args.append(_aligned("tags_list", "array<string>").alias("tags_list"))
+        df = appends.withColumn("_ev", F.explode(F.arrays_zip(*zip_args)))
+        seq = F.col("_ev.seq_nrs")
+        pl = F.col("_ev.payloads") if "payloads" in cols else F.lit(None).cast("string")
+        bin_cols = (
+            [F.col("_ev.payloads_bin").alias("payload_bin")]
+            if "payloads_bin" in cols
+            else []
+        )
         if per_event_tags:
             tag_cols = [F.col("_ev.tags_list").alias("tags")]
-        elif "tags" in appends.columns:
+        elif "tags" in cols:
             tag_cols = [F.col("tags")]
         else:
             tag_cols = []
     else:
         df = appends.withColumn("_ev", F.explode(F.sequence("seq_nr_from", "seq_nr_to")))
         seq, pl = F.col("_ev"), F.col("payload")
+        bin_cols = [F.col("payload_bin")] if "payload_bin" in cols else []
         if per_event_tags:
             tag_cols = [F.get(F.col("tags_list"), 0).alias("tags")]
-        elif "tags" in appends.columns:
+        elif "tags" in cols:
             tag_cols = [F.col("tags")]
         else:
             tag_cols = []
+    # record-level extras (EventRecord.scala:65-82): user headers + payload
+    # metadata apply to every event of the batch
+    rec_cols = [F.col(c) for c in ("headers", "metadata") if c in cols]
     return df.select(
         "id",
         "topic",
@@ -121,7 +139,9 @@ def explode_events(appends: DataFrame, extra_cols: tuple[str, ...] = ()) -> Data
         "version",
         "payload_type",
         pl.alias("payload_txt"),
+        *bin_cols,
         *tag_cols,
+        *rec_cols,
         *extra_cols,
     )
 
@@ -141,7 +161,11 @@ def materialize_journal(
         & (F.col("seq_nr_to") > F.coalesce(F.col("_del_to"), F.lit(0)))
     )
     events = explode_events(rows, extra_cols=("_del_to",))
-    tag_cols = [F.col("tags")] if "tags" in events.columns else []
+    opt_cols = [
+        F.col(c)
+        for c in ("payload_bin", "tags", "headers", "metadata")
+        if c in events.columns
+    ]
     return (
         events.filter(F.col("seq_nr") > F.coalesce(F.col("_del_to"), F.lit(0)))
         .select(
@@ -156,7 +180,7 @@ def materialize_journal(
             F.col("version"),
             F.col("payload_type"),
             F.col("payload_txt"),
-            *tag_cols,
+            *opt_cols,
         )
     )
 
@@ -174,6 +198,19 @@ def materialize_metajournal(
     """
     df = with_fold_columns(actions)
     eff = df.filter(F.col("_eff") & F.col("action_type").isin("append", "delete"))
+    app_off = F.when(F.col("action_type") == "append", F.col("offset"))
+    # head expiry follows the LAST effective append (ExpiryService.scala:60-75
+    # update/remove decision; MetaJournalStatements.scala:24-57 expire_after/
+    # expire_on columns) — present only when the stream carries expiry
+    has_expiry = "expire_after_days" in actions.columns
+    exp_aggs = (
+        [
+            F.max_by("expire_after_days", app_off).alias("_exp_days"),
+            F.max_by("timestamp", app_off).alias("_last_app_ts"),
+        ]
+        if has_expiry
+        else []
+    )
     agg = eff.groupBy("topic", "id").agg(
         F.min("partition").alias("partition"),
         F.max("offset").alias("offset"),
@@ -182,6 +219,7 @@ def materialize_metajournal(
         F.max("delete_to").alias("_d"),
         F.min("timestamp").alias("created"),
         F.max("timestamp").alias("updated"),
+        *exp_aggs,
     )
     # the delete watermark is clamped to the appended head when one exists
     # (ReplicatedCassandra.scala:309-316: ``deleteTo.value.min(seqNr1)``) —
@@ -201,6 +239,21 @@ def materialize_metajournal(
         ),
         F.lit(0),
     )
+    exp_cols = (
+        [
+            F.col("_exp_days").cast("long").alias("expire_after_days"),
+            F.when(
+                F.col("_exp_days").isNotNull(),
+                F.to_date(
+                    F.timestamp_seconds(
+                        F.unix_timestamp("_last_app_ts") + F.col("_exp_days") * 86400
+                    )
+                ),
+            ).alias("expire_on"),
+        ]
+        if has_expiry
+        else []
+    )
     return agg.select(
         F.col("topic"),
         _md5_bucket(F.col("id"), segments).alias("segment"),
@@ -213,6 +266,7 @@ def materialize_metajournal(
         F.col("created"),
         F.to_date("created").alias("created_date"),
         F.col("updated"),
+        *exp_cols,
     )
 
 

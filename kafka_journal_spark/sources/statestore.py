@@ -30,16 +30,22 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+#: full journal row (JournalStatements.scala:34-52: payload twin columns,
+#: per-record user headers map, payload metadata JSON)
 JOURNAL_SCHEMA_DDL = (
     "id string, topic string, segment long, seq_nr long, partition int, "
     "offset long, timestamp timestamp, origin string, version string, "
     "meta_record_id string, payload_type string, payload_txt string, "
-    "tags array<string>"
+    "payload_bin binary, tags array<string>, headers map<string,string>, "
+    "metadata string"
 )
+#: head row incl. expiry columns (MetaJournalStatements.scala:24-57
+#: expire_after/expire_on; ours is day-granular, hence the column name)
 META_SCHEMA_DDL = (
     "topic string, segment long, id string, partition int, offset long, "
     "segment_size int, seq_nr long, delete_to long, created timestamp, "
-    "created_date date, updated timestamp, record_id string"
+    "created_date date, updated timestamp, record_id string, "
+    "expire_after_days long, expire_on date"
 )
 POINTERS_SCHEMA_DDL = (
     "topic string, partition int, offset long, created timestamp, updated timestamp"

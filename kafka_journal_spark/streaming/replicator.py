@@ -48,6 +48,15 @@ def _batch_summary(batch: DataFrame) -> DataFrame:
     post = F.col("offset") > F.coalesce(F.col("_purge_off"), F.lit(-1))
     app = (F.col("action_type") == "append") & post
     dele = (F.col("action_type") == "delete") & post
+    # expiry follows the batch's LAST post-purge append (ExpiryService
+    # update/remove decision) — null aggregates when the stream carries none
+    if "expire_after_days" in batch.columns:
+        app_off = F.when(app, F.col("offset"))
+        exp_val = F.max_by("expire_after_days", app_off)
+        exp_ts = F.max_by("timestamp", app_off)
+    else:
+        exp_val = F.max(F.lit(None).cast("long"))
+        exp_ts = F.max(F.lit(None).cast("timestamp"))
     return df.groupBy("topic", "id").agg(
         F.min("partition").alias("partition"),
         F.max("_purge_off").alias("purge_off"),
@@ -57,6 +66,8 @@ def _batch_summary(batch: DataFrame) -> DataFrame:
         F.max(F.when(F.col("action_type") != "mark", F.col("offset"))).alias("max_off"),
         F.min(F.when(post, F.col("timestamp"))).alias("min_ts"),
         F.max("timestamp").alias("max_ts"),
+        exp_val.alias("b_exp_days"),
+        exp_ts.alias("b_last_app_ts"),
     )
 
 
@@ -92,6 +103,8 @@ def replicate_batch(batch: DataFrame, store: JournalStore) -> None:
         F.col("created").alias("o_created"),
         F.col("updated").alias("o_updated"),
         F.col("record_id").alias("o_rid"),
+        F.col("expire_after_days").alias("o_exp_days"),
+        F.col("expire_on").alias("o_exp_on"),
     )
     m = summ.join(old, ["topic", "id"], "full_outer")
 
@@ -148,6 +161,23 @@ def replicate_batch(batch: DataFrame, store: JournalStore) -> None:
             )
         )
     )
+    # expiry: a batch containing appends (or a purge / first appearance)
+    # decides the head's expiry from its last append; otherwise keep the old
+    batch_decides_exp = purged | F.col("max_app_seq").isNotNull() | F.col("o_rid").isNull()
+    expire_after_days = F.when(batch_decides_exp, F.col("b_exp_days")).otherwise(
+        F.col("o_exp_days")
+    )
+    expire_on = F.when(
+        batch_decides_exp,
+        F.when(
+            F.col("b_exp_days").isNotNull(),
+            F.to_date(
+                F.timestamp_seconds(
+                    F.unix_timestamp("b_last_app_ts") + F.col("b_exp_days") * 86400
+                )
+            ),
+        ),
+    ).otherwise(F.col("o_exp_on"))
     merged = m.select(
         "topic",
         "id",
@@ -166,6 +196,8 @@ def replicate_batch(batch: DataFrame, store: JournalStore) -> None:
             F.coalesce("o_updated", F.to_timestamp(F.lit("1970-01-01"))),
         ).alias("updated"),
         new_rid.alias("record_id"),
+        expire_after_days.cast("long").alias("expire_after_days"),
+        expire_on.alias("expire_on"),
         purged.alias("_purged"),
         F.col("max_app_seq").isNotNull().alias("_has_app"),
         F.col("post_del").isNotNull().alias("_has_del"),
@@ -186,6 +218,8 @@ def replicate_batch(batch: DataFrame, store: JournalStore) -> None:
             F.to_date("created").alias("created_date"),
             "updated",
             "record_id",
+            "expire_after_days",
+            "expire_on",
         )
     )
 
@@ -209,9 +243,11 @@ def replicate_batch(batch: DataFrame, store: JournalStore) -> None:
         "topic", "id", F.col("record_id").alias("_rid"), F.col("delete_to").alias("_dt")
     )
     events = explode_events(appends, extra_cols=()).join(rid_map, ["topic", "id"], "inner")
-    tags_col = (
-        F.col("tags") if "tags" in events.columns else F.lit(None).cast("array<string>")
-    )
+    def _opt(name: str, dtype: str):
+        return (
+            F.col(name) if name in events.columns else F.lit(None).cast(dtype)
+        ).alias(name)
+
     rows = (
         events.filter(F.col("seq_nr") > F.coalesce(F.col("_dt"), F.lit(0)))
         .select(
@@ -227,7 +263,10 @@ def replicate_batch(batch: DataFrame, store: JournalStore) -> None:
             F.col("_rid").alias("meta_record_id"),
             "payload_type",
             "payload_txt",
-            tags_col.alias("tags"),
+            _opt("payload_bin", "binary"),
+            _opt("tags", "array<string>"),
+            _opt("headers", "map<string,string>"),
+            _opt("metadata", "string"),
         )
     )
 

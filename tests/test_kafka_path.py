@@ -54,3 +54,40 @@ def test_envelope_stream_to_store(spark, tmp_path):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_wide_columns_survive_kafka_to_store(spark, tmp_path):
+    """Binary payloads, user headers and payload metadata must survive the
+    full wire: encode -> Kafka shape -> decode -> replicate -> store.read()
+    (JournalStatements.scala:34-52 column parity)."""
+    from pyspark.sql import functions as F
+
+    acts = make_actions(spark, [append("a", 1), append("a", 2), delete("a", 1)])
+    wide = (
+        acts.withColumn(
+            "payload_bin",
+            F.when(F.col("action_type") == "append", F.unhex(F.md5("payload"))),
+        )
+        .withColumn(
+            "payload_type",
+            F.when(F.col("action_type") == "append", F.lit("binary")),
+        )
+        .withColumn(
+            "headers",
+            F.when(
+                F.col("action_type") == "append",
+                F.create_map(F.lit("trace"), F.concat(F.lit("t-"), F.col("offset"))),
+            ),
+        )
+    )
+    store = JournalStore(spark, str(tmp_path / "wide-store"))
+    replicate_batch(decode_kafka_to_actions(encode_actions_to_kafka(wide)), store)
+    rows = {r.seq_nr: r for r in store.read().collect()}
+    # only seq 2 survives delete(to=1)
+    assert set(rows) == {2}
+    orig = {r.seq_nr_from: r for r in wide.filter("action_type = 'append'").collect()}
+    r = rows[2]
+    assert bytes(r.payload_bin) == bytes(orig[2].payload_bin)
+    assert r.payload_txt is None and r.payload_type == "binary"
+    assert dict(r.headers) == {"trace": f"t-{orig[2].offset}"}
+    assert r.metadata == "{}"
