@@ -17,10 +17,19 @@ from pyspark.sql import functions as F
 
 
 def round6(col: Column) -> Column:
-    """Quantize a double to 6 decimals, deterministically across engines."""
+    """Quantize a double to 6 decimals, deterministically across engines.
+
+    NON-NEGATIVE INPUTS ONLY: floor(x*1e6 + 0.5) rounds halves toward
+    +infinity, which for negative values differs from ROUND's
+    half-away-from-zero (e.g. -0.0000005 -> -0.0 here, -0.000001 by ROUND).
+    Both engines stay bit-identical either way, but a signed caller would
+    get asymmetric rounding — all current call sites quantize ratios,
+    scores, and norms, which are >= 0 by construction.
+    """
     return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
 
 
 def round6_sql(x: str) -> str:
-    """The DuckDB-side twin of :func:`round6`."""
+    """The DuckDB-side twin of :func:`round6` (same non-negative-input
+    assumption)."""
     return f"(FLOOR(({x}) * 1000000.0 + 0.5) / 1000000.0)"

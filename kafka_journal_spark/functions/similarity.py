@@ -192,15 +192,23 @@ def label_centroid_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def cosine_topk_pandas(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+def cosine_topk_pandas(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K, mode: str = "numpy"
+) -> DataFrame:
     """The Arrow path: identical result to ``cosine_topk`` but the vector
     math runs in a pandas grouped kernel (the shape you'd use when the
-    scorer is a real model / BLAS call).  The kernel sums sequentially so
-    the doubles match the JVM fold bit-for-bit.
+    scorer is a real model / BLAS call).
+
+    ``mode='numpy'`` (default) scores each Arrow batch as one BLAS matmul —
+    the production-shaped kernel.  ``mode='seq'`` keeps the per-row
+    sequential sum whose doubles match a strictly left-to-right fold
+    bit-for-bit; it exists as the oracle-parity reference for the numpy
+    path, not as a production mode.
 
     Scale: candidates arrive Arrow-batched per query group; broadcastable
     query set, one shuffle on q_id.
     """
+    import numpy as np
     import pandas as pd
 
     emb = _emb(spark, sf_dir)
@@ -210,16 +218,31 @@ def cosine_topk_pandas(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> Data
     pairs = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("q_id"))
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        def dot_seq(a, b):
-            return sum(x * y for x, y in zip(a, b))
+        if mode == "numpy":
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+            qv = np.asarray(pdf["q_vec"].iloc[0], dtype=np.float64)
+            dots = m @ qv
+            na = float(np.sqrt(qv @ qv))
+            nb = np.sqrt(np.einsum("ij,ij->i", m, m))
+            out = pd.DataFrame(
+                {
+                    "q_id": pdf["q_id"].to_numpy(),
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "score": np.round(dots / (na * nb), 6),
+                }
+            )
+        else:
 
-        rows = []
-        for r in pdf.itertuples():
-            d = dot_seq(r.q_vec, r.vec)
-            na = dot_seq(r.q_vec, r.q_vec) ** 0.5
-            nb = dot_seq(r.vec, r.vec) ** 0.5
-            rows.append((r.q_id, r.vec_id, round(d / (na * nb), 6)))
-        out = pd.DataFrame(rows, columns=["q_id", "vec_id", "score"])
+            def dot_seq(a, b):
+                return sum(x * y for x, y in zip(a, b))
+
+            rows = []
+            for r in pdf.itertuples():
+                d = dot_seq(r.q_vec, r.vec)
+                na = dot_seq(r.q_vec, r.q_vec) ** 0.5
+                nb = dot_seq(r.vec, r.vec) ** 0.5
+                rows.append((r.q_id, r.vec_id, round(d / (na * nb), 6)))
+            out = pd.DataFrame(rows, columns=["q_id", "vec_id", "score"])
         out = out.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
         out["rk"] = range(1, len(out) + 1)
         return out
