@@ -23,6 +23,9 @@ HEADLINE = [
     "j_read",
     "j_recovery_merge",
     "j_wire_roundtrip",
+    "j_wire_roundtrip_bin",
+    "s_recovery_hybrid",
+    "x_meta_expiry",
     "q1",
     "q3",
     "q5",
@@ -34,6 +37,7 @@ HEADLINE = [
     "d_minhash_lsh",
     "d_simhash_sigs",
     "e_cosine_topk",
+    "e_cosine_pandas",
 ]
 
 
@@ -46,7 +50,9 @@ def main():
     from kafka_journal_spark.session import get_spark
 
     spark = get_spark("bench", cpus=cpus)
-    qs = E.queries()
+    # gates + extras: the registry split is a driver-window concern, not a
+    # bench concern — j_actions/j_read/q3 live in the extras
+    qs = {**E.queries(), **E.extra_queries()}
 
     # JVM/codegen warmup
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -60,6 +66,12 @@ def main():
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    # the reference's JMH read shapes (BASELINE.md row 15) ride along so the
+    # shape axis is tracked every round
+    from tools.bench_shapes import measure_shapes
+
+    shapes = measure_shapes(spark)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -68,6 +80,7 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "shapes": shapes,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -65,12 +65,12 @@ def _journal_actions(spark, n=N_EVENTS):
     return spark.createDataFrame(rows, ACTIONS_DDL)
 
 
-def main():
-    spark = get_spark("bench-shapes", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+def measure_shapes(spark) -> dict[str, float]:
+    """Run the five storage shapes; returns {shape: sec}.  Reused by
+    bench.py so the JMH-shape axis lands in every round's BENCH record."""
     acts = _journal_actions(spark).localCheckpoint(eager=True)
-    spark.range(1000).selectExpr("sum(id)").collect()  # warmup
 
-    timings = {}
+    timings: dict[str, float] = {}
 
     def run(name, df):
         t0 = time.perf_counter()
@@ -93,7 +93,13 @@ def main():
     # 5: duplicated tail — tail delivered twice
     tail_dup = acts.filter(F.col("offset") >= N_EVENTS // 2)
     run("duplicated_tail", recovery_merge(acts.unionByName(tail_dup), split_frac=0.5))
+    return timings
 
+
+def main():
+    spark = get_spark("bench-shapes", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.range(1000).selectExpr("sum(id)").collect()  # warmup
+    timings = measure_shapes(spark)
     print(json.dumps({"metric": "read_shapes", "unit": "sec", "n_events": N_EVENTS, "shapes": timings}))
     spark.stop()
 
