@@ -175,8 +175,24 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dup = j.withColumn("offset", F.col("offset") + F.lit(1_000_000))
         return integrity_violations(j.unionByName(dup))
 
+    def j_ids_by_segment(spark, sf_dir):
+        # secondary index: walk the first occupied Java-hash-compatible
+        # head bucket (plan-time scalar lookup, like the reference's
+        # segment-by-segment maintenance walk)
+        meta = materialize_metajournal(journal_actions(spark, sf_dir))
+        smin = meta.agg(F.min("segment")).collect()[0][0]
+        return R.ids_by_segment(meta, "journal", smin)
+
+    def j_ids_by_created(spark, sf_dir):
+        # secondary index: ids created on the dataset's first created_date
+        meta = materialize_metajournal(journal_actions(spark, sf_dir))
+        dmin = meta.agg(F.min("created_date")).collect()[0][0]
+        return R.ids_by_created(meta, "journal", dmin)
+
     return {
         "j_actions": j_actions,
+        "j_ids_by_segment": j_ids_by_segment,
+        "j_ids_by_created": j_ids_by_created,
         "j_journal": j_journal,
         "j_meta": j_meta,
         "j_pointers": j_pointers,

@@ -66,6 +66,31 @@ def topic_offset(pointers: DataFrame) -> DataFrame:
     return pointers.select("topic", "partition", "offset")
 
 
+def ids_by_segment(metajournal: DataFrame, topic: str, segment: int) -> DataFrame:
+    """Secondary-index scan: all journal ids of one metajournal segment
+    (reference ``MetaJournalStatements.scala:282-310`` IdByTopicAndSegment —
+    used by maintenance jobs to walk the head table bucket by bucket).
+    Segments are Java-hashCode-compatible (``meta_segment``), so the walk
+    order matches a reference deployment."""
+    return (
+        metajournal.filter(
+            (F.col("topic") == topic) & (F.col("segment") == segment)
+        ).select("topic", "segment", "id")
+    )
+
+
+def ids_by_created(metajournal: DataFrame, topic: str, created_date) -> DataFrame:
+    """Secondary-index scan: ids of journals created on a given date
+    (reference ``MetaJournalStatements.scala:247-281`` IdByTopicAndCreated).
+    ``created_date`` is a date-typed bucket column, so a date-partitioned
+    head table prunes this scan to one partition."""
+    return (
+        metajournal.filter(
+            (F.col("topic") == topic) & (F.col("created_date") == F.lit(created_date))
+        ).select("topic", "created_date", "id")
+    )
+
+
 def replay_limit(journal: DataFrame, from_seq_nr: int, to_seq_nr: int, max_events: int) -> DataFrame:
     """replay(range, max): per-key ordered replay capped at ``max_events``
     (reference ``JournalAdapter.scala:192-208`` foldWhileM)."""

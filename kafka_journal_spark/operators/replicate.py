@@ -34,9 +34,9 @@ Scale notes:
   column (reference ``SegmentNr.scala:138-144``) for result parity, but the
   physical layout should partition by topic and bucket by id — Spark's
   partitioner replaces Cassandra segments (SURVEY.md §1.4).
-- metajournal ``segment`` uses an md5-based bucket (portable across engines)
-  instead of Java String.hashCode — declared an implementation detail per
-  SURVEY.md §1.4.
+- metajournal ``segment`` is bit-compatible with the reference:
+  ``abs(id.toLowerCase.hashCode % segments)`` with Java's String.hashCode
+  (``SegmentNr.scala:146-150``), expressed as a JVM-side aggregate.
 """
 
 from __future__ import annotations
@@ -49,9 +49,35 @@ from pyspark.sql import functions as F
 from kafka_journal_spark import SEGMENT_SIZE_DEFAULT, SEGMENTS_DEFAULT
 
 
-def _md5_bucket(col: Column, buckets: int) -> Column:
-    """Portable deterministic bucket: first 8 md5 hex chars -> bigint % buckets."""
-    return F.pmod(F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"), F.lit(buckets))
+#: int32 wrap constants for the Java-parity hash
+_M31, _M32 = 2_147_483_648, 4_294_967_296
+
+
+def java_string_hash(col: Column) -> Column:
+    """Java ``String.hashCode`` as a JVM-side column expression:
+    ``h = 31*h + c`` over UTF-16 code units with int32 wrap-around.
+
+    Spark 4 runs ANSI arithmetic (no silent int wrap), so each step is
+    masked in bigint space: ``pmod(31*h + c + 2^31, 2^32) - 2^31`` — the
+    magnitude stays < 2^36, well inside bigint.  Code units come from
+    ``ascii()`` per character, which equals the UTF-16 unit for all BMP
+    text (supplementary-plane ids would diverge — acceptable for journal
+    keys).  Verified against JVM values incl. "polygenelubricants" ->
+    Integer.MIN_VALUE.
+    """
+    codes = F.transform(F.split(col, ""), lambda c: F.ascii(c).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: F.pmod(acc * F.lit(31) + c + F.lit(_M31), F.lit(_M32)) - F.lit(_M31),
+    )
+
+
+def meta_segment(col: Column, segments: int) -> Column:
+    """The metajournal bucket, bit-compatible with the reference
+    (``SegmentNr.scala:146-150``): ``abs(id.toLowerCase.hashCode % segments)``
+    — a reference deployment's head rows land in identical segments."""
+    return F.abs(java_string_hash(F.lower(col)) % F.lit(segments))
 
 
 def with_fold_columns(actions: DataFrame) -> DataFrame:
@@ -256,7 +282,7 @@ def materialize_metajournal(
     )
     return agg.select(
         F.col("topic"),
-        _md5_bucket(F.col("id"), segments).alias("segment"),
+        meta_segment(F.col("id"), segments).alias("segment"),
         F.col("id"),
         F.col("partition"),
         F.col("offset"),

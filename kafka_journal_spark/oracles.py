@@ -68,7 +68,16 @@ METAJOURNAL_SQL = f"""
     __meta AS (
         SELECT
             topic,
-            ('0x' || substr(md5(id), 1, 8))::BIGINT % {SEGMENTS_DEFAULT} AS segment,
+            -- Java String.hashCode parity (SegmentNr.scala:146-150):
+            -- abs(lower(id).hashCode % segments), int32 wrap emulated in
+            -- bigint space (the Spark side uses the identical masked fold)
+            ABS(list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                               list_transform(string_split(lower(id), ''),
+                                              c -> CAST(ascii(c) AS BIGINT))),
+                  (acc, x) -> (((acc * 31 + x + 2147483648) % 4294967296
+                                + 4294967296) % 4294967296) - 2147483648
+                ) % {SEGMENTS_DEFAULT}) AS segment,
             id,
             partition,
             "offset",
@@ -156,6 +165,17 @@ ORACLES: dict[str, str] = {
     ),
     "j_pointer": _q('SELECT topic, id, partition, "offset", seq_nr FROM __meta'),
     "j_ids": _q("SELECT topic, id FROM __meta WHERE topic = 'journal'"),
+    # secondary-index lookups (MetaJournalStatements.scala:247-310)
+    "j_ids_by_segment": _q(
+        """SELECT topic, segment, id FROM __meta
+           WHERE topic = 'journal'
+             AND segment = (SELECT MIN(segment) FROM __meta)"""
+    ),
+    "j_ids_by_created": _q(
+        """SELECT topic, created_date, id FROM __meta
+           WHERE topic = 'journal'
+             AND created_date = (SELECT MIN(created_date) FROM __meta)"""
+    ),
     "j_replay_limit": _q(
         """SELECT id, topic, seq_nr, partition, "offset", timestamp, origin,
                   version, payload_type, payload_txt

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kafka_journal_spark import SEGMENT_SIZE_DEFAULT, SEGMENTS_DEFAULT
-from kafka_journal_spark.operators.replicate import _md5_bucket, explode_events
+from kafka_journal_spark.operators.replicate import explode_events, meta_segment
 from kafka_journal_spark.sources.statestore import JournalStore
 
 
@@ -207,7 +207,7 @@ def replicate_batch(batch: DataFrame, store: JournalStore) -> None:
         merged.filter(~(F.col("_purged") & ~F.col("_has_app") & ~F.col("_has_del")))
         .select(
             "topic",
-            _md5_bucket(F.col("id"), SEGMENTS_DEFAULT).alias("segment"),
+            meta_segment(F.col("id"), SEGMENTS_DEFAULT).alias("segment"),
             "id",
             "partition",
             "offset",

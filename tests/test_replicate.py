@@ -29,6 +29,35 @@ def _meta_map(actions_df):
     }
 
 
+def test_meta_segment_matches_java_hashcode(spark):
+    # SegmentNr.scala:146-150: abs(id.toLowerCase.hashCode % segments) with
+    # Java's String.hashCode — golden values computed with the JVM algorithm
+    from pyspark.sql import functions as F
+
+    from kafka_journal_spark import SEGMENTS_DEFAULT
+    from kafka_journal_spark.operators.replicate import java_string_hash, meta_segment
+
+    def jhash(s):
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) % 2**32
+        return h - 2**32 if h >= 2**31 else h
+
+    samples = ["user-42", "User-ABC", "polygenelubricants", "journal", "z" * 64]
+    df = spark.createDataFrame([(s,) for s in samples], "id string").select(
+        "id",
+        java_string_hash(F.col("id")).alias("h"),
+        meta_segment(F.col("id"), SEGMENTS_DEFAULT).alias("seg"),
+    )
+    got = {r.id: (r.h, r.seg) for r in df.collect()}
+    # the classic JVM fixture: "polygenelubricants".hashCode() == Integer.MIN_VALUE
+    assert jhash("polygenelubricants") == -(2**31)
+    for s in samples:
+        assert got[s][0] == jhash(s), s
+        # abs of the Java remainder == abs(h) % segments for positive divisors
+        assert got[s][1] == abs(jhash(s.lower())) % SEGMENTS_DEFAULT, s
+
+
 def test_append_only(spark):
     df = make_actions(spark, [append("a", 1), append("a", 2), append("a", 3)])
     assert _journal_map(df) == {"a": [1, 2, 3]}
