@@ -38,13 +38,24 @@ FEATURE_SCHEMA = (
 )
 
 
-def synth_media(spark: SparkSession, sf_dir: str, n: int = 64) -> DataFrame:
+def synth_media(
+    spark: SparkSession, sf_dir: str, n: int = 64, ascii_blob: bool = False
+) -> DataFrame:
     """Deterministic fake media table derived from the documents corpus:
     blob = utf-8 text bytes, metadata derived from doc stats (stands in for
-    a real object-store-backed media table)."""
+    a real object-store-backed media table).  ``ascii_blob=True`` swaps the
+    blob for the 32 ASCII bytes of ``md5(text)`` — byte offsets == char
+    offsets, which lets a SQL oracle reproduce the decode kernel's byte
+    slices exactly (the row selection is a deterministic ``doc_id < n``
+    filter, never ``limit``)."""
     import os
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(n)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).filter(
+        F.col("doc_id") < n
+    )
+    blob = (
+        F.encode(F.md5("text"), "utf-8") if ascii_blob else F.encode("text", "utf-8")
+    )
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.when(F.col("doc_id") % 3 == 0, "image/png")
@@ -54,7 +65,7 @@ def synth_media(spark: SparkSession, sf_dir: str, n: int = 64) -> DataFrame:
         (F.col("n_chars") % 640 + 16).cast("int").alias("width"),
         (F.col("n_chars") % 480 + 16).cast("int").alias("height"),
         (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
-        F.encode("text", "utf-8").alias("blob"),
+        blob.alias("blob"),
     )
 
 
@@ -107,3 +118,75 @@ def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("width").alias("avg_width"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# oracle-checked query surface (the mapInPandas plumbing itself is under
+# test: fan-out arity, batch iteration, schema, and the deterministic
+# per-frame byte slices — DuckDB reproduces the kernel at the string level)
+# ---------------------------------------------------------------------------
+
+
+def _mm_queries():
+    from kafka_journal_spark.functions.numeric import round6
+
+    def m_media_stats(spark, sf_dir):
+        s = media_stats(spark, sf_dir)
+        return s.select(
+            "mime",
+            "n_items",
+            F.col("total_bytes").cast("long").alias("total_bytes"),
+            round6(F.col("avg_width")).alias("avg_width"),
+        )
+
+    def m_features(spark, sf_dir):
+        media = synth_media(spark, sf_dir, ascii_blob=True)
+        feats = extract_features(media, frames_per_item=2)
+        return feats.select(
+            "media_id", "frame_idx", "feat_hash", round6(F.col("brightness")).alias("brightness")
+        )
+
+    return {"m_media_stats": m_media_stats, "m_features": m_features}
+
+
+MULTIMODAL_QUERIES = _mm_queries()
+
+#: the 32-byte md5-hex blob splits into two 16-char frames; brightness is the
+#: mean ASCII value — ratios of small ints are bit-identical across engines
+MULTIMODAL_ORACLES: dict[str, str] = {
+    "m_media_stats": """
+        WITH m AS (
+          SELECT doc_id,
+                 CASE CAST(doc_id % 3 AS INTEGER)
+                   WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+                   ELSE 'video/mp4' END AS mime,
+                 CAST(n_chars % 640 + 16 AS INTEGER) AS width,
+                 octet_length(encode(text)) AS blob_bytes
+          FROM documents WHERE doc_id < 64
+        )
+        SELECT mime, COUNT(*) AS n_items,
+               CAST(SUM(blob_bytes) AS BIGINT) AS total_bytes,
+               (FLOOR(AVG(width) * 1000000.0 + 0.5) / 1000000.0) AS avg_width
+        FROM m GROUP BY mime
+    """,
+    "m_features": """
+        WITH m AS (
+          SELECT doc_id AS media_id, md5(text) AS payload
+          FROM documents WHERE doc_id < 64
+        ),
+        f AS (
+          SELECT media_id, payload, CAST(unnest([0, 1]) AS INTEGER) AS frame_idx
+          FROM m
+        ),
+        s AS (
+          SELECT media_id, frame_idx,
+                 substring(payload, 16 * frame_idx + 1, 16) AS frame
+          FROM f
+        )
+        SELECT media_id, frame_idx, md5(frame) AS feat_hash,
+               (FLOOR((list_aggregate(list_transform(string_split(frame, ''),
+                                                     c -> ascii(c)), 'sum')
+                       / 16.0) * 1000000.0 + 0.5) / 1000000.0) AS brightness
+        FROM s
+    """,
+}
