@@ -175,6 +175,69 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dup = j.withColumn("offset", F.col("offset") + F.lit(1_000_000))
         return integrity_violations(j.unionByName(dup))
 
+    def x_head_stream(spark, sf_dir):
+        # C1-C3: the standing HeadCache state stream (applyInPandasWithState)
+        # over the whole action stream; final per-key states must equal the
+        # batch HeadInfo fold — the DuckDB oracle replays that fold in SQL
+        import os
+        import tempfile
+
+        from kafka_journal_spark.streaming.head_state import head_info_stream
+
+        acts = journal_actions(spark, sf_dir)
+        d = tempfile.mkdtemp(prefix="kjs-headstream-")
+        header_cols = [
+            "topic", "partition", "offset", "id", "action_type",
+            "seq_nr_from", "seq_nr_to", "delete_to",
+        ]
+        acts.select(*header_cols).write.parquet(f"{d}/src")
+        ddl = (
+            "topic string, partition int, offset long, id string, "
+            "action_type string, seq_nr_from long, seq_nr_to long, delete_to long"
+        )
+        stream = spark.readStream.schema(ddl).parquet(f"{d}/src")
+        name = "heads_" + os.path.basename(d).replace("-", "_")
+        q = (
+            head_info_stream(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.sql(
+            f"SELECT topic, id, kind, offset, seq_nr, delete_to FROM {name}"
+        )
+
+    def x_settings_kv(spark, sf_dir):
+        # S13: the Settings CRUD KV driven by a deterministic op sequence
+        # derived from the events table — set, overwrite, remove — read back
+        # as last-write-wins state; the oracle recomputes it in SQL
+        import tempfile
+
+        from kafka_journal_spark.operators.actions import load_events
+        from kafka_journal_spark.sources.settings import Settings
+
+        ev = load_events(spark, sf_dir)
+        agg = {
+            int(r.b): (int(r.n), int(r.m))
+            for r in ev.groupBy((F.col("user_id") % 10).alias("b"))
+            .agg(F.count("*").alias("n"), F.max("event_id").alias("m"))
+            .collect()
+        }
+        s = Settings(spark, tempfile.mkdtemp(prefix="kjs-settings-"))
+        for k in range(10):
+            s.set(f"s{k}", str(agg.get(k, (0, 0))[0]), origin="gate")
+        for k in range(5):
+            s.set(f"s{k}", str(agg.get(k, (0, 0))[1]), origin="gate")
+        s.remove("s7")
+        s.remove("s8")
+        return (
+            s._df().select("key", "value", "origin")
+        )
+
     def j_ids_by_segment(spark, sf_dir):
         # secondary index: walk the first occupied Java-hash-compatible
         # head bucket (plan-time scalar lookup, like the reference's
@@ -193,6 +256,8 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_actions": j_actions,
         "j_ids_by_segment": j_ids_by_segment,
         "j_ids_by_created": j_ids_by_created,
+        "x_head_stream": x_head_stream,
+        "x_settings_kv": x_settings_kv,
         "j_journal": j_journal,
         "j_meta": j_meta,
         "j_pointers": j_pointers,

@@ -165,6 +165,24 @@ ORACLES: dict[str, str] = {
     ),
     "j_pointer": _q('SELECT topic, id, partition, "offset", seq_nr FROM __meta'),
     "j_ids": _q("SELECT topic, id FROM __meta WHERE topic = 'journal'"),
+    # S13: last-write-wins settings state from the derived op sequence
+    # (buckets 0-4 overwritten with max event_id, 7-8 removed)
+    "x_settings_kv": """
+        WITH b AS (
+          SELECT CAST(user_id % 10 AS BIGINT) AS k, COUNT(*) AS n,
+                 MAX(event_id) AS m
+          FROM events GROUP BY 1
+        ),
+        keys AS (SELECT unnest(range(10)) AS k),
+        j AS (
+          SELECT keys.k, COALESCE(b.n, 0) AS n, COALESCE(b.m, 0) AS m
+          FROM keys LEFT JOIN b ON keys.k = b.k
+        )
+        SELECT 's' || CAST(k AS VARCHAR) AS key,
+               CAST(CASE WHEN k < 5 THEN m ELSE n END AS VARCHAR) AS value,
+               'gate' AS origin
+        FROM j WHERE k NOT IN (7, 8)
+    """,
     # secondary-index lookups (MetaJournalStatements.scala:247-310)
     "j_ids_by_segment": _q(
         """SELECT topic, segment, id FROM __meta
@@ -184,6 +202,45 @@ ORACLES: dict[str, str] = {
              FROM __journal WHERE seq_nr BETWEEN 2 AND 1000000
            ) WHERE _rn <= 10"""
     ),
+    # C1-C3: the standing head-state stream's final states == the batch
+    # HeadInfo fold over the whole action stream
+    "x_head_stream": f"""
+        WITH __a AS ({ACTIONS_SQL}),
+        p AS (SELECT *, MAX(CASE WHEN action_type = 'purge' THEN "offset" END)
+                  OVER (PARTITION BY topic, id) AS _p FROM __a),
+        q AS (SELECT *, ("offset" > COALESCE(_p, -1)) AS _post FROM p),
+        r AS (SELECT *, MAX(CASE WHEN _post AND action_type = 'append' THEN seq_nr_to END)
+                  OVER (PARTITION BY topic, id ORDER BY "offset"
+                        ROWS UNBOUNDED PRECEDING) AS _seq_so_far FROM q),
+        agg0 AS (
+          SELECT topic, id, MAX(_p) AS _p,
+                 MIN(CASE WHEN _post AND action_type = 'append' THEN "offset" END) AS _first_app_off,
+                 MAX(CASE WHEN _post AND action_type = 'append' THEN seq_nr_to END) AS _max_seq,
+                 MIN(CASE WHEN _post AND action_type = 'append' THEN seq_nr_from END) AS _first_from,
+                 MAX(CASE WHEN _post AND action_type = 'delete' AND _seq_so_far IS NOT NULL
+                       THEN LEAST(delete_to, _seq_so_far) END) AS _del_in,
+                 MAX(CASE WHEN _post AND action_type = 'delete' AND _seq_so_far IS NULL
+                       THEN delete_to END) AS _del_pre
+          FROM r GROUP BY topic, id
+        ),
+        agg AS (
+          SELECT topic, id, _p, _first_app_off, _max_seq,
+                 CASE WHEN _max_seq IS NULL THEN _del_pre
+                      ELSE GREATEST(_del_in,
+                             CASE WHEN _del_pre IS NOT NULL AND _first_from > 1
+                                  THEN LEAST(_del_pre, _first_from - 1) END)
+                 END AS _del_to
+          FROM agg0
+        )
+        SELECT topic, id,
+               CASE WHEN _max_seq IS NOT NULL THEN 'append'
+                    WHEN _del_to IS NOT NULL THEN 'delete'
+                    WHEN _p IS NOT NULL THEN 'purge' ELSE 'empty' END AS kind,
+               CASE WHEN _max_seq IS NOT NULL THEN _first_app_off END AS "offset",
+               CAST(COALESCE(CASE WHEN _max_seq IS NOT NULL THEN _max_seq END, 0) AS BIGINT) AS seq_nr,
+               CAST(CASE WHEN _max_seq IS NOT NULL OR _del_to IS NOT NULL THEN _del_to END AS BIGINT) AS delete_to
+        FROM agg
+    """,
     # R3 batch form: HeadInfo fold over the un-replicated tail (0.7 split)
     "j_head_info": f"""
         WITH __a AS ({ACTIONS_SQL}),
