@@ -6,6 +6,7 @@ and order-insensitive values (columns sorted by name, rows sorted, values
 stringified with float rounding).
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+       env CHECK_JSON=<path> additionally writes a per-query JSON record
 """
 
 from __future__ import annotations
@@ -69,6 +70,7 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     failures = []
+    record = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -79,9 +81,11 @@ def main():
             sres = _normalize([tuple(r) for r in srows], scols)
         except Exception as ex:
             failures.append(name)
+            record[name] = {"status": "fail", "err": f"spark: {ex}"}
             print(f"FAIL {name}: spark error: {ex}")
             continue
         if name not in os_:
+            record[name] = {"status": "rows_only", "rows": len(srows)}
             print(f"OK?  {name}: rows={len(srows)} (no oracle — rows-only check)")
             continue
         try:
@@ -91,27 +95,38 @@ def main():
             dres = _normalize(drows, dcols)
         except Exception as ex:
             failures.append(name)
+            record[name] = {"status": "fail", "err": f"duckdb: {ex}"}
             print(f"FAIL {name}: duckdb error: {ex}")
             continue
         if sorted(scols) != sorted(dcols):
             failures.append(name)
+            record[name] = {"status": "fail", "err": "schema mismatch"}
             print(f"FAIL {name}: columns differ spark={sorted(scols)} duck={sorted(dcols)}")
             continue
         if len(sres) != len(dres):
             failures.append(name)
+            record[name] = {"status": "fail", "err": "rowcount mismatch"}
             print(f"FAIL {name}: rowcount spark={len(sres)} duck={len(dres)}")
             continue
         bad = [i for i, (a, b) in enumerate(zip(sres, dres)) if a != b]
         if bad:
             failures.append(name)
+            record[name] = {"status": "fail", "err": f"{len(bad)} rows differ"}
             i = bad[0]
             print(f"FAIL {name}: {len(bad)}/{len(sres)} rows differ; first at {i}:")
             print(f"  cols : {sorted(scols)}")
             print(f"  spark: {sres[i]}")
             print(f"  duck : {dres[i]}")
         else:
+            record[name] = {"status": "pass", "rows": len(sres), "gate": name in E.GATE_ORDER}
             print(f"PASS {name}: rows={len(sres)}")
     spark.stop()
+    out_path = os.environ.get("CHECK_JSON")
+    if out_path:
+        import json
+
+        with open(out_path, "w") as f:
+            json.dump({"sf_dir": sf_dir, "results": record}, f, indent=1, sort_keys=True)
     if failures:
         print("FAILURES:", failures)
         sys.exit(1)
