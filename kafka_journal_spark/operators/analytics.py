@@ -29,6 +29,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_journal_spark.functions.numeric import round6
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -217,6 +219,96 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two-nation trade volume by year — the self-joined
+    dimension pattern (nation joined twice under different roles).
+
+    Scale: both nation sides broadcast; the fact chain shuffles once on
+    orderkey for the orders join, then aggregates partial+final.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    rev_pair = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair | rev_pair)
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_DISC_PRICE()).cast("double").alias("revenue"))
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a nation's market share inside one region for one
+    part type — 8-way join with a conditional-sum ratio.
+
+    Scale: every dimension broadcasts; the ratio divides two exact decimal
+    sums cast to double (bit-identical across engines).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    region = _t(spark, sf_dir, "region")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .filter(
+            (F.col("r_name") == "AMERICA")
+            & (F.col("p_type") == "PROMO")
+            & (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            _DISC_PRICE().alias("volume"),
+            F.col("supp_nation"),
+        )
+    )
+    target = F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.sum(target).cast("double").alias("_t"),
+            F.sum("volume").cast("double").alias("_v"),
+        )
+        .select(
+            "o_year",
+            round6(F.col("_t") / F.col("_v")).alias("mkt_share"),
+        )
+    )
+
+
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregation (full grouping-set lattice) over orders."""
     orders = _t(spark, sf_dir, "orders")
@@ -366,6 +458,50 @@ ANALYTICS_ORACLES: dict[str, str] = {
         WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
     """,
+    "q7": f"""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(SUM(volume) AS DOUBLE) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                 {_SQL_DISC_PRICE} AS volume
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        )
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "q8": f"""
+        SELECT o_year,
+               (FLOOR((CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                       / CAST(SUM(volume) AS DOUBLE)) * 1000000.0 + 0.5)
+                / 1000000.0) AS mkt_share
+        FROM (
+          SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                 {_SQL_DISC_PRICE} AS volume,
+                 n2.n_name AS supp_nation
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region ON n1.n_regionkey = r_regionkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+            AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        )
+        GROUP BY o_year
+    """,
     "q19": f"""
         SELECT CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
                COUNT(*) AS n_rows
@@ -430,6 +566,8 @@ ANALYTICS_QUERIES = {
     "q6": q6_forecast_revenue,
     "q10": q10_returned_revenue,
     "q14": q14_promo_effect,
+    "q7": q7_volume_shipping,
+    "q8": q8_market_share,
     "q19": q19_discounted_revenue,
     "q_percentiles": q_percentiles,
     "q_cube": q_cube,
