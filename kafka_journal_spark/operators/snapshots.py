@@ -108,32 +108,28 @@ def recovery_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus ``source='journal'`` rows for events with ``seq_nr`` beyond the
     seed; journals without snapshots replay in full.
 
-    Scale: one (topic, id) join of the journal against the O(#keys) snapshot
-    heads — no broadcast hint (AQE decides), and the suffix predicate lands
-    right after the join so only surviving rows flow on.
+    Scale: with a stored snapshot table this is one (topic, id) join (no
+    broadcast hint — AQE decides).  For the derived stream the latest
+    retained snapshot is simply the key's max snapshot seq_nr (the newest
+    always survives ring overwrites), so the whole stitch collapses to ONE
+    window over the journal's existing (topic, id) partitioning — single
+    scan, no self-join (a naive snapshot-side re-derivation scanned the
+    fact table three times).
     """
     j = materialize_journal(journal_actions(spark, sf_dir))
-    latest = load_snapshot(spark, sf_dir).select(
-        "topic",
-        "id",
-        F.col("seq_nr").alias("_snap_seq"),
-        F.col("payload_txt").alias("_snap_payload"),
+    wk = Window.partitionBy("topic", "id")
+    snap_seq = F.max(
+        F.when(F.pmod(F.col("seq_nr"), F.lit(SNAP_EVERY)) == 0, F.col("seq_nr"))
+    ).over(wk)
+    source = F.when(F.col("seq_nr") == F.col("_snap_seq"), "snapshot").when(
+        F.col("seq_nr") > F.coalesce(F.col("_snap_seq"), F.lit(0)), "journal"
     )
-    snap_rows = latest.select(
-        "topic",
-        "id",
-        F.lit("snapshot").alias("source"),
-        F.col("_snap_seq").alias("seq_nr"),
-        F.col("_snap_payload").alias("payload_txt"),
+    return (
+        j.withColumn("_snap_seq", snap_seq)
+        .withColumn("source", source)
+        .filter(F.col("source").isNotNull())
+        .select("topic", "id", "source", "seq_nr", "payload_txt")
     )
-    suffix = (
-        j.join(latest.select("topic", "id", "_snap_seq"), ["topic", "id"], "left")
-        .filter(F.col("seq_nr") > F.coalesce(F.col("_snap_seq"), F.lit(0)))
-        .select(
-            "topic", "id", F.lit("journal").alias("source"), "seq_nr", "payload_txt"
-        )
-    )
-    return snap_rows.unionByName(suffix)
 
 
 def _sn_queries():
