@@ -47,6 +47,7 @@ ACTIONS_LOG_DDL = (
     "topic string, partition int, offset long, id string, action_type string, "
     "timestamp timestamp, origin string, version string, seq_nr_from long, "
     "seq_nr_to long, payload_type string, payload string, payloads array<string>, "
+    "payloads_bin array<binary>, headers map<string,string>, "
     "tags array<string>, delete_to long, mark_id string"
 )
 
@@ -117,11 +118,26 @@ class JournalClient:
             return max(stored or 0, h.delete_to) or None
         return self.store.pointer(topic, key)
 
-    def append(self, topic: str, key: str, payloads: list[str], tags=None) -> tuple[int, int]:
-        """Atomically append a batch of events; returns (partition, offset)."""
+    def append(
+        self, topic: str, key: str, payloads: list, tags=None, headers=None
+    ) -> tuple[int, int]:
+        """Atomically append a batch of events; returns (partition, offset).
+
+        ``payloads`` may be strings (text events) or bytes (binary events —
+        the batch rides the binary envelope exactly as in the reference's
+        "any binary => whole batch binary" rule, KafkaWrite.scala:88-98);
+        ``headers`` is an optional per-record user-header map
+        (EventRecord.scala:65-82).
+        """
         import datetime as dt
 
         assert payloads
+        is_binary = any(isinstance(x, (bytes, bytearray)) for x in payloads)
+        if is_binary:
+            assert all(isinstance(x, (bytes, bytearray)) for x in payloads), (
+                "mixed text/binary batches are not supported; the reference "
+                "encodes the whole batch binary if any event is binary"
+            )
         ptr = self.pointer(topic, key) or 0
         first, last = ptr + 1, ptr + len(payloads)
         off = self._next_offset()
@@ -133,8 +149,12 @@ class JournalClient:
                     "action_type": "append", "timestamp": dt.datetime.utcnow(),
                     "origin": self.origin, "version": "1.0",
                     "seq_nr_from": first, "seq_nr_to": last,
-                    "payload_type": "text", "payload": payloads[0],
-                    "payloads": payloads, "tags": list(tags or []),
+                    "payload_type": "binary" if is_binary else "text",
+                    "payload": None if is_binary else payloads[0],
+                    "payloads": None if is_binary else payloads,
+                    "payloads_bin": [bytes(x) for x in payloads] if is_binary else None,
+                    "headers": dict(headers) if headers else None,
+                    "tags": list(tags or []),
                     "delete_to": None, "mark_id": None,
                 }
             ]
@@ -157,6 +177,7 @@ class JournalClient:
                     "timestamp": dt.datetime.utcnow(), "origin": self.origin,
                     "version": "1.0", "seq_nr_from": None, "seq_nr_to": None,
                     "payload_type": None, "payload": None, "payloads": None,
+                    "payloads_bin": None, "headers": None,
                     "tags": None, "delete_to": min(to, ptr), "mark_id": None,
                 }
             ]
@@ -180,6 +201,7 @@ class JournalClient:
                     "timestamp": dt.datetime.utcnow(), "origin": self.origin,
                     "version": "1.0", "seq_nr_from": None, "seq_nr_to": None,
                     "payload_type": None, "payload": None, "payloads": None,
+                    "payloads_bin": None, "headers": None,
                     "tags": None, "delete_to": None, "mark_id": None,
                 }
             ]
@@ -192,7 +214,13 @@ class JournalClient:
         head = self._tail_head(topic, key)
         tail = self._tail(topic, key)
         df = read_with_plan(self.store, tail, topic, key, head, from_seq_nr)
-        return sorted((r.seq_nr, r.payload_txt) for r in df.collect())
+        out = []
+        for r in df.collect():
+            payload = r.payload_txt
+            if payload is None and "payload_bin" in df.columns and r.payload_bin is not None:
+                payload = bytes(r.payload_bin)
+            out.append((r.seq_nr, payload))
+        return sorted(out, key=lambda t: t[0])
 
     def replicate(self) -> None:
         """Drain the un-replicated log through the replication fold (the

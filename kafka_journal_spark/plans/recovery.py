@@ -75,13 +75,13 @@ def read_with_plan(
     spark = store.spark
     cols = [
         "id", "topic", "seq_nr", "partition", "offset", "timestamp",
-        "origin", "version", "payload_type", "payload_txt",
+        "origin", "version", "payload_type", "payload_txt", "payload_bin",
     ]
     empty = spark.createDataFrame(
         [],
         "id string, topic string, seq_nr long, partition int, offset long, "
         "timestamp timestamp, origin string, version string, payload_type string, "
-        "payload_txt string",
+        "payload_txt string, payload_bin binary",
     )
     # an un-replicated purge in the tail erases the replicated prefix — the
     # HeadInfo summary loses the purge once a fresh append follows it, so
@@ -101,12 +101,20 @@ def read_with_plan(
             .collect()[0]
         )
         tail_purge_off = row.m if row.m is not None else -1
+    def _project(df: DataFrame) -> DataFrame:
+        # tolerate sources without the binary twin column (narrow tails)
+        if "payload_bin" not in df.columns:
+            df = df.withColumn("payload_bin", F.lit(None).cast("binary"))
+        return df.select(*cols)
+
     parts = []
     if plan.read_store:
         parts.append(
-            store.read(topic=topic, key=key, from_seq_nr=plan.from_seq_nr)
-            .filter(F.col("offset") > F.lit(tail_purge_off))
-            .select(*cols)
+            _project(
+                store.read(topic=topic, key=key, from_seq_nr=plan.from_seq_nr).filter(
+                    F.col("offset") > F.lit(tail_purge_off)
+                )
+            )
         )
     if plan.read_kafka and kafka_tail is not None:
         tail = kafka_tail.filter(
@@ -116,7 +124,7 @@ def read_with_plan(
             & (F.col("offset") >= F.lit(plan.kafka_from_offset))
         )
         parts.append(
-            explode_events(tail).filter(F.col("seq_nr") >= plan.from_seq_nr).select(*cols)
+            _project(explode_events(tail).filter(F.col("seq_nr") >= plan.from_seq_nr))
         )
     if not parts:
         return empty

@@ -109,7 +109,6 @@ def replicate_batch(batch: DataFrame, store: JournalStore) -> None:
     m = summ.join(old, ["topic", "id"], "full_outer")
 
     purged = F.col("purge_off").isNotNull()
-    touched = F.col("max_off").isNotNull() | purged
     # incarnation: rotate on purge; genesis for first-ever appearance
     new_rid = F.when(
         purged, F.md5(F.concat_ws("|", "topic", "id", F.col("purge_off")))

@@ -63,3 +63,22 @@ def test_keys_are_isolated(spark, tmp_path):
     c.replicate()
     assert c.read("t", "a") == []
     assert c.read("t", "b") == [(1, "b1"), (2, "b2")]
+
+
+def test_binary_payload_append_and_read(spark, tmp_path):
+    # bytes payloads ride the binary path end-to-end: un-replicated tail
+    # read, then replicated-store read after replicate()
+    c = JournalClient(spark, str(tmp_path / "client4"))
+    blobs = [b"\x00\x01\xff", b"\xde\xad\xbe\xef"]
+    c.append("t", "m", blobs, headers={"trace": "t-1"})
+    assert c.read("t", "m") == [(1, blobs[0]), (2, blobs[1])]
+    c.replicate()
+    assert c.read("t", "m") == [(1, blobs[0]), (2, blobs[1])]
+    # text and binary journals coexist; a text read is unaffected
+    c.append("t", "n", ["plain"])
+    assert c.read("t", "n") == [(1, "plain")]
+    # mixed batches are rejected (whole-batch binary rule)
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        c.append("t", "m", ["text", b"bytes"])
