@@ -161,10 +161,23 @@ class JournalStore:
 
     def compact(self) -> None:
         """Physically drop orphaned and deleted rows (the deferred cleanup
-        behind the tombstone design): keep only rows visible to read()."""
+        behind the tombstone design): keep only rows visible to read().
+
+        Output files are bounded by record count and clustered by
+        (topic, id, seq_nr) so post-compaction scans get min-max skipping on
+        both the key and the seq range — the 100 TB layout where one journal
+        read touches a handful of row groups, not the whole topic.
+        """
         visible = self.read()
         tmp = self._path(f"_journal.{uuid.uuid4().hex[:8]}.tmp")
-        visible.write.mode("overwrite").partitionBy("topic").parquet(tmp)
+        (
+            visible.repartitionByRange("topic", "id", "seq_nr")
+            .sortWithinPartitions("topic", "id", "seq_nr")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", 4_000_000)
+            .partitionBy("topic")
+            .parquet(tmp)
+        )
         final = self._path("journal")
         if os.path.exists(final):
             shutil.rmtree(final)
