@@ -211,6 +211,78 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             f"SELECT topic, id, kind, offset, seq_nr, delete_to FROM {name}"
         )
 
+    def _event_stream(spark, sf_dir):
+        # stream the events table through a real file-source stream
+        import tempfile
+
+        from kafka_journal_spark.operators.actions import load_events
+
+        d = tempfile.mkdtemp(prefix="kjs-evstream-")
+        load_events(spark, sf_dir).select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        ).write.parquet(f"{d}/src")
+        ddl = (
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double"
+        )
+        return spark.readStream.schema(ddl).parquet(f"{d}/src"), d
+
+    def _run_stream(df, d, name):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def x_window_stream(spark, sf_dir):
+        # Structured Streaming watermarked tumbling-window aggregation over
+        # the events stream; single availableNow pass, complete-mode sink —
+        # the streaming engine itself (state store, window assignment) is
+        # what the oracle checks, against the batch time-bucket SQL
+        import os
+
+        stream, d = _event_stream(spark, sf_dir)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+            )
+            .select(F.col("w.start").alias("ws"), "event_type", "n", "total")
+        )
+        name = "winstream_" + os.path.basename(d).split("-")[-1]
+        _run_stream(agg, d, name)
+        return spark.sql(f"SELECT ws, event_type, n, total FROM {name}")
+
+    def x_session_stream(spark, sf_dir):
+        # Structured Streaming session windows (30-minute gap) per user —
+        # F.session_window with a watermark; sessions end at last event
+        # time + gap, which the oracle's gap-island SQL reproduces
+        import os
+
+        stream, d = _event_stream(spark, sf_dir)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+            )
+        )
+        name = "sessstream_" + os.path.basename(d).split("-")[-1]
+        _run_stream(agg, d, name)
+        return spark.sql(
+            f"SELECT user_id, session_start, session_end, n_events FROM {name}"
+        )
+
     def x_settings_kv(spark, sf_dir):
         # S13: the Settings CRUD KV driven by a deterministic op sequence
         # derived from the events table — set, overwrite, remove — read back
@@ -258,6 +330,8 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_ids_by_created": j_ids_by_created,
         "x_head_stream": x_head_stream,
         "x_settings_kv": x_settings_kv,
+        "x_window_stream": x_window_stream,
+        "x_session_stream": x_session_stream,
         "j_journal": j_journal,
         "j_meta": j_meta,
         "j_pointers": j_pointers,

@@ -165,6 +165,39 @@ ORACLES: dict[str, str] = {
     ),
     "j_pointer": _q('SELECT topic, id, partition, "offset", seq_nr FROM __meta'),
     "j_ids": _q("SELECT topic, id FROM __meta WHERE topic = 'journal'"),
+    # streaming tumbling windows == batch hour buckets (epoch-aligned)
+    "x_window_stream": """
+        SELECT date_trunc('hour', ts) AS ws, event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        FROM events GROUP BY 1, 2
+    """,
+    # streaming session windows (30-min gap): session = gap-island, end =
+    # last event + gap (Spark's session_window end is exclusive, so a gap of
+    # exactly 30 minutes starts a NEW session -> the island condition is >=)
+    "x_session_stream": """
+        WITH lagd AS (
+          SELECT user_id, ts,
+                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+          FROM events
+        ),
+        marks AS (
+          SELECT user_id, ts,
+                 CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM lagd
+        ),
+        sess AS (
+          SELECT user_id, ts,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marks
+        )
+        SELECT user_id, MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, sid
+    """,
     # S13: last-write-wins settings state from the derived op sequence
     # (buckets 0-4 overwritten with max event_id, 7-8 removed)
     "x_settings_kv": """
