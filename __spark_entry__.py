@@ -283,6 +283,36 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             f"SELECT user_id, session_start, session_end, n_events FROM {name}"
         )
 
+    def x_skew_salted_agg(spark, sf_dir):
+        # hot-key-safe two-phase aggregation: ~5 event types over all rows
+        # (extreme skew at scale) sharded 16 ways then merged; must equal
+        # the plain GROUP BY the oracle runs
+        from kafka_journal_spark.functions.numeric import round6
+        from kafka_journal_spark.functions.skew import salted_agg
+        from kafka_journal_spark.operators.actions import load_events
+
+        ev = load_events(spark, sf_dir).withColumn(
+            "v", F.col("value").cast("decimal(18,6)")
+        )
+        out = salted_agg(
+            ev,
+            keys=["event_type"],
+            aggs={"n": ("event_id", "count"), "total": ("v", "sum")},
+            salt=16,
+            salt_on="user_id",
+        )
+        return out.select(
+            "event_type", "n", F.col("total").cast("double").alias("total")
+        )
+
+    def x_skew_count_distinct(spark, sf_dir):
+        # exact distinct users per (hot) event type without a per-key set
+        from kafka_journal_spark.functions.skew import skew_safe_count_distinct
+        from kafka_journal_spark.operators.actions import load_events
+
+        ev = load_events(spark, sf_dir)
+        return skew_safe_count_distinct(ev, "event_type", "user_id")
+
     def x_settings_kv(spark, sf_dir):
         # S13: the Settings CRUD KV driven by a deterministic op sequence
         # derived from the events table — set, overwrite, remove — read back
@@ -332,6 +362,8 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_settings_kv": x_settings_kv,
         "x_window_stream": x_window_stream,
         "x_session_stream": x_session_stream,
+        "x_skew_salted_agg": x_skew_salted_agg,
+        "x_skew_count_distinct": x_skew_count_distinct,
         "j_journal": j_journal,
         "j_meta": j_meta,
         "j_pointers": j_pointers,

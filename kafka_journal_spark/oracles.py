@@ -198,6 +198,17 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS n_events
         FROM sess GROUP BY user_id, sid
     """,
+    # skew patterns: salted two-phase agg / pair-dedup distinct must equal
+    # the naive forms
+    "x_skew_salted_agg": """
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        FROM events GROUP BY event_type
+    """,
+    "x_skew_count_distinct": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_user_id
+        FROM events GROUP BY event_type
+    """,
     # S13: last-write-wins settings state from the derived op sequence
     # (buckets 0-4 overwritten with max event_id, 7-8 removed)
     "x_settings_kv": """
