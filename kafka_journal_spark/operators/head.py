@@ -39,11 +39,15 @@ def head_info_batch(actions: DataFrame) -> DataFrame:
     )
     post = F.col("offset") > F.coalesce(F.col("_purge_off"), F.lit(-1))
     df = df.withColumn("_post", post)
-    # seq appended so far (post-purge) at each row
+    # seq appended so far (post-purge) at each row — the LAST append's
+    # seq_nr_to by offset, not a running max: the reference sets
+    # ``seqNr = range.to`` unconditionally (HeadInfo.scala:242), so a
+    # foreign stream whose ranges restart lowers the head
     df = df.withColumn(
         "_seq_so_far",
-        F.max(
-            F.when(F.col("_post") & (F.col("action_type") == "append"), F.col("seq_nr_to"))
+        F.last(
+            F.when(F.col("_post") & (F.col("action_type") == "append"), F.col("seq_nr_to")),
+            ignorenulls=True,
         ).over(wseq),
     )
     is_app = F.col("_post") & (F.col("action_type") == "append")
@@ -57,11 +61,15 @@ def head_info_batch(actions: DataFrame) -> DataFrame:
         F.least(F.col("delete_to"), F.col("_seq_so_far")),
     )
     del_pre_append = F.when(is_del & F.col("_seq_so_far").isNull(), F.col("delete_to"))
+    app_off = F.when(is_app, F.col("offset"))
     agg = df.groupBy("topic", "id").agg(
         F.max("_purge_off").alias("_p"),
-        F.min(F.when(is_app, F.col("offset"))).alias("_first_app_off"),
-        F.max(F.when(is_app, F.col("seq_nr_to"))).alias("_max_seq"),
-        F.min(F.when(is_app, F.col("seq_nr_from"))).alias("_first_from"),
+        F.min(app_off).alias("_first_app_off"),
+        # last/first APPEND BY OFFSET (max_by/min_by skip null ordering
+        # rows) — not max/min of the seq values, which diverges on
+        # restarting ranges
+        F.max_by(F.col("seq_nr_to"), app_off).alias("_max_seq"),
+        F.min_by(F.col("seq_nr_from"), app_off).alias("_first_from"),
         F.max(del_in_append).alias("_del_in"),
         F.max(del_pre_append).alias("_del_pre"),
     )

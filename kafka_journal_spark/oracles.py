@@ -253,14 +253,18 @@ ORACLES: dict[str, str] = {
         p AS (SELECT *, MAX(CASE WHEN action_type = 'purge' THEN "offset" END)
                   OVER (PARTITION BY topic, id) AS _p FROM __a),
         q AS (SELECT *, ("offset" > COALESCE(_p, -1)) AS _post FROM p),
-        r AS (SELECT *, MAX(CASE WHEN _post AND action_type = 'append' THEN seq_nr_to END)
+        r AS (SELECT *, LAST_VALUE(CASE WHEN _post AND action_type = 'append' THEN seq_nr_to END IGNORE NULLS)
                   OVER (PARTITION BY topic, id ORDER BY "offset"
                         ROWS UNBOUNDED PRECEDING) AS _seq_so_far FROM q),
         agg0 AS (
           SELECT topic, id, MAX(_p) AS _p,
                  MIN(CASE WHEN _post AND action_type = 'append' THEN "offset" END) AS _first_app_off,
-                 MAX(CASE WHEN _post AND action_type = 'append' THEN seq_nr_to END) AS _max_seq,
-                 MIN(CASE WHEN _post AND action_type = 'append' THEN seq_nr_from END) AS _first_from,
+                 -- last/first append BY OFFSET (HeadInfo.scala:242 sets
+                 -- seqNr = range.to unconditionally; restarting ranges lower it)
+                 MAX_BY(CASE WHEN _post AND action_type = 'append' THEN seq_nr_to END,
+                        CASE WHEN _post AND action_type = 'append' THEN "offset" END) AS _max_seq,
+                 MIN_BY(CASE WHEN _post AND action_type = 'append' THEN seq_nr_from END,
+                        CASE WHEN _post AND action_type = 'append' THEN "offset" END) AS _first_from,
                  MAX(CASE WHEN _post AND action_type = 'delete' AND _seq_so_far IS NOT NULL
                        THEN LEAST(delete_to, _seq_so_far) END) AS _del_in,
                  MAX(CASE WHEN _post AND action_type = 'delete' AND _seq_so_far IS NULL
@@ -293,14 +297,18 @@ ORACLES: dict[str, str] = {
         p AS (SELECT *, MAX(CASE WHEN action_type = 'purge' THEN "offset" END)
                   OVER (PARTITION BY topic, id) AS _p FROM tail),
         q AS (SELECT *, ("offset" > COALESCE(_p, -1)) AS _post FROM p),
-        r AS (SELECT *, MAX(CASE WHEN _post AND action_type = 'append' THEN seq_nr_to END)
+        r AS (SELECT *, LAST_VALUE(CASE WHEN _post AND action_type = 'append' THEN seq_nr_to END IGNORE NULLS)
                   OVER (PARTITION BY topic, id ORDER BY "offset"
                         ROWS UNBOUNDED PRECEDING) AS _seq_so_far FROM q),
         agg0 AS (
           SELECT topic, id, MAX(_p) AS _p,
                  MIN(CASE WHEN _post AND action_type = 'append' THEN "offset" END) AS _first_app_off,
-                 MAX(CASE WHEN _post AND action_type = 'append' THEN seq_nr_to END) AS _max_seq,
-                 MIN(CASE WHEN _post AND action_type = 'append' THEN seq_nr_from END) AS _first_from,
+                 -- last/first append BY OFFSET (HeadInfo.scala:242 sets
+                 -- seqNr = range.to unconditionally; restarting ranges lower it)
+                 MAX_BY(CASE WHEN _post AND action_type = 'append' THEN seq_nr_to END,
+                        CASE WHEN _post AND action_type = 'append' THEN "offset" END) AS _max_seq,
+                 MIN_BY(CASE WHEN _post AND action_type = 'append' THEN seq_nr_from END,
+                        CASE WHEN _post AND action_type = 'append' THEN "offset" END) AS _first_from,
                  MAX(CASE WHEN _post AND action_type = 'delete' AND _seq_so_far IS NOT NULL
                        THEN LEAST(delete_to, _seq_so_far) END) AS _del_in,
                  MAX(CASE WHEN _post AND action_type = 'delete' AND _seq_so_far IS NULL
