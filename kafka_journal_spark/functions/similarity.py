@@ -177,6 +177,78 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_topk(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K, nprobe: int = 2
+) -> DataFrame:
+    """True IVF ANN: a trained coarse quantizer (the label centroids as the
+    cell codebook), corpus vectors assigned to their nearest centroid, and
+    each query probing its ``nprobe`` nearest cells before exact scoring.
+
+    Everything is deterministic cross-engine: centroids come from integral
+    quantized sums (``label_centroids``), dot products are ordered
+    sequential folds in both engines, and ties break on (score desc,
+    label/vec_id asc).
+
+    Scale: the codebook broadcasts (O(cells x dim)); assignment is one
+    map-side pass over the corpus; the probe join keys candidates by cell,
+    so each query touches nprobe/num_cells of the data instead of all of
+    it — the IVF contract.  At 100 TB the assignment is precomputed and the
+    cell becomes the partition key.
+    """
+    emb = _emb(spark, sf_dir)
+    cents = label_centroids(spark, sf_dir)
+    cent_vec = (
+        cents.withColumn("c", F.col("sum_q7") / F.col("n") / F.lit(1e7))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+            ).alias("cvec")
+        )
+    )
+    cent_vec = cent_vec.select(F.col("label").alias("c_label"), "cvec")
+    # corpus assignment: nearest centroid by dot product (ties -> min label)
+    scored = emb.select("vec_id", "vec").crossJoin(F.broadcast(cent_vec)).withColumn(
+        "cscore", dot(F.col("vec"), F.col("cvec"))
+    )
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.col("cscore").desc(), F.col("c_label").asc()
+    )
+    assigned = (
+        scored.withColumn("_r", F.row_number().over(wv))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "vec", F.col("c_label").alias("cell"))
+    )
+    # queries probe their nprobe nearest cells
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
+    )
+    qs = q.crossJoin(F.broadcast(cent_vec)).withColumn(
+        "cscore", dot(F.col("q_vec"), F.col("cvec"))
+    )
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("cscore").desc(), F.col("c_label").asc()
+    )
+    probes = (
+        qs.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= nprobe)
+        .select("q_id", "q_vec", F.col("c_label").alias("cell"))
+    )
+    cand = probes.join(assigned, "cell").filter(F.col("vec_id") != F.col("q_id"))
+    rescored = cand.withColumn("score", cosine(F.col("q_vec"), F.col("vec")))
+    wk = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        rescored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= k)
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(F.col("score"), 6).alias("score"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
 def label_centroid_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label corpus stats: member count and mean vector norm (rounded) —
     the aggregation shape of a k-means/IVF training step."""
@@ -342,10 +414,53 @@ SIM_QUERIES = {
     "e_cosine_pandas": cosine_topk_pandas,
     "e_label_stats": label_centroid_sizes,
     "e_centroids": label_centroids,
+    "e_ivf_topk": ivf_topk,
 }
 
 # the pandas kernel reproduces the exact brute-force result
 SIM_ORACLES["e_cosine_pandas"] = SIM_ORACLES["e_cosine_topk"]
+
+SIM_ORACLES["e_ivf_topk"] = f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec, label
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e7) AS BIGINT) AS v
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS _(i)
+    ),
+    cs AS (SELECT label, dim, SUM(v) / COUNT(*) / 1e7 AS c FROM ex GROUP BY label, dim),
+    cent AS (SELECT label, list(c ORDER BY dim) AS cvec FROM cs GROUP BY label),
+    assigned AS (
+      SELECT vec_id, vec, cell FROM (
+        SELECT e.vec_id, e.vec, cent.label AS cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.vec, cent.cvec) DESC, cent.label ASC) AS _r
+        FROM e CROSS JOIN cent
+      ) WHERE _r = 1
+    ),
+    probes AS (
+      SELECT q_id, q_vec, cell FROM (
+        SELECT e.vec_id AS q_id, e.vec AS q_vec, cent.label AS cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.vec, cent.cvec) DESC, cent.label ASC) AS _r
+        FROM e CROSS JOIN cent WHERE e.vec_id < {N_QUERIES}
+      ) WHERE _r <= 2
+    ),
+    cand AS (
+      SELECT p.q_id, a.vec_id,
+             list_dot_product(p.q_vec, a.vec)
+               / (sqrt(list_dot_product(p.q_vec, p.q_vec))
+                  * sqrt(list_dot_product(a.vec, a.vec))) AS sc
+      FROM probes p JOIN assigned a ON p.cell = a.cell
+      WHERE a.vec_id != p.q_id
+    )
+    SELECT q_id, vec_id, ROUND(sc, 6) AS score, CAST(rk AS INTEGER) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sc DESC, vec_id) AS rk
+      FROM cand
+    ) WHERE rk <= {TOP_K}
+"""
 
 SIM_ORACLES["e_centroids"] = """
     WITH ex AS (
