@@ -249,6 +249,62 @@ def ivf_topk(
     )
 
 
+def embedding_neardup(
+    spark: SparkSession, sf_dir: str, tau: float = 0.35
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (the dedup-family member
+    over vectors): candidate pairs come from the multiprobe sign-bucket
+    join (same bucket or one sign-bit apart — NO all-pairs scan), survive a
+    cosine >= tau check, and each vector gets a one-step canonical
+    assignment ``least(own id, min matching id)`` like the exact-dedup
+    keep-decision.
+
+    Scale: candidate generation is an equi-join on the probe bucket
+    (corpus x (dims+1) probe rows), so the work is bucket-local; the
+    all-pairs formulation only lives in the DuckDB oracle.
+    """
+    emb = _emb(spark, sf_dir).withColumn("bucket", sign_bucket(F.col("vec")))
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(BUCKET_DIMS)],
+    )
+    a = emb.select(
+        F.col("vec_id").alias("i"),
+        F.col("vec").alias("va"),
+        F.explode(probes).alias("pb"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("j"), F.col("vec").alias("vb"), F.col("bucket").alias("pb")
+    )
+    pairs = (
+        a.join(b, "pb")
+        .filter(F.col("i") < F.col("j"))
+        .dropDuplicates(["i", "j"])
+        .withColumn("s", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("s") >= F.lit(tau))
+        .select("i", "j")
+    )
+    matches = (
+        pairs.select(F.col("i").alias("vec_id"), F.col("j").alias("partner"))
+        .unionByName(
+            pairs.select(F.col("j").alias("vec_id"), F.col("i").alias("partner"))
+        )
+        .groupBy("vec_id")
+        .agg(F.min("partner").alias("_mp"), F.count(F.lit(1)).alias("n_matches"))
+    )
+    return (
+        emb.select("vec_id")
+        .join(matches, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.least(F.col("vec_id"), F.coalesce(F.col("_mp"), F.col("vec_id"))).alias(
+                "canonical_id"
+            ),
+            F.coalesce(F.col("n_matches"), F.lit(0)).alias("n_matches"),
+        )
+    )
+
+
 def label_centroid_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label corpus stats: member count and mean vector norm (rounded) —
     the aggregation shape of a k-means/IVF training step."""
@@ -415,10 +471,44 @@ SIM_QUERIES = {
     "e_label_stats": label_centroid_sizes,
     "e_centroids": label_centroids,
     "e_ivf_topk": ivf_topk,
+    "d_embedding_neardup": embedding_neardup,
 }
 
 # the pandas kernel reproduces the exact brute-force result
 SIM_ORACLES["e_cosine_pandas"] = SIM_ORACLES["e_cosine_topk"]
+
+SIM_ORACLES["d_embedding_neardup"] = f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ),
+    bk AS (
+      SELECT vec_id, vec,
+             (SELECT SUM(CASE WHEN vec[i] >= 0 THEN 1 << (i - 1) ELSE 0 END)
+              FROM range(1, {BUCKET_DIMS} + 1) AS t(i)) AS bucket
+      FROM e
+    ),
+    pairs AS (
+      SELECT a.vec_id AS i, b.vec_id AS j
+      FROM bk a JOIN bk b
+        ON a.vec_id < b.vec_id
+       AND bit_count(xor(a.bucket, b.bucket)) <= 1
+       AND list_dot_product(a.vec, b.vec)
+             / (sqrt(list_dot_product(a.vec, a.vec))
+                * sqrt(list_dot_product(b.vec, b.vec))) >= 0.35
+    ),
+    m AS (
+      SELECT vec_id, MIN(partner) AS mp, COUNT(*) AS n_matches FROM (
+        SELECT i AS vec_id, j AS partner FROM pairs
+        UNION ALL
+        SELECT j AS vec_id, i AS partner FROM pairs
+      ) GROUP BY vec_id
+    )
+    SELECT e.vec_id,
+           LEAST(e.vec_id, COALESCE(m.mp, e.vec_id)) AS canonical_id,
+           CAST(COALESCE(m.n_matches, 0) AS BIGINT) AS n_matches
+    FROM e LEFT JOIN m ON e.vec_id = m.vec_id
+"""
 
 SIM_ORACLES["e_ivf_topk"] = f"""
     WITH e AS (
