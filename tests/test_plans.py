@@ -35,6 +35,25 @@ def test_q3_q5_broadcast_dimensions(spark):
     assert _plan(q5_local_volume(spark, SF)).count("BroadcastHashJoin") >= 3
 
 
+def test_q7_q8_broadcast_all_dimensions(spark):
+    from kafka_journal_spark.operators.analytics import q7_volume_shipping, q8_market_share
+
+    # q7: supplier, customer, nation x2 all broadcast; only the fact chain shuffles
+    assert _plan(q7_volume_shipping(spark, SF)).count("BroadcastHashJoin") >= 4
+    # q8: part, supplier, customer, nation x2, region all broadcast
+    assert _plan(q8_market_share(spark, SF)).count("BroadcastHashJoin") >= 5
+
+
+def test_meta_expiry_reads_head_single_shuffle(spark):
+    # x_meta_expiry is one head materialization: a single key-partitioned
+    # aggregation, no join back to the action stream
+    from kafka_journal_spark.operators.expiry import metajournal_expiry
+
+    p = _plan(metajournal_expiry(spark, SF))
+    assert "Join" not in p, p
+    assert p.count("Exchange") <= 2, p  # key agg (+AQE final read)
+
+
 def test_store_read_prunes_partitions_and_pushes_seq_nr(spark, tmp_path):
     from conftest import append, make_actions
     from kafka_journal_spark.sources.statestore import JournalStore

@@ -35,6 +35,56 @@ SCENARIOS = {
 }
 
 
+def test_incremental_equals_batch_randomized(spark, tmp_path):
+    """ConsistencySpec, randomized: writer-valid action streams (monotone
+    seq ranges, deletes clamped to the current pointer — what the real
+    client emits) replicated through RANDOM batch boundaries must equal the
+    one-shot materialization, for both journal rows and heads."""
+    import random
+
+    rng = random.Random(20260813)
+    for trial in range(4):
+        acts = []
+        seq = {}
+        for _ in range(rng.randint(10, 24)):
+            key = rng.choice(["a", "b", "c"])
+            kind = rng.choices(
+                ["append", "delete", "purge", "mark"], weights=[6, 3, 1, 1]
+            )[0]
+            if kind == "append":
+                seq[key] = seq.get(key, 0) + 1
+                acts.append(append(key, seq[key]))
+            elif kind == "delete":
+                if seq.get(key, 0) == 0:
+                    continue  # the writer drops deletes on absent journals
+                acts.append(delete(key, rng.randint(1, seq[key])))
+            elif kind == "purge":
+                seq[key] = 0
+                acts.append(purge(key))
+            else:
+                acts.append(mark(key))
+        if not acts:
+            continue
+        cuts = sorted(rng.sample(range(1, len(acts) + 1), min(3, len(acts))))
+        store = JournalStore(spark, str(tmp_path / f"rand{trial}"))
+        bounds = [0, *cuts, len(acts)]
+        for lo, hi in zip(bounds, bounds[1:]):
+            if lo < hi:
+                replicate_batch(make_actions(spark, acts[lo:hi], offset_base=lo), store)
+        assert _got(store) == _expected(spark, acts), (trial, cuts, acts)
+        # heads agree with the batch materializer too
+        from kafka_journal_spark.operators.replicate import materialize_metajournal
+
+        want_meta = {
+            r.id: (r.seq_nr, r.delete_to)
+            for r in materialize_metajournal(make_actions(spark, acts)).collect()
+        }
+        got_meta = {
+            r.id: (r.seq_nr, r.delete_to) for r in store.metajournal().collect()
+        }
+        assert got_meta == want_meta, (trial, cuts, acts)
+
+
 # NOTE: an overshooting delete is deliberately NOT a SCENARIOS entry — the
 # reference applies the clamp per poll (Batch collapse), so batch boundaries
 # legitimately change the outcome; "incremental == one-shot" only holds for
