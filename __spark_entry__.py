@@ -283,6 +283,61 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             f"SELECT user_id, session_start, session_end, n_events FROM {name}"
         )
 
+    def x_stats_moments(spark, sf_dir):
+        # statistical aggregates via exact integral moments: values are
+        # floor-quantized, summed exactly as decimals, and mean/variance/
+        # stddev/corr are derived in double from the exact sums with the
+        # identical op order in both engines — deterministic where native
+        # stddev/corr would differ in the last ulp
+        from kafka_journal_spark.functions.numeric import round6
+        from kafka_journal_spark.operators.actions import load_events
+
+        ev = load_events(spark, sf_dir).select(
+            "event_type",
+            F.floor(F.col("value") * 1e6).cast("decimal(38,0)").alias("v"),
+            F.col("user_id").cast("decimal(38,0)").alias("u"),
+        )
+        agg = ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s1"),
+            F.sum(F.col("v") * F.col("v")).alias("s2"),
+            F.sum("u").alias("su"),
+            F.sum(F.col("u") * F.col("u")).alias("su2"),
+            F.sum(F.col("v") * F.col("u")).alias("svu"),
+        )
+        n = F.col("n").cast("double")
+        s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+        su, su2, svu = (
+            F.col("su").cast("double"),
+            F.col("su2").cast("double"),
+            F.col("svu").cast("double"),
+        )
+        mean = s1 / n / F.lit(1e6)
+        var = (s2 / n - (s1 / n) * (s1 / n)) / F.lit(1e12)
+        corr = (n * svu - s1 * su) / F.sqrt(
+            (n * s2 - s1 * s1) * (n * su2 - su * su)
+        )
+        return agg.select(
+            "event_type",
+            "n",
+            round6(mean).alias("mean_value"),
+            round6(var).alias("var_value"),
+            round6(F.sqrt(var)).alias("stddev_value"),
+            round6(corr + F.lit(1.0)).alias("corr_value_user_p1"),
+        )
+
+    def x_approx_distinct(spark, sf_dir):
+        # approx aggregates (HLL sketch): inherently engine-specific, so
+        # this is a rows-only check (no oracle) — the exact counterpart is
+        # x_skew_count_distinct
+        from kafka_journal_spark.operators.actions import load_events
+
+        ev = load_events(spark, sf_dir)
+        return ev.groupBy("event_type").agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
     def x_skew_salted_agg(spark, sf_dir):
         # hot-key-safe two-phase aggregation: ~5 event types over all rows
         # (extreme skew at scale) sharded 16 ways then merged; must equal
@@ -364,6 +419,8 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_session_stream": x_session_stream,
         "x_skew_salted_agg": x_skew_salted_agg,
         "x_skew_count_distinct": x_skew_count_distinct,
+        "x_stats_moments": x_stats_moments,
+        "x_approx_distinct": x_approx_distinct,
         "j_journal": j_journal,
         "j_meta": j_meta,
         "j_pointers": j_pointers,

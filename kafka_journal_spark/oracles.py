@@ -198,6 +198,36 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS n_events
         FROM sess GROUP BY user_id, sid
     """,
+    # statistical aggs from exact integral moments (HUGEINT sums), derived
+    # in double with the identical op order as the Spark side
+    "x_stats_moments": """
+        WITH q AS (
+          SELECT event_type,
+                 CAST(FLOOR(value * 1e6) AS HUGEINT) AS v,
+                 CAST(user_id AS HUGEINT) AS u
+          FROM events
+        ),
+        a AS (
+          SELECT event_type, COUNT(*) AS n, SUM(v) AS s1, SUM(v * v) AS s2,
+                 SUM(u) AS su, SUM(u * u) AS su2, SUM(v * u) AS svu
+          FROM q GROUP BY event_type
+        ),
+        d AS (
+          SELECT event_type, n,
+                 CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1d,
+                 CAST(s2 AS DOUBLE) AS s2d, CAST(su AS DOUBLE) AS sud,
+                 CAST(su2 AS DOUBLE) AS su2d, CAST(svu AS DOUBLE) AS svud
+          FROM a
+        )
+        SELECT event_type, n,
+               (FLOOR((s1d / nd / 1e6) * 1000000.0 + 0.5) / 1000000.0) AS mean_value,
+               (FLOOR(((s2d / nd - (s1d / nd) * (s1d / nd)) / 1e12) * 1000000.0 + 0.5) / 1000000.0) AS var_value,
+               (FLOOR(sqrt((s2d / nd - (s1d / nd) * (s1d / nd)) / 1e12) * 1000000.0 + 0.5) / 1000000.0) AS stddev_value,
+               (FLOOR(((nd * svud - s1d * sud)
+                        / sqrt((nd * s2d - s1d * s1d) * (nd * su2d - sud * sud))
+                       + 1.0) * 1000000.0 + 0.5) / 1000000.0) AS corr_value_user_p1
+        FROM d
+    """,
     # skew patterns: salted two-phase agg / pair-dedup distinct must equal
     # the naive forms
     "x_skew_salted_agg": """
