@@ -98,6 +98,124 @@ def load_snapshot(
     )
 
 
+SNAPSHOT_SCHEMA_DDL = (
+    "topic string, id string, buffer_nr int, seq_nr long, timestamp timestamp, "
+    "origin string, version string, payload_type string, payload_txt string"
+)
+
+
+class SnapshotStore:
+    """Parquet-backed implementation of the reference's SnapshotStore trait
+    (``snapshot/.../SnapshotStore.scala:11-61``: save / load(criteria) /
+    delete(criteria) / delete(seqNr)) with the ring-buffer slot policy
+    (``BufferNr.scala:11-31``): the n-th snapshot of a key lands in slot
+    ``(n-1) % buffer_size``, overwriting the previous occupant.
+
+    Writes are whole-table swaps of an O(#keys x buffer_size) table — the
+    same size-aware pattern as the metajournal head (snapshots are head
+    state, not bulk data).
+    """
+
+    def __init__(self, spark: SparkSession, root: str, buffer_size: int = BUFFER_SIZE):
+        import os
+
+        self.spark = spark
+        self.root = root
+        self.buffer_size = buffer_size
+        self.path = os.path.join(root, "snapshots")
+        os.makedirs(root, exist_ok=True)
+        self._counts: dict[tuple[str, str], int] = {}
+
+    def _df(self) -> DataFrame:
+        import os
+
+        if os.path.exists(self.path):
+            return self.spark.read.schema(SNAPSHOT_SCHEMA_DDL).parquet(self.path)
+        return self.spark.createDataFrame([], SNAPSHOT_SCHEMA_DDL)
+
+    def _swap(self, df: DataFrame) -> None:
+        import os
+        import shutil
+        import uuid
+
+        tmp = f"{self.path}.{uuid.uuid4().hex[:8]}.tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if os.path.exists(self.path):
+            shutil.rmtree(self.path)
+        os.replace(tmp, self.path)
+
+    def save(self, topic: str, key: str, seq_nr: int, payload: str,
+             timestamp=None, origin: str = "client", version: str = "1.0") -> None:
+        """Slot = (n-1) % buffer_size for the key's n-th save; the previous
+        occupant of the slot is overwritten (BufferNr ring semantics)."""
+        import datetime as dt
+
+        n = self._counts.get((topic, key), self._persisted_count(topic, key))
+        slot = n % self.buffer_size
+        self._counts[(topic, key)] = n + 1
+        row = self.spark.createDataFrame(
+            [(
+                topic, key, slot, seq_nr,
+                timestamp or dt.datetime.utcnow(), origin, version,
+                "text", payload,
+            )],
+            SNAPSHOT_SCHEMA_DDL,
+        )
+        from pyspark.sql import functions as F
+
+        kept = self._df().filter(
+            ~((F.col("topic") == topic) & (F.col("id") == key) & (F.col("buffer_nr") == slot))
+        )
+        self._swap(kept.unionByName(row))
+
+    def _persisted_count(self, topic: str, key: str) -> int:
+        # conservative restart recovery: resume the ring from the retained
+        # snapshot count (exact slot rotation only matters for overwrites)
+        return (
+            self._df()
+            .filter((F.col("topic") == topic) & (F.col("id") == key))
+            .count()
+        )
+
+    def _select(self, topic: str, key: str,
+                criteria: "SnapshotSelectionCriteria") -> DataFrame:
+        t = self._df().filter((F.col("topic") == topic) & (F.col("id") == key))
+        if criteria.max_seq_nr is not None:
+            t = t.filter(F.col("seq_nr") <= criteria.max_seq_nr)
+        if criteria.min_seq_nr is not None:
+            t = t.filter(F.col("seq_nr") >= criteria.min_seq_nr)
+        if criteria.max_timestamp is not None:
+            t = t.filter(F.col("timestamp") <= F.lit(criteria.max_timestamp))
+        if criteria.min_timestamp is not None:
+            t = t.filter(F.col("timestamp") >= F.lit(criteria.min_timestamp))
+        return t
+
+    def load(self, topic: str, key: str,
+             criteria: "SnapshotSelectionCriteria" = None):
+        """The latest (max seq_nr) retained snapshot within the criteria,
+        or None (SnapshotStore.scala:23-34)."""
+        criteria = criteria or SnapshotSelectionCriteria()
+        rows = (
+            self._select(topic, key, criteria)
+            .orderBy(F.col("seq_nr").desc())
+            .limit(1)
+            .collect()
+        )
+        return rows[0] if rows else None
+
+    def delete(self, topic: str, key: str,
+               criteria: "SnapshotSelectionCriteria" = None,
+               seq_nr: int | None = None) -> None:
+        """Delete all snapshots matching the criteria, or exactly one
+        seq_nr (SnapshotStore.scala:36-61)."""
+        if seq_nr is not None:
+            criteria = SnapshotSelectionCriteria(max_seq_nr=seq_nr, min_seq_nr=seq_nr)
+        criteria = criteria or SnapshotSelectionCriteria()
+        doomed = self._select(topic, key, criteria).select("topic", "id", "buffer_nr")
+        kept = self._df().join(doomed, ["topic", "id", "buffer_nr"], "left_anti")
+        self._swap(kept)
+
+
 def recovery_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-seeded recovery (the reference's SnapshotStore intent,
     ``snapshot/.../SnapshotStore.scala:11-61``: recover state from the latest

@@ -63,6 +63,42 @@ def test_ring_buffer_retention(spark):
             assert seq % SNAP_EVERY == 0
 
 
+def test_snapshot_store_save_load_delete(spark, tmp_path):
+    """The full SnapshotStore trait (SnapshotStore.scala:11-61): ring-slot
+    saves, criteria loads, criteria + point deletes."""
+    from kafka_journal_spark.operators.snapshots import (
+        BUFFER_SIZE,
+        SnapshotSelectionCriteria,
+        SnapshotStore,
+    )
+
+    s = SnapshotStore(spark, str(tmp_path / "snapstore"))
+    for seq in (5, 10, 15, 20):  # 4 saves, 3 slots -> seq 5 overwritten
+        s.save("t", "a", seq, f"state@{seq}")
+    s.save("t", "b", 7, "b@7")
+
+    latest = s.load("t", "a")
+    assert (latest.seq_nr, latest.payload_txt) == (20, "state@20")
+    # seq 5 fell out of the ring (slot reused by seq 20)
+    assert s.load("t", "a", SnapshotSelectionCriteria(max_seq_nr=9)) is None
+    bounded = s.load("t", "a", SnapshotSelectionCriteria(max_seq_nr=16))
+    assert bounded.seq_nr == 15
+    # point delete removes exactly seq 15; seq 10 remains retained
+    s.delete("t", "a", seq_nr=15)
+    assert s.load("t", "a", SnapshotSelectionCriteria(max_seq_nr=16)).seq_nr == 10
+    assert s.load("t", "a").seq_nr == 20
+    # criteria delete wipes the rest of the key; other keys untouched
+    s.delete("t", "a")
+    assert s.load("t", "a") is None
+    assert s.load("t", "b").seq_nr == 7
+    # retention bound holds after many saves
+    for seq in range(30, 70, 5):
+        s.save("t", "c", seq, f"c@{seq}")
+    rows = s._df().filter("id = 'c'").collect()
+    assert len(rows) <= BUFFER_SIZE
+    assert max(r.seq_nr for r in rows) == 65  # newest always survives
+
+
 def test_recovery_hybrid_reconstructs_full_visibility(spark):
     # snapshot seed + journal suffix must cover exactly the journal's visible
     # seq range: suffix starts right after the seed, no gap, no overlap
