@@ -448,7 +448,8 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: ``extra_oracle_sql()`` and verified by ``tools/check_correctness.py``
 #: (they are subsumed variants: j_read ⊂ j_read_from, j_ids ⊂ j_pointer,
 #: j_actions ⊂ j_wire_roundtrip, q3/q10/q14 ⊂ the kept join+agg gates,
-#: q_cube ⊂ q_rollup, e_lsh_buckets/e_ann_bucketed ⊂ e_ann_multiprobe,
+#: q_cube ⊂ q_rollup, q_distinct ⊂ q_setops (set ops are distinct-based),
+#: e_lsh_buckets/e_ann_bucketed ⊂ e_ann_multiprobe,
 #: e_label_stats ⊂ e_centroids, x_expiry_candidates ⊂ x_meta_expiry,
 #: s_snapshots/s_load_bounded ⊂ s_load_latest).
 GATE_ORDER = [
@@ -479,7 +480,6 @@ GATE_ORDER = [
     "q_window_running",
     "q_semi_anti",
     "q_topk_per_group",
-    "q_distinct",
     "q_setops",
     "q_asof_join",
     "q_sessionize",
@@ -504,6 +504,8 @@ GATE_ORDER = [
     "e_ann_multiprobe",
     "e_cosine_pandas",
     "e_centroids",
+    # multimodal: real WAV decode through the mapInPandas fan-out
+    "m_wav_decode",
     # expiry / snapshots
     "x_meta_expiry",
     "s_load_latest",

@@ -403,12 +403,20 @@ def encode_actions_to_kafka(actions: DataFrame) -> DataFrame:
     if "payload_bin" in actions.columns or "payloads_bin" in actions.columns:
         enc = _encode_events_bin_udf()
         is_bin = is_append & (F.col("payload_type") == "binary")
+        # the action's PayloadMetadata (e.g. expireAfter) rides the version-1
+        # envelope tail — the reference serializes it, and the decoder
+        # surfaces it, so hardcoding '{}' would make the codec asymmetric
+        meta_col = (
+            F.coalesce(F.col("metadata"), F.lit("{}"))
+            if "metadata" in actions.columns
+            else F.lit("{}")
+        )
         value = F.when(
             is_bin,
             enc(
                 # mask so the Arrow batch only packs genuine binary appends
                 F.when(is_bin, events_struct_binary(actions)),
-                F.lit("{}"),
+                meta_col,
             ),
         ).when(is_append, events_payload_json(actions).cast("binary"))
     else:

@@ -117,9 +117,13 @@ def head_info_step(h: HeadInfo, a: ActionRec) -> HeadInfo:
     # delete
     to = a.delete_to
     if h.kind == "append":
-        clamped = min(to, h.seq_nr)
-        new = clamped if h.delete_to is None else max(h.delete_to, clamped)
-        return replace(h, delete_to=new)
+        # min(max(oldDeleteTo, to), seqNr) — the accumulated watermark is
+        # RE-clamped to the current head at every delete (HeadInfo.scala:
+        # 255-262), so an append that restarts the range below an earlier
+        # clamped watermark pulls it back down (e.g. append 1-10, delete 10,
+        # append 1-2, delete 1 => delete_to = 2, not 10)
+        base = to if h.delete_to is None else max(h.delete_to, to)
+        return replace(h, delete_to=min(base, h.seq_nr))
     if h.kind == "delete":
         return replace(h, delete_to=max(h.delete_to, to))
     return HeadInfo(kind="delete", delete_to=to)

@@ -106,6 +106,105 @@ def extract_features(media: DataFrame, frames_per_item: int = 2) -> DataFrame:
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# real audio decode: WAV (RIFF/PCM16) via the stdlib ``wave`` module — the
+# one format the container can genuinely decode.  The mapInPandas fan-out,
+# schema and blob pruning are shared with the stub kernels above; this
+# kernel actually parses the container header and unpacks PCM frames.
+# ---------------------------------------------------------------------------
+
+WAV_RATE = 8_000
+
+WAV_FEATURE_SCHEMA = (
+    "media_id long, sample_rate int, n_samples int, duration_ms double, "
+    "amp_mean double, amp_max int, amp_min int, rms double"
+)
+
+
+def _wav_samples(doc_id: int) -> list[int]:
+    """Deterministic PCM16 content: the SQL oracle recomputes features from
+    this closed-form generator, NOT by replaying the decoder — a decode bug
+    (endianness, header offset, frame width) shows up as a value mismatch."""
+    n = 160 + doc_id % 96
+    return [((doc_id * 2654435761 + i * 40503) % 65536) - 32768 for i in range(n)]
+
+
+def synth_wav_media(spark: SparkSession, sf_dir: str, n: int = 64) -> DataFrame:
+    """Media table whose blobs are REAL single-channel 16-bit PCM WAV files
+    (RIFF header + frames), built per row with the stdlib ``wave`` writer —
+    a deterministic stand-in for an object-store-backed audio corpus."""
+    import io
+    import os
+    import struct
+    import wave
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.col("doc_id") < n)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for mid in pdf["media_id"]:
+                samples = _wav_samples(int(mid))
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(WAV_RATE)
+                    w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "mime": "audio/wav", "blob": blobs}
+            )
+
+    return docs.mapInPandas(gen, schema="media_id long, mime string, blob binary")
+
+
+def decode_wav_features(media: DataFrame) -> DataFrame:
+    """REAL decode through the mapInPandas fan-out: parse the RIFF header
+    with ``wave``, unpack little-endian PCM16 frames, and compute audio
+    features.  Everything (rate, frame count) comes from the parsed header —
+    nothing is assumed from the generator."""
+    import io
+    import math
+    import struct
+    import wave
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                with wave.open(io.BytesIO(bytes(r.blob)), "rb") as w:
+                    assert w.getnchannels() == 1 and w.getsampwidth() == 2
+                    rate = w.getframerate()
+                    nf = w.getnframes()
+                    samples = struct.unpack(f"<{nf}h", w.readframes(nf))
+                out.append(
+                    {
+                        "media_id": r.media_id,
+                        "sample_rate": rate,
+                        "n_samples": nf,
+                        "duration_ms": nf * 1000.0 / rate,
+                        "amp_mean": sum(samples) / nf,
+                        "amp_max": max(samples),
+                        "amp_min": min(samples),
+                        "rms": math.sqrt(sum(s * s for s in samples) / nf),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "sample_rate", "n_samples", "duration_ms",
+                    "amp_mean", "amp_max", "amp_min", "rms",
+                ],
+            )
+
+    return media.mapInPandas(kernel, schema=WAV_FEATURE_SCHEMA)
+
+
 def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only aggregation — must never touch the blob column (check
     ReadSchema in the plan: blobs pruned)."""
@@ -146,7 +245,25 @@ def _mm_queries():
             "media_id", "frame_idx", "feat_hash", round6(F.col("brightness")).alias("brightness")
         )
 
-    return {"m_media_stats": m_media_stats, "m_features": m_features}
+    def m_wav_decode(spark, sf_dir):
+        media = synth_wav_media(spark, sf_dir)
+        feats = decode_wav_features(media)
+        return feats.select(
+            "media_id",
+            "sample_rate",
+            "n_samples",
+            round6(F.col("duration_ms")).alias("duration_ms"),
+            round6(F.col("amp_mean")).alias("amp_mean"),
+            "amp_max",
+            "amp_min",
+            round6(F.col("rms")).alias("rms"),
+        )
+
+    return {
+        "m_media_stats": m_media_stats,
+        "m_features": m_features,
+        "m_wav_decode": m_wav_decode,
+    }
 
 
 MULTIMODAL_QUERIES = _mm_queries()
@@ -188,5 +305,28 @@ MULTIMODAL_ORACLES: dict[str, str] = {
                                                      c -> ascii(c)), 'sum')
                        / 16.0) * 1000000.0 + 0.5) / 1000000.0) AS brightness
         FROM s
+    """,
+    # recomputes the features from the PCM generator's closed form — never
+    # touches WAV bytes, so it is independent of the decoder under test
+    "m_wav_decode": """
+        WITH m AS (
+          SELECT doc_id AS media_id, CAST(160 + doc_id % 96 AS INTEGER) AS n
+          FROM documents WHERE doc_id < 64
+        ),
+        s AS (SELECT media_id, n, unnest(range(n)) AS i FROM m),
+        v AS (
+          SELECT media_id, n,
+                 ((media_id * 2654435761 + i * 40503) % 65536) - 32768 AS smp
+          FROM s
+        )
+        SELECT media_id,
+               CAST(8000 AS INTEGER) AS sample_rate,
+               n AS n_samples,
+               (FLOOR((n * 1000.0 / 8000) * 1000000.0 + 0.5) / 1000000.0) AS duration_ms,
+               (FLOOR((CAST(SUM(smp) AS DOUBLE) / n) * 1000000.0 + 0.5) / 1000000.0) AS amp_mean,
+               CAST(MAX(smp) AS INTEGER) AS amp_max,
+               CAST(MIN(smp) AS INTEGER) AS amp_min,
+               (FLOOR(sqrt(CAST(SUM(CAST(smp AS BIGINT) * smp) AS DOUBLE) / n) * 1000000.0 + 0.5) / 1000000.0) AS rms
+        FROM v GROUP BY media_id, n
     """,
 }

@@ -36,16 +36,23 @@ def salted_agg(
 
     ``aggs`` maps output column -> (input column, fn) where fn is an
     algebraic aggregate with a merge of itself (``sum``, ``count``, ``min``,
-    ``max``).  ``salt_on`` picks the shard (a stable column expression —
-    defaults to a hash of the whole row via ``spark_partition_id``-free
-    deterministic columns is NOT possible generically, so pass one; for a
-    count/sum any roughly-uniform column works).
+    ``max``).  ``salt_on`` picks the shard (a stable column expression; for a
+    count/sum any roughly-uniform column works).  Without it the shard is
+    derived from a hash of ALL columns — deterministic under task retries
+    (an ``F.rand`` fallback would re-assign rows on stage recomputation
+    after the partial agg consumed the original assignment, double-counting
+    or dropping rows: the classic nondeterministic-repartition hazard).
     """
     merge_fn = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
-    shard = (
-        F.pmod(F.hash(salt_on if isinstance(salt_on, Column) else F.col(salt_on)), F.lit(salt))
-        if salt_on is not None
-        else F.floor(F.rand(seed=7) * salt)  # non-deterministic fallback
+    shard = F.pmod(
+        F.hash(
+            *(
+                [salt_on if isinstance(salt_on, Column) else F.col(salt_on)]
+                if salt_on is not None
+                else [F.col(c) for c in df.columns]
+            )
+        ),
+        F.lit(salt),
     )
     partial = df.withColumn("_salt", shard).groupBy(*keys, "_salt").agg(
         *[

@@ -52,13 +52,23 @@ def head_info_batch(actions: DataFrame) -> DataFrame:
     )
     is_app = F.col("_post") & (F.col("action_type") == "append")
     is_del = F.col("_post") & (F.col("action_type") == "delete")
-    # deletes seen in Append state clamp to the seq appended so far;
-    # deletes seen before any append (Delete state) are folded separately
-    # and clamped by the FIRST append's range start (or kept raw when no
-    # append ever arrives)
+    # the reference RE-clamps the accumulated watermark to the current head
+    # at every delete — dt' = min(max(dt, to), seq) (HeadInfo.scala:255-262).
+    # Unrolled with min/max distributivity, the final watermark is
+    #   max over deletes j of min(to_j, suffix-min of seq-so-far over
+    #   append-state deletes at-or-after j)
+    # so each delete's contribution is clamped by every LATER delete's view
+    # of the head, which an append restarting its range can have lowered.
+    w_sfx = (
+        Window.partitionBy("topic", "id")
+        .orderBy("offset")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    s_at_del = F.when(is_del & F.col("_seq_so_far").isNotNull(), F.col("_seq_so_far"))
+    df = df.withColumn("_sfx_min_s", F.min(s_at_del).over(w_sfx))
     del_in_append = F.when(
         is_del & F.col("_seq_so_far").isNotNull(),
-        F.least(F.col("delete_to"), F.col("_seq_so_far")),
+        F.least(F.col("delete_to"), F.col("_sfx_min_s")),
     )
     del_pre_append = F.when(is_del & F.col("_seq_so_far").isNull(), F.col("delete_to"))
     app_off = F.when(is_app, F.col("offset"))
@@ -72,14 +82,21 @@ def head_info_batch(actions: DataFrame) -> DataFrame:
         F.min_by(F.col("seq_nr_from"), app_off).alias("_first_from"),
         F.max(del_in_append).alias("_del_in"),
         F.max(del_pre_append).alias("_del_pre"),
+        F.min(s_at_del).alias("_min_s_del"),
     )
     # final watermark: Delete state keeps the raw max; Append state takes
     # max(clamped in-append deletes, pre-append watermark clamped to
-    # first_from - 1, dropped when first_from == 1)  (HeadInfo.scala:232-247)
+    # first_from - 1, dropped when first_from == 1)  (HeadInfo.scala:232-247).
+    # The pre-append watermark entered the fold at the first append, so it
+    # too is re-clamped by every append-state delete's view of the head.
     # (F.least/GREATEST skip nulls in both engines, so guard explicitly)
     pre_kept = F.when(
         F.col("_del_pre").isNotNull() & (F.col("_first_from") > 1),
-        F.least(F.col("_del_pre"), F.col("_first_from") - 1),
+        F.least(
+            F.col("_del_pre"),
+            F.col("_first_from") - 1,
+            F.coalesce(F.col("_min_s_del"), F.lit(2**62)),
+        ),
     )
     agg = agg.withColumn(
         "_del_to",

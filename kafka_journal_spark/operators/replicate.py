@@ -59,18 +59,31 @@ def java_string_hash(col: Column) -> Column:
 
     Spark 4 runs ANSI arithmetic (no silent int wrap), so each step is
     masked in bigint space: ``pmod(31*h + c + 2^31, 2^32) - 2^31`` — the
-    magnitude stays < 2^36, well inside bigint.  Code units come from
-    ``ascii()`` per character, which equals the UTF-16 unit for all BMP
-    text (supplementary-plane ids would diverge — acceptable for journal
-    keys).  Verified against JVM values incl. "polygenelubricants" ->
-    Integer.MIN_VALUE.
+    magnitude stays < 2^42, well inside bigint.  ``split(col, '')`` yields
+    code POINTS (Java's regex engine never splits a surrogate pair) and
+    ``ascii()`` returns the code point; a BMP character contributes one
+    fold step, a supplementary-plane character contributes its TWO UTF-16
+    surrogate units in one combined step::
+
+        h' = 31*(31*h + hi) + lo = 961*h + 31*hi + lo
+        hi = 0xD800 + (cp - 0x10000) >> 10,  lo = 0xDC00 + (cp - 0x10000) & 0x3FF
+
+    so the hash is bit-identical to the JVM for ALL strings, not just BMP
+    (verified property-test vs a Python UTF-16 model incl. emoji /
+    U+1D11E; "polygenelubricants" -> Integer.MIN_VALUE).
     """
     codes = F.transform(F.split(col, ""), lambda c: F.ascii(c).cast("long"))
-    return F.aggregate(
-        codes,
-        F.lit(0).cast("long"),
-        lambda acc, c: F.pmod(acc * F.lit(31) + c + F.lit(_M31), F.lit(_M32)) - F.lit(_M31),
-    )
+
+    def _step(acc: Column, cp: Column) -> Column:
+        bmp = acc * F.lit(31) + cp
+        off = cp - F.lit(0x10000)
+        hi = F.lit(0xD800) + F.floor(off / F.lit(1024))
+        lo = F.lit(0xDC00) + F.pmod(off, F.lit(1024))
+        supp = acc * F.lit(961) + hi * F.lit(31) + lo
+        raw = F.when(cp < F.lit(0x10000), bmp).otherwise(supp)
+        return F.pmod(raw + F.lit(_M31), F.lit(_M32)) - F.lit(_M31)
+
+    return F.aggregate(codes, F.lit(0).cast("long"), _step)
 
 
 def meta_segment(col: Column, segments: int) -> Column:

@@ -134,15 +134,9 @@ class SnapshotStore:
         return self.spark.createDataFrame([], SNAPSHOT_SCHEMA_DDL)
 
     def _swap(self, df: DataFrame) -> None:
-        import os
-        import shutil
-        import uuid
+        from kafka_journal_spark.sources.statestore import safe_dir_swap
 
-        tmp = f"{self.path}.{uuid.uuid4().hex[:8]}.tmp"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        if os.path.exists(self.path):
-            shutil.rmtree(self.path)
-        os.replace(tmp, self.path)
+        safe_dir_swap(self.spark, self.path, df, coalesce=1)
 
     def save(self, topic: str, key: str, seq_nr: int, payload: str,
              timestamp=None, origin: str = "client", version: str = "1.0") -> None:
@@ -169,13 +163,25 @@ class SnapshotStore:
         self._swap(kept.unionByName(row))
 
     def _persisted_count(self, topic: str, key: str) -> int:
-        # conservative restart recovery: resume the ring from the retained
-        # snapshot count (exact slot rotation only matters for overwrites)
-        return (
+        """Restart recovery: the next save must land one slot past the NEWEST
+        retained snapshot (BufferNr rotation continues evicting the oldest
+        occupant).  Resuming from the retained row count alone would put the
+        next save at ``count % size`` — which can overwrite the newest
+        retained snapshot after a restart instead of the oldest."""
+        rows = (
             self._df()
             .filter((F.col("topic") == topic) & (F.col("id") == key))
-            .count()
+            .select("buffer_nr", "seq_nr")
+            .collect()
         )
+        if not rows:
+            return 0
+        newest = max(rows, key=lambda r: r.seq_nr)
+        target = (newest.buffer_nr + 1) % self.buffer_size
+        n = len(rows)
+        while n % self.buffer_size != target:
+            n += 1
+        return n
 
     def _select(self, topic: str, key: str,
                 criteria: "SnapshotSelectionCriteria") -> DataFrame:

@@ -286,6 +286,13 @@ ORACLES: dict[str, str] = {
         r AS (SELECT *, LAST_VALUE(CASE WHEN _post AND action_type = 'append' THEN seq_nr_to END IGNORE NULLS)
                   OVER (PARTITION BY topic, id ORDER BY "offset"
                         ROWS UNBOUNDED PRECEDING) AS _seq_so_far FROM q),
+        -- HeadInfo.scala:255-262 re-clamps the accumulated watermark to the
+        -- current head at every delete: each delete's contribution is capped
+        -- by the suffix-min of the head over later append-state deletes
+        r2 AS (SELECT *, MIN(CASE WHEN _post AND action_type = 'delete' AND _seq_so_far IS NOT NULL
+                                  THEN _seq_so_far END)
+                  OVER (PARTITION BY topic, id ORDER BY "offset"
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS _sfx_min_s FROM r),
         agg0 AS (
           SELECT topic, id, MAX(_p) AS _p,
                  MIN(CASE WHEN _post AND action_type = 'append' THEN "offset" END) AS _first_app_off,
@@ -296,17 +303,20 @@ ORACLES: dict[str, str] = {
                  MIN_BY(CASE WHEN _post AND action_type = 'append' THEN seq_nr_from END,
                         CASE WHEN _post AND action_type = 'append' THEN "offset" END) AS _first_from,
                  MAX(CASE WHEN _post AND action_type = 'delete' AND _seq_so_far IS NOT NULL
-                       THEN LEAST(delete_to, _seq_so_far) END) AS _del_in,
+                       THEN LEAST(delete_to, _sfx_min_s) END) AS _del_in,
                  MAX(CASE WHEN _post AND action_type = 'delete' AND _seq_so_far IS NULL
-                       THEN delete_to END) AS _del_pre
-          FROM r GROUP BY topic, id
+                       THEN delete_to END) AS _del_pre,
+                 MIN(CASE WHEN _post AND action_type = 'delete' AND _seq_so_far IS NOT NULL
+                       THEN _seq_so_far END) AS _min_s_del
+          FROM r2 GROUP BY topic, id
         ),
         agg AS (
           SELECT topic, id, _p, _first_app_off, _max_seq,
                  CASE WHEN _max_seq IS NULL THEN _del_pre
                       ELSE GREATEST(_del_in,
                              CASE WHEN _del_pre IS NOT NULL AND _first_from > 1
-                                  THEN LEAST(_del_pre, _first_from - 1) END)
+                                  THEN LEAST(_del_pre, _first_from - 1,
+                                             COALESCE(_min_s_del, 4611686018427387904)) END)
                  END AS _del_to
           FROM agg0
         )
@@ -330,6 +340,11 @@ ORACLES: dict[str, str] = {
         r AS (SELECT *, LAST_VALUE(CASE WHEN _post AND action_type = 'append' THEN seq_nr_to END IGNORE NULLS)
                   OVER (PARTITION BY topic, id ORDER BY "offset"
                         ROWS UNBOUNDED PRECEDING) AS _seq_so_far FROM q),
+        -- HeadInfo.scala:255-262 re-clamp: see x_head_stream
+        r2 AS (SELECT *, MIN(CASE WHEN _post AND action_type = 'delete' AND _seq_so_far IS NOT NULL
+                                  THEN _seq_so_far END)
+                  OVER (PARTITION BY topic, id ORDER BY "offset"
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS _sfx_min_s FROM r),
         agg0 AS (
           SELECT topic, id, MAX(_p) AS _p,
                  MIN(CASE WHEN _post AND action_type = 'append' THEN "offset" END) AS _first_app_off,
@@ -340,19 +355,23 @@ ORACLES: dict[str, str] = {
                  MIN_BY(CASE WHEN _post AND action_type = 'append' THEN seq_nr_from END,
                         CASE WHEN _post AND action_type = 'append' THEN "offset" END) AS _first_from,
                  MAX(CASE WHEN _post AND action_type = 'delete' AND _seq_so_far IS NOT NULL
-                       THEN LEAST(delete_to, _seq_so_far) END) AS _del_in,
+                       THEN LEAST(delete_to, _sfx_min_s) END) AS _del_in,
                  MAX(CASE WHEN _post AND action_type = 'delete' AND _seq_so_far IS NULL
-                       THEN delete_to END) AS _del_pre
-          FROM r GROUP BY topic, id
+                       THEN delete_to END) AS _del_pre,
+                 MIN(CASE WHEN _post AND action_type = 'delete' AND _seq_so_far IS NOT NULL
+                       THEN _seq_so_far END) AS _min_s_del
+          FROM r2 GROUP BY topic, id
         ),
         -- HeadInfo.scala:232-247: the pure-delete watermark is clamped to
-        -- first_from - 1 by the first append (dropped when first_from = 1)
+        -- first_from - 1 by the first append (dropped when first_from = 1),
+        -- then re-clamped by every later append-state delete's head view
         agg AS (
           SELECT topic, id, _p, _first_app_off, _max_seq,
                  CASE WHEN _max_seq IS NULL THEN _del_pre
                       ELSE GREATEST(_del_in,
                              CASE WHEN _del_pre IS NOT NULL AND _first_from > 1
-                                  THEN LEAST(_del_pre, _first_from - 1) END)
+                                  THEN LEAST(_del_pre, _first_from - 1,
+                                             COALESCE(_min_s_del, 4611686018427387904)) END)
                  END AS _del_to
           FROM agg0
         )

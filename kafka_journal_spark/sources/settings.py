@@ -16,8 +16,6 @@ from __future__ import annotations
 
 import datetime as dt
 import os
-import shutil
-import uuid
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,6 +31,9 @@ class Settings:
         os.makedirs(root, exist_ok=True)
 
     def _df(self) -> DataFrame:
+        from kafka_journal_spark.sources.statestore import _repair_dir
+
+        _repair_dir(self.path)
         if os.path.exists(self.path):
             return self.spark.read.schema(SETTINGS_DDL).parquet(self.path)
         return self.spark.createDataFrame([], SETTINGS_DDL)
@@ -44,11 +45,9 @@ class Settings:
         return self.all().get(key)
 
     def _swap(self, df: DataFrame) -> None:
-        tmp = f"{self.path}.{uuid.uuid4().hex[:8]}.tmp"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        if os.path.exists(self.path):
-            shutil.rmtree(self.path)
-        os.replace(tmp, self.path)
+        from kafka_journal_spark.sources.statestore import safe_dir_swap
+
+        safe_dir_swap(self.spark, self.path, df, coalesce=1)
 
     def set(self, key: str, value: str, origin: str = "local") -> None:
         now = dt.datetime.utcnow()

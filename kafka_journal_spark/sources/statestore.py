@@ -10,9 +10,15 @@ Layout (mirrors SURVEY.md §1.3, designed for 100 TB):
   ``EventualCassandra.scala:132-168``) and a compaction pass physically drops
   later.  No in-place mutation of bulk data, ever — at scale, deletes are
   metadata operations (tombstones in metajournal), not rewrites.
-- ``metajournal/`` — per-key heads (small: O(#keys)), atomically swapped per
-  batch via tmp-dir + rename.
-- ``pointers/``    — per-(topic,partition) replicated offsets, ditto.
+- ``metajournal/`` — per-key heads (O(#keys)), physically partitioned by
+  ``segment`` (the Java-hashCode-compatible bucket, ``SegmentNr.scala:
+  146-150``).  Writes are INCREMENTAL: a micro-batch rewrites only the
+  segment partitions its keys hash into (dynamic partition overwrite) —
+  the Spark shape of the reference's point upserts
+  (``MetaJournalStatements.scala:315-634``).  At 10^9 keys a 1-key batch
+  touches 1 of 10,000 partitions, not the whole table.
+- ``pointers/``    — per-(topic,partition) replicated offsets, partitioned
+  by ``topic``, ditto (a batch rewrites only its topics' partitions).
 
 The read path (``read()``) joins journal to metajournal (broadcast only
 under a key filter — an unfiltered head table is O(#keys) and AQE picks the
@@ -52,6 +58,58 @@ POINTERS_SCHEMA_DDL = (
 )
 
 
+def _repair_dir(final: str) -> None:
+    """Restore a table whose last swap crashed between rename-aside and
+    promote: the live dir is missing but its ``.bak`` survives."""
+    import glob
+
+    if not os.path.exists(final):
+        baks = sorted(glob.glob(f"{final}.*.bak"))
+        if baks:
+            os.replace(baks[-1], final)
+
+
+def safe_dir_swap(
+    spark: SparkSession,
+    final: str,
+    df: DataFrame,
+    *,
+    coalesce: int | None = None,
+    sort_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
+    max_records: int = 4_000_000,
+) -> None:
+    """Crash-safe full-table replacement: write tmp, rename the live dir
+    ASIDE (never rmtree first), promote tmp, then drop the ``.bak``.  A crash
+    at any point leaves either the old table live or recoverable from
+    ``.bak`` (``_repair_dir`` restores it on the next open) — there is no
+    window where the data exists nowhere on disk.
+
+    The write parallelism is size-aware, not hard-coded: ``sort_cols``
+    triggers a range repartition that AQE coalesces to a handful of tasks
+    when the table is small and spreads over the shuffle-partition count
+    when it is not (a ``coalesce(1)`` would funnel 100 TB-scale metadata
+    through one task — only tiny fixed-size tables pass ``coalesce``).
+    """
+    _repair_dir(final)
+    w = df
+    if coalesce is not None:
+        w = w.coalesce(coalesce)
+    elif sort_cols:
+        w = w.repartitionByRange(*sort_cols)
+    tmp = f"{final}.{uuid.uuid4().hex[:8]}.tmp"
+    writer = w.write.mode("overwrite").option("maxRecordsPerFile", max_records)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    bak = f"{final}.{uuid.uuid4().hex[:8]}.bak"
+    if os.path.exists(final):
+        os.replace(final, bak)
+    os.replace(tmp, final)
+    if os.path.exists(bak):
+        shutil.rmtree(bak)
+
+
 class JournalStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -63,6 +121,7 @@ class JournalStore:
 
     def _read(self, name: str, ddl: str) -> DataFrame:
         p = self._path(name)
+        _repair_dir(p)
         if os.path.exists(p) and any(
             f.endswith(".parquet") for _, _, fs in os.walk(p) for f in fs
         ):
@@ -85,36 +144,82 @@ class JournalStore:
         every topic-scoped read)."""
         rows.write.mode("append").partitionBy("topic").parquet(self._path("journal"))
 
-    def _swap(self, name: str, df: DataFrame) -> None:
-        """Atomic table replacement: write tmp, rename over.
-
-        The write parallelism is size-aware, not hard-coded: a range
-        repartition on the natural sort key spreads an O(#keys) metajournal
-        over the shuffle-partition count, and AQE's partition coalescing
-        collapses that to a handful of tasks when the table is actually
-        small — so the same code path writes one file at test scale and
-        hundreds of balanced files for a billion-key head table (a
-        ``coalesce(1)`` here would funnel 100 TB-scale metadata through a
-        single task).
-        """
-        tmp = self._path(f"_{name}.{uuid.uuid4().hex[:8]}.tmp")
-        sort_cols = [c for c in ("topic", "segment", "id", "partition") if c in df.columns]
-        (
-            df.repartitionByRange(*sort_cols)
-            .write.mode("overwrite")
-            .option("maxRecordsPerFile", 4_000_000)
-            .parquet(tmp)
-        )
-        final = self._path(name)
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.replace(tmp, final)
-
     def swap_metajournal(self, df: DataFrame) -> None:
-        self._swap("metajournal", df)
+        """Full head-table rewrite (initial materialization / compaction) —
+        same segment-partitioned layout as the incremental path."""
+        safe_dir_swap(
+            self.spark,
+            self._path("metajournal"),
+            df,
+            sort_cols=["segment", "topic", "id"],
+            partition_by=["segment"],
+        )
 
     def swap_pointers(self, df: DataFrame) -> None:
-        self._swap("pointers", df)
+        safe_dir_swap(
+            self.spark,
+            self._path("pointers"),
+            df,
+            sort_cols=["topic", "partition"],
+            partition_by=["topic"],
+        )
+
+    # -- incremental head-table writes (the 100 TB path) -------------------
+
+    def metajournal_segments(self, segments: list[int]) -> DataFrame:
+        """Head rows of the given segments only — the ``segment.isin``
+        filter prunes to those partition directories (check the scan's
+        PartitionFilters), so a batch's merge reads O(touched), never
+        O(#keys)."""
+        return self.metajournal().filter(
+            F.col("segment").isin([int(s) for s in segments])
+        )
+
+    def upsert_metajournal(self, df: DataFrame, touched_segments: list[int]) -> None:
+        """Incremental metajournal write: dynamic partition overwrite of
+        ONLY the segment partitions in ``df`` — the Spark shape of the
+        reference's per-key point upserts (``MetaJournalStatements.scala:
+        315-634``).  A micro-batch touching k keys rewrites at most k (of
+        10,000) partitions regardless of total key count.
+
+        ``df`` must contain the COMPLETE new state of every touched segment
+        (batch keys merged with the segment's untouched keys).  A touched
+        segment left with zero live rows (its last head purged) cannot be
+        expressed by dynamic overwrite, so its directory is dropped
+        explicitly.  Crash mid-write affects only touched segments, which
+        the offset guard replays on restart; the metajournal is derived
+        state, re-materializable from the journal in the worst case.
+        """
+        path = self._path("metajournal")
+        _repair_dir(path)
+        (
+            df.repartitionByRange("segment", "topic", "id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("maxRecordsPerFile", 4_000_000)
+            .partitionBy("segment")
+            .parquet(path)
+        )
+        remaining = {r.segment for r in df.select("segment").distinct().collect()}
+        for seg in set(int(s) for s in touched_segments) - remaining:
+            seg_dir = os.path.join(path, f"segment={seg}")
+            if os.path.exists(seg_dir):
+                shutil.rmtree(seg_dir)
+
+    def upsert_pointers(self, df: DataFrame, touched_topics: list[str]) -> None:
+        """Incremental pointers write: dynamic overwrite of the batch's
+        topic partitions only (pointer rows never disappear, so no
+        empty-partition cleanup applies)."""
+        path = self._path("pointers")
+        _repair_dir(path)
+        (
+            df.repartitionByRange("topic", "partition")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("maxRecordsPerFile", 4_000_000)
+            .partitionBy("topic")
+            .parquet(path)
+        )
 
     # -- read path (EventualCassandra.read semantics) ----------------------
 
@@ -179,6 +284,9 @@ class JournalStore:
             .parquet(tmp)
         )
         final = self._path("journal")
+        bak = f"{final}.{uuid.uuid4().hex[:8]}.bak"  # matches _repair_dir's glob
         if os.path.exists(final):
-            shutil.rmtree(final)
+            os.replace(final, bak)  # rename aside, never rmtree the live dir
         os.replace(tmp, final)
+        if os.path.exists(bak):
+            shutil.rmtree(bak)

@@ -10,7 +10,9 @@ Per micro-batch (replicate_batch), against the JournalStore:
    batch materializer, evaluated with window functions *within the batch*:
    purge horizon, effective delete watermark, merged appends.
 3. **state merge** (P4-P6 / ``ReplicatedCassandra.scala:133-465``): FULL
-   OUTER join of batch summaries with the existing metajournal:
+   OUTER join of batch summaries with the existing heads OF THE TOUCHED
+   SEGMENTS ONLY (partition-pruned scan; the head table is partitioned by
+   the Java-hash segment bucket):
    - a batch purge rotates the key's ``record_id`` incarnation — prior rows
      become orphans (filtered by R8 correlation on read, physically removed
      by compaction); if nothing follows the purge the head row is deleted;
@@ -18,14 +20,18 @@ Per micro-batch (replicate_batch), against the JournalStore:
    - fresh journals get ``delete_to = first_seq - 1``
      (``ReplicatedCassandra.scala:190-216``).
 4. **writes**: append-only journal rows (tagged with their incarnation),
-   then atomic swap of metajournal + pointers.  Crash between the two is
+   then INCREMENTAL upserts of metajournal + pointers — dynamic partition
+   overwrite of only the segment/topic partitions the batch touched (the
+   Spark shape of the reference's point upserts).  Crash between writes is
    repaired by the offset guard (replay skips) and the read-side dedup.
 
-Scale notes: the only shuffle is the per-key fold (hash on (topic,id));
-metajournal/pointers are O(#keys)/O(#partitions) — they broadcast.  At
-1000 executors run one query per topic (or subscribePattern); Spark's
-checkpoint replaces the reference's pointer-commit loop, and cluster
-scheduling replaces DistributeJob (P9).
+Scale notes: the only bulk shuffle is the per-key fold (hash on
+(topic,id)).  The head-table merge reads and rewrites O(batch keys)
+segment partitions per trigger, NOT O(#keys) — a 1-key batch against a
+10^9-key metajournal touches 1 of 10,000 partitions.  At 1000 executors
+run one query per topic (or subscribePattern); Spark's checkpoint replaces
+the reference's pointer-commit loop, and cluster scheduling replaces
+DistributeJob (P9).
 """
 
 from __future__ import annotations
@@ -74,7 +80,6 @@ def _batch_summary(batch: DataFrame) -> DataFrame:
 def replicate_batch(batch: DataFrame, store: JournalStore) -> None:
     """Apply one micro-batch of actions to the store (idempotent)."""
     spark = batch.sparkSession
-    old_meta = store.metajournal()
     old_ptr = store.pointers()
 
     # 1. offset dedup: drop already-replicated and in-batch duplicates
@@ -91,8 +96,21 @@ def replicate_batch(batch: DataFrame, store: JournalStore) -> None:
     if fresh.isEmpty():
         return
 
-    # 2. per-key collapse -> batch summary, merged with existing heads
-    summ = _batch_summary(fresh)
+    # 2. per-key collapse -> batch summary, merged with existing heads.
+    #    The merge reads ONLY the metajournal segments the batch's keys hash
+    #    into (partition-pruned scan) and later rewrites only those — the
+    #    incremental upsert shape that survives 10^9 keys; a full-outer join
+    #    against the whole head table would shuffle + rewrite O(#keys) every
+    #    trigger (the reference does point upserts,
+    #    MetaJournalStatements.scala:315-634).
+    summ = _batch_summary(fresh).withColumn(
+        "_seg", meta_segment(F.col("id"), SEGMENTS_DEFAULT)
+    )
+    summ = summ.localCheckpoint(eager=True)  # reused for segments + merge
+    touched_segments = sorted(
+        r._seg for r in summ.select("_seg").distinct().collect()
+    )
+    old_meta = store.metajournal_segments(touched_segments)
     old = old_meta.select(
         "topic",
         "id",
@@ -269,12 +287,14 @@ def replicate_batch(batch: DataFrame, store: JournalStore) -> None:
         )
     )
 
-    # 4. pointers merge
+    # 4. pointers merge — restricted to the batch's topics (the pointers
+    #    table is partitioned by topic; only those partitions are rewritten)
+    touched_topics = [r.topic for r in fresh.select("topic").distinct().collect()]
     new_ptr = (
         fresh.groupBy("topic", "partition")
         .agg(F.max("offset").alias("b_off"), F.min("timestamp").alias("b_created"), F.max("timestamp").alias("b_updated"))
         .join(
-            old_ptr.select(
+            old_ptr.filter(F.col("topic").isin(touched_topics)).select(
                 "topic", "partition",
                 F.col("offset").alias("p_off"), F.col("created").alias("p_created"), F.col("updated").alias("p_updated"),
             ),
@@ -296,8 +316,8 @@ def replicate_batch(batch: DataFrame, store: JournalStore) -> None:
     rows = rows.localCheckpoint(eager=True)
 
     store.append_journal(rows)
-    store.swap_metajournal(new_meta)
-    store.swap_pointers(new_ptr)
+    store.upsert_metajournal(new_meta, touched_segments)
+    store.upsert_pointers(new_ptr, touched_topics)
 
 
 def run_parquet_replicator(

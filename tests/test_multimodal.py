@@ -49,3 +49,33 @@ def test_stats_never_reads_blob(spark):
     df = media_stats(spark, SF)
     rows = {r.mime: r.n_items for r in df.collect()}
     assert sum(rows.values()) == 64 and set(rows) == {"image/png", "audio/wav", "video/mp4"}
+
+
+def test_wav_decode_real_header_and_pcm(spark):
+    """The WAV kernel must parse a genuine RIFF container: rate/frame-count
+    come from the header, samples from little-endian PCM16 frames.  Expected
+    features computed here in pure Python from the generator's closed form —
+    independent of both the kernel and the SQL oracle."""
+    import math
+
+    from kafka_journal_spark.functions.multimodal import (
+        _wav_samples,
+        decode_wav_features,
+        synth_wav_media,
+    )
+
+    media = synth_wav_media(spark, SF, n=8)
+    # blobs are real WAV files: RIFF magic + fmt chunk
+    blob = bytes(media.limit(1).collect()[0].blob)
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+
+    got = {r.media_id: r for r in decode_wav_features(media).collect()}
+    assert set(got) == set(range(8))
+    for mid in range(8):
+        s = _wav_samples(mid)
+        r = got[mid]
+        assert r.sample_rate == 8000
+        assert r.n_samples == len(s)
+        assert r.amp_max == max(s) and r.amp_min == min(s)
+        assert abs(r.amp_mean - sum(s) / len(s)) < 1e-9
+        assert abs(r.rms - math.sqrt(sum(x * x for x in s) / len(s))) < 1e-9

@@ -38,12 +38,26 @@ def test_meta_segment_matches_java_hashcode(spark):
     from kafka_journal_spark.operators.replicate import java_string_hash, meta_segment
 
     def jhash(s):
+        # the exact JVM model: fold over UTF-16 CODE UNITS (surrogate pairs
+        # for supplementary-plane chars), not code points
         h = 0
-        for ch in s:
-            h = (h * 31 + ord(ch)) % 2**32
+        units = s.encode("utf-16-be")
+        for i in range(0, len(units), 2):
+            h = (h * 31 + int.from_bytes(units[i : i + 2], "big")) % 2**32
         return h - 2**32 if h >= 2**31 else h
 
-    samples = ["user-42", "User-ABC", "polygenelubricants", "journal", "z" * 64]
+    samples = [
+        "user-42",
+        "User-ABC",
+        "polygenelubricants",
+        "journal",
+        "z" * 64,
+        # supplementary plane: each is ONE code point but TWO UTF-16 units
+        "\U0001d11e",  # musical G clef
+        "id-\U0001f600-\U0001f680",  # emoji
+        "\U0010fffd edge",  # top of plane 16
+        "mixedé中\U0001f4a9",
+    ]
     df = spark.createDataFrame([(s,) for s in samples], "id string").select(
         "id",
         java_string_hash(F.col("id")).alias("h"),

@@ -75,6 +75,74 @@ def test_recovery_merge_has_no_tail_broadcast_hint(spark):
     assert "broadcast" not in plan.lower(), plan
 
 
+def test_incremental_upsert_touches_only_batch_segments(spark, tmp_path):
+    """The 100 TB head-table write path: a 1-key micro-batch must rewrite
+    ONLY the segment partition its key hashes into (dynamic partition
+    overwrite — the Spark shape of the reference's point upserts,
+    MetaJournalStatements.scala:315-634), never the whole table; and the
+    merge's read of existing heads must partition-prune to those segments.
+    """
+    import os
+
+    from conftest import append, make_actions
+
+    from kafka_journal_spark import SEGMENTS_DEFAULT
+    from kafka_journal_spark.operators.replicate import meta_segment
+    from kafka_journal_spark.sources.statestore import JournalStore
+    from kafka_journal_spark.streaming.replicator import replicate_batch
+
+    store = JournalStore(spark, str(tmp_path / "inc"))
+    keys = [f"key-{i:03d}" for i in range(40)]
+    replicate_batch(
+        make_actions(spark, [append(k, 1) for k in keys]), store
+    )
+
+    meta_path = store._path("metajournal")
+
+    def snapshot(path):
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("segment="):
+                full = os.path.join(path, d)
+                out[d] = sorted(os.listdir(full))
+        return out
+
+    before = snapshot(meta_path)
+    assert len(before) > 5  # 40 keys spread over many segment partitions
+
+    # 1-key follow-up batch (fresh offsets so the pointer guard admits it)
+    replicate_batch(
+        make_actions(spark, [append("key-000", 2)], offset_base=1000), store
+    )
+    after = snapshot(meta_path)
+
+    seg = (
+        spark.range(1)
+        .select(meta_segment(F.lit("key-000"), SEGMENTS_DEFAULT).alias("s"))
+        .collect()[0]
+        .s
+    )
+    touched = f"segment={seg}"
+    assert after[touched] != before[touched]
+    untouched_changed = [
+        d for d in before if d != touched and after.get(d) != before[d]
+    ]
+    assert untouched_changed == [], untouched_changed
+
+    # the merge's head read partition-prunes to the touched segments
+    pruned = store.metajournal_segments([seg])
+    physical = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in physical and "segment" in physical, physical
+
+    # and the store still reads back the correct per-key state
+    got = {
+        r.id: r.seq_nr
+        for r in store.metajournal().select("id", "seq_nr").collect()
+    }
+    assert got["key-000"] == 2
+    assert all(got[k] == 1 for k in keys[1:])
+
+
 def test_hot_key_fold_completes_and_is_correct(spark, hot_key_actions):
     # seq_nr == offset+1 for appends; final delete watermark is the last
     # delete's delete_to = 199_999 - 5_000 - 1 = 194_998... computed below
