@@ -121,7 +121,57 @@ def integrity_violations(journal: DataFrame) -> DataFrame:
     )
 
 
-def recovery_merge(actions: DataFrame, split_frac: float = 0.7, from_seq_nr: int = 1) -> DataFrame:
+def apply_seq_nr_uniqueness(df: DataFrame, mode: str = "ignore") -> DataFrame:
+    """The R5 guard under the reference's configurable integrity modes
+    (config ``seq_nr_uniqueness``; ``Journal.scala:458-480`` chooses whether
+    duplicate seq_nrs raise or are tolerated during reads,
+    ``EventualCassandra.scala:170-191`` raises ``JournalError``):
+
+    - ``ignore``     — tolerate: keep the first-delivered copy (offset
+      order).  The default, and the crash-replay-safe choice.
+    - ``quarantine`` — exclude EVERY copy of a duplicated seq_nr from the
+      result; callers fetch the conflicting rows via
+      :func:`integrity_violations` for repair.
+    - ``raise``      — fail the read when any duplicate exists, like the
+      reference's strict mode.  The check rides the plan (``raise_error``
+      fires in the same pass as the window dedup), so strictness costs no
+      extra scan.
+    """
+    wk = Window.partitionBy("topic", "id", "seq_nr")
+    if mode == "ignore":
+        wdup = wk.orderBy("offset")
+        return (
+            df.withColumn("_rn", F.row_number().over(wdup))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    dup = F.min("offset").over(wk) != F.max("offset").over(wk)
+    if mode == "quarantine":
+        return df.withColumn("_dup", dup).filter(~F.col("_dup")).drop("_dup")
+    if mode == "raise":
+        guard = F.when(
+            dup,
+            F.raise_error(
+                F.concat(
+                    F.lit("JournalError: duplicate seq_nr "),
+                    F.col("seq_nr").cast("string"),
+                    F.lit(" for journal "),
+                    F.col("topic"),
+                    F.lit("/"),
+                    F.col("id"),
+                )
+            ),
+        )
+        return df.withColumn("_chk", guard).filter(F.col("_chk").isNull()).drop("_chk")
+    raise ValueError(f"unknown seq_nr_uniqueness mode {mode!r}")
+
+
+def recovery_merge(
+    actions: DataFrame,
+    split_frac: float = 0.7,
+    from_seq_nr: int = 1,
+    seq_nr_uniqueness: str = "ignore",
+) -> DataFrame:
     """R1: the flagship two-source recovery read.
 
     Simulates a half-replicated topic: per partition, actions with
@@ -194,10 +244,6 @@ def recovery_merge(actions: DataFrame, split_frac: float = 0.7, from_seq_nr: int
         .filter(F.col("seq_nr") >= F.lit(from_seq_nr))
     )
 
-    # R5 monotonic-dedup guard: keep first delivery of each seq_nr
-    wdup = Window.partitionBy("topic", "id", "seq_nr").orderBy("offset")
-    return (
-        visible.withColumn("_rn", F.row_number().over(wdup))
-        .filter(F.col("_rn") == 1)
-        .select(*READ_COLUMNS)
-    )
+    # R5 monotonic-dedup guard under the configured integrity mode
+    # (default: keep first delivery of each seq_nr)
+    return apply_seq_nr_uniqueness(visible, seq_nr_uniqueness).select(*READ_COLUMNS)

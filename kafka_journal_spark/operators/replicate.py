@@ -240,11 +240,21 @@ def materialize_metajournal(
     app_off = F.when(F.col("action_type") == "append", F.col("offset"))
     # head expiry follows the LAST effective append (ExpiryService.scala:60-75
     # update/remove decision; MetaJournalStatements.scala:24-57 expire_after/
-    # expire_on columns) — present only when the stream carries expiry
-    has_expiry = "expire_after_days" in actions.columns
+    # expire_on columns) — present only when the stream carries expiry.
+    # The duration is second-granular (the reference's DURATION type;
+    # seconds-level math in ExpiryService.scala:53-76); a legacy
+    # ``expire_after_days`` column is up-converted.
+    has_secs = "expire_after_secs" in actions.columns
+    has_expiry = has_secs or "expire_after_days" in actions.columns
+    if has_expiry:
+        secs_src = (
+            F.col("expire_after_secs")
+            if has_secs
+            else F.col("expire_after_days") * F.lit(86400)
+        )
     exp_aggs = (
         [
-            F.max_by("expire_after_days", app_off).alias("_exp_days"),
+            F.max_by(secs_src, app_off).alias("_exp_secs"),
             F.max_by("timestamp", app_off).alias("_last_app_ts"),
         ]
         if has_expiry
@@ -278,21 +288,24 @@ def materialize_metajournal(
         ),
         F.lit(0),
     )
-    exp_cols = (
-        [
-            F.col("_exp_days").cast("long").alias("expire_after_days"),
-            F.when(
-                F.col("_exp_days").isNotNull(),
-                F.to_date(
-                    F.timestamp_seconds(
-                        F.unix_timestamp("_last_app_ts") + F.col("_exp_days") * 86400
-                    )
-                ),
-            ).alias("expire_on"),
+    if has_expiry:
+        # interval add (works for TIMESTAMP and TIMESTAMP_NTZ alike) keeps
+        # the append timestamp's fractional seconds — unix_timestamp() would
+        # truncate them, diverging from the reference's DURATION math
+        exp_on_ts = F.when(
+            F.col("_exp_secs").isNotNull(),
+            F.col("_last_app_ts")
+            + F.make_dt_interval(
+                F.lit(0), F.lit(0), F.lit(0), F.col("_exp_secs").cast("double")
+            ),
+        )
+        exp_cols = [
+            F.col("_exp_secs").cast("long").alias("expire_after_secs"),
+            exp_on_ts.alias("expire_on_ts"),
+            F.to_date(exp_on_ts).alias("expire_on"),
         ]
-        if has_expiry
-        else []
-    )
+    else:
+        exp_cols = []
     return agg.select(
         F.col("topic"),
         meta_segment(F.col("id"), segments).alias("segment"),

@@ -32,9 +32,32 @@ from __future__ import annotations
 import os
 import shutil
 import uuid
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class JournalConfig:
+    """The reference journal's read-integrity config surface
+    (``Journal.scala:458-480`` — config chooses raise-vs-tolerate on seq_nr
+    duplicates; ``EventualCassandra.scala:132-191`` — orphan-event
+    correlation toggle):
+
+    - ``seq_nr_uniqueness``: ``'ignore'`` (keep first delivery — default),
+      ``'quarantine'`` (exclude every copy of a duplicated seq_nr;
+      ``integrity_violations`` surfaces them), or ``'raise'`` (fail the
+      read, the reference's strict ``JournalError`` mode).
+    - ``correlate_events_with_meta``: when True (default, reference
+      behavior), journal rows are matched against the head's current
+      ``record_id`` incarnation so purge-orphaned rows are invisible;
+      False exposes raw rows (the reference's correlation-off mode for
+      recovery tooling).
+    """
+
+    seq_nr_uniqueness: str = "ignore"
+    correlate_events_with_meta: bool = True
 
 #: full journal row (JournalStatements.scala:34-52: payload twin columns,
 #: per-record user headers map, payload metadata JSON)
@@ -45,13 +68,16 @@ JOURNAL_SCHEMA_DDL = (
     "payload_bin binary, tags array<string>, headers map<string,string>, "
     "metadata string"
 )
-#: head row incl. expiry columns (MetaJournalStatements.scala:24-57
-#: expire_after/expire_on; ours is day-granular, hence the column name)
+#: head row incl. expiry columns (MetaJournalStatements.scala:24-57):
+#: ``expire_after_secs`` keeps the reference DURATION's sub-day precision
+#: (ExpiryService.scala:53-76 does seconds-level math), ``expire_on_ts`` is
+#: the exact due time, and the derived ``expire_on`` DATE is kept for
+#: partition pruning / the date-bucketed secondary index
 META_SCHEMA_DDL = (
     "topic string, segment long, id string, partition int, offset long, "
     "segment_size int, seq_nr long, delete_to long, created timestamp, "
     "created_date date, updated timestamp, record_id string, "
-    "expire_after_days long, expire_on date"
+    "expire_after_secs long, expire_on_ts timestamp, expire_on date"
 )
 POINTERS_SCHEMA_DDL = (
     "topic string, partition int, offset long, created timestamp, updated timestamp"
@@ -223,9 +249,19 @@ class JournalStore:
 
     # -- read path (EventualCassandra.read semantics) ----------------------
 
-    def read(self, topic: str | None = None, key: str | None = None, from_seq_nr: int = 1) -> DataFrame:
+    def read(
+        self,
+        topic: str | None = None,
+        key: str | None = None,
+        from_seq_nr: int = 1,
+        config: JournalConfig | None = None,
+    ) -> DataFrame:
         """Recovery read over the replicated store (R1 eventual side +
-        R5 dedup + R8 orphan filtering)."""
+        R5 dedup + R8 orphan filtering), under the configured integrity
+        modes (``JournalConfig``)."""
+        from kafka_journal_spark.operators.read import apply_seq_nr_uniqueness
+
+        cfg = config or JournalConfig()
         j = self.journal()
         m = self.metajournal().select(
             "topic", "id", "record_id", F.col("delete_to").alias("_dt")
@@ -241,17 +277,14 @@ class JournalStore:
         # O(#keys) and would OOM the executors at 100x scale — let AQE pick
         # the strategy from the observed size there
         m_side = F.broadcast(m) if key is not None else m
-        df = (
-            j.join(m_side, ["topic", "id"], "inner")
-            .filter(F.col("meta_record_id") == F.col("record_id"))
-            .filter(F.col("seq_nr") > F.coalesce(F.col("_dt"), F.lit(0)))
-            .filter(F.col("seq_nr") >= F.lit(from_seq_nr))
+        df = j.join(m_side, ["topic", "id"], "inner")
+        if cfg.correlate_events_with_meta:
+            df = df.filter(F.col("meta_record_id") == F.col("record_id"))
+        df = df.filter(F.col("seq_nr") > F.coalesce(F.col("_dt"), F.lit(0))).filter(
+            F.col("seq_nr") >= F.lit(from_seq_nr)
         )
-        w = Window.partitionBy("topic", "id", "seq_nr").orderBy("offset")
-        return (
-            df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", "_dt", "record_id")
+        return apply_seq_nr_uniqueness(df, cfg.seq_nr_uniqueness).drop(
+            "_dt", "record_id"
         )
 
     def pointer(self, topic: str, key: str):

@@ -55,10 +55,17 @@ def _batch_summary(batch: DataFrame) -> DataFrame:
     app = (F.col("action_type") == "append") & post
     dele = (F.col("action_type") == "delete") & post
     # expiry follows the batch's LAST post-purge append (ExpiryService
-    # update/remove decision) — null aggregates when the stream carries none
-    if "expire_after_days" in batch.columns:
+    # update/remove decision) — null aggregates when the stream carries
+    # none; second-granular (legacy day columns up-convert)
+    has_secs = "expire_after_secs" in batch.columns
+    if has_secs or "expire_after_days" in batch.columns:
+        secs_src = (
+            F.col("expire_after_secs")
+            if has_secs
+            else F.col("expire_after_days") * F.lit(86400)
+        )
         app_off = F.when(app, F.col("offset"))
-        exp_val = F.max_by("expire_after_days", app_off)
+        exp_val = F.max_by(secs_src, app_off)
         exp_ts = F.max_by("timestamp", app_off)
     else:
         exp_val = F.max(F.lit(None).cast("long"))
@@ -72,7 +79,7 @@ def _batch_summary(batch: DataFrame) -> DataFrame:
         F.max(F.when(F.col("action_type") != "mark", F.col("offset"))).alias("max_off"),
         F.min(F.when(post, F.col("timestamp"))).alias("min_ts"),
         F.max("timestamp").alias("max_ts"),
-        exp_val.alias("b_exp_days"),
+        exp_val.alias("b_exp_secs"),
         exp_ts.alias("b_last_app_ts"),
     )
 
@@ -121,8 +128,8 @@ def replicate_batch(batch: DataFrame, store: JournalStore) -> None:
         F.col("created").alias("o_created"),
         F.col("updated").alias("o_updated"),
         F.col("record_id").alias("o_rid"),
-        F.col("expire_after_days").alias("o_exp_days"),
-        F.col("expire_on").alias("o_exp_on"),
+        F.col("expire_after_secs").alias("o_exp_secs"),
+        F.col("expire_on_ts").alias("o_exp_on_ts"),
     )
     m = summ.join(old, ["topic", "id"], "full_outer")
 
@@ -181,20 +188,19 @@ def replicate_batch(batch: DataFrame, store: JournalStore) -> None:
     # expiry: a batch containing appends (or a purge / first appearance)
     # decides the head's expiry from its last append; otherwise keep the old
     batch_decides_exp = purged | F.col("max_app_seq").isNotNull() | F.col("o_rid").isNull()
-    expire_after_days = F.when(batch_decides_exp, F.col("b_exp_days")).otherwise(
-        F.col("o_exp_days")
+    expire_after_secs = F.when(batch_decides_exp, F.col("b_exp_secs")).otherwise(
+        F.col("o_exp_secs")
     )
-    expire_on = F.when(
+    expire_on_ts = F.when(
         batch_decides_exp,
         F.when(
-            F.col("b_exp_days").isNotNull(),
-            F.to_date(
-                F.timestamp_seconds(
-                    F.unix_timestamp("b_last_app_ts") + F.col("b_exp_days") * 86400
-                )
+            F.col("b_exp_secs").isNotNull(),
+            F.col("b_last_app_ts")
+            + F.make_dt_interval(
+                F.lit(0), F.lit(0), F.lit(0), F.col("b_exp_secs").cast("double")
             ),
         ),
-    ).otherwise(F.col("o_exp_on"))
+    ).otherwise(F.col("o_exp_on_ts"))
     merged = m.select(
         "topic",
         "id",
@@ -213,8 +219,8 @@ def replicate_batch(batch: DataFrame, store: JournalStore) -> None:
             F.coalesce("o_updated", F.to_timestamp(F.lit("1970-01-01"))),
         ).alias("updated"),
         new_rid.alias("record_id"),
-        expire_after_days.cast("long").alias("expire_after_days"),
-        expire_on.alias("expire_on"),
+        expire_after_secs.cast("long").alias("expire_after_secs"),
+        expire_on_ts.alias("expire_on_ts"),
         purged.alias("_purged"),
         F.col("max_app_seq").isNotNull().alias("_has_app"),
         F.col("post_del").isNotNull().alias("_has_del"),
@@ -235,8 +241,9 @@ def replicate_batch(batch: DataFrame, store: JournalStore) -> None:
             F.to_date("created").alias("created_date"),
             "updated",
             "record_id",
-            "expire_after_days",
-            "expire_on",
+            "expire_after_secs",
+            "expire_on_ts",
+            F.to_date("expire_on_ts").alias("expire_on"),
         )
     )
 

@@ -42,3 +42,43 @@ def test_expiry_purges_ride_the_pipeline(spark, tmp_path):
     store.compact()
     remaining = {r.id for r in store.journal().collect()}
     assert remaining == {"b"}
+
+
+def test_sub_day_ttl_is_second_granular(spark, tmp_path):
+    """A 12 h TTL must come due the same afternoon (ExpiryService.scala:53-76
+    does seconds-level DURATION math) — day-granular rounding would either
+    drop it to 0 or push it to the next date rollover."""
+    from pyspark.sql import functions as F
+
+    store = JournalStore(spark, str(tmp_path / "ttl12h"))
+    acts = make_actions(
+        spark,
+        [
+            dict(append("a", 1), expire_after_secs=12 * 3600),   # due 12:00:01
+            dict(append("b", 1), expire_after_secs=20 * 3600),   # due 20:00:02
+            append("c", 1),                                      # no TTL
+        ],
+    ).withColumn(
+        "expire_after_secs",
+        F.when(F.col("id") == "a", F.lit(12 * 3600))
+        .when(F.col("id") == "b", F.lit(20 * 3600))
+        .cast("long"),
+    )
+    replicate_batch(acts, store)
+
+    heads = {r.id: r for r in store.metajournal().collect()}
+    # conftest timestamps start 2024-01-01 00:00:00 + offset seconds
+    assert heads["a"].expire_after_secs == 12 * 3600
+    assert str(heads["a"].expire_on_ts) == "2024-01-01 12:00:00"
+    assert str(heads["a"].expire_on) == "2024-01-01"
+    assert str(heads["b"].expire_on_ts) == "2024-01-01 20:00:01"
+    assert heads["c"].expire_after_secs is None
+
+    # same-date, sub-day cutoff: 15:00 catches "a" but not "b"
+    cut = F.lit("2024-01-01 15:00:00").cast("timestamp")
+    due = (
+        store.metajournal()
+        .filter(F.col("expire_on") <= F.to_date(cut))
+        .filter(F.col("expire_on_ts") <= cut)
+    )
+    assert [r.id for r in due.collect()] == ["a"]
