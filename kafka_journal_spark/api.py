@@ -222,6 +222,41 @@ class JournalClient:
             out.append((r.seq_nr, payload))
         return sorted(out, key=lambda t: t[0])
 
+    def read_many(
+        self, topic: str, keys: list[str], from_seq_nr: int = 1
+    ) -> DataFrame:
+        """Bulk recovery read: ONE plan serves every key — a single pruned
+        scan of the replicated store plus a single scan of the un-replicated
+        log tail, stitched in-plan (``stitch_tail``).
+
+        ``read()``/``pointer()`` are deliberately per-entity, driver-side
+        calls (the reference's ``Journal`` trait serves one persistence id);
+        looping them over N keys costs N collects and N tail folds on the
+        driver.  This is the bulk path: the per-key fold becomes the same
+        distributed window/groupBy the replicator uses, and the result stays
+        a DataFrame for downstream processing.
+        """
+        from kafka_journal_spark.operators.read import stitch_tail
+
+        key_set = list(dict.fromkeys(keys))
+        # replicated side: one scan, id-pruned (isin pushes to parquet)
+        eventual = self.store.read(topic=topic, from_seq_nr=1).filter(
+            F.col("id").isin(key_set)
+        )
+        # un-replicated tail: one log scan, fenced per partition by the
+        # replicated pointer (the end-offset fence, SURVEY §3.1)
+        ptr = self.store.pointers().select(
+            "topic", "partition", F.col("offset").alias("_ptr_off")
+        )
+        tail = (
+            self._log()
+            .filter((F.col("topic") == topic) & F.col("id").isin(key_set))
+            .join(F.broadcast(ptr), ["topic", "partition"], "left")
+            .filter(F.col("offset") > F.coalesce(F.col("_ptr_off"), F.lit(-1)))
+            .drop("_ptr_off")
+        )
+        return stitch_tail(eventual, tail, from_seq_nr)
+
     def replicate(self) -> None:
         """Drain the un-replicated log through the replication fold (the
         standing pipeline's foreachBatch, invoked on demand)."""

@@ -204,13 +204,25 @@ def recovery_merge(
     # applies the prefix's purge horizon and delete watermark, so no extra
     # metajournal join is needed here (one scan + one shuffle saved).
     eventual = materialize_journal(prefix_actions).select(*READ_COLUMNS)
+    return stitch_tail(eventual, tail, from_seq_nr, seq_nr_uniqueness)
 
+
+def stitch_tail(
+    eventual: DataFrame,
+    tail: DataFrame,
+    from_seq_nr: int = 1,
+    seq_nr_uniqueness: str = "ignore",
+) -> DataFrame:
+    """Stitch a replicated prefix with a not-yet-replicated actions tail —
+    the common second half of every recovery read (``Journals.scala:211-292``):
+    decode tail appends, apply the tail's purge/delete visibility to the
+    union, dedup under the configured integrity mode."""
     # "Kafka" side: decode tail appends (the replicator hasn't seen these)
     tail_rows = explode_events(tail.filter(F.col("action_type") == "append")).select(
         *READ_COLUMNS
     )
 
-    merged = eventual.unionByName(tail_rows)
+    merged = eventual.select(*READ_COLUMNS).unionByName(tail_rows)
 
     # tail-derived visibility: purge horizon + (post-purge) delete watermark
     # per key — a delete emitted before a later purge must not survive it

@@ -24,6 +24,10 @@ def get_spark(app_name: str = "kafka-journal-spark", cpus: int | None = None) ->
         .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 16)))
         # Arrow for pandas UDF / toPandas paths (similarity & multimodal ops).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # let an id-bucketed table co-partition joins whose keys are a
+        # superset of the bucket key (journal ⋈ metajournal on (topic, id)
+        # over id-buckets) — the zero-Exchange co-located read path
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -137,9 +137,26 @@ def safe_dir_swap(
 
 
 class JournalStore:
-    def __init__(self, spark: SparkSession, root: str):
+    """Parquet-backed store; pass ``catalog`` (a table-name prefix) to make
+    the bucketed co-located layout (``sources/layout.py``) the DEFAULT read
+    path: ``compact()`` publishes journal+metajournal as id-bucketed catalog
+    tables, and ``read()`` plans the zero-Exchange co-located join against
+    them until the next write staled the publication (then it falls back to
+    the live parquet until the next compaction — the compacted-snapshot +
+    live-tail pattern)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        catalog: str | None = None,
+        buckets: int = 16,
+    ):
         self.spark = spark
         self.root = root
+        self.catalog = catalog
+        self.buckets = buckets
+        self._catalog_live = False
         os.makedirs(root, exist_ok=True)
 
     def _path(self, name: str) -> str:
@@ -168,11 +185,13 @@ class JournalStore:
     def append_journal(self, rows: DataFrame) -> None:
         """Append event rows (partitioned by topic — partition pruning on
         every topic-scoped read)."""
+        self._catalog_live = False  # new tail not yet in the bucketed tables
         rows.write.mode("append").partitionBy("topic").parquet(self._path("journal"))
 
     def swap_metajournal(self, df: DataFrame) -> None:
         """Full head-table rewrite (initial materialization / compaction) —
         same segment-partitioned layout as the incremental path."""
+        self._catalog_live = False
         safe_dir_swap(
             self.spark,
             self._path("metajournal"),
@@ -218,6 +237,7 @@ class JournalStore:
         """
         path = self._path("metajournal")
         _repair_dir(path)
+        self._catalog_live = False
         (
             df.repartitionByRange("segment", "topic", "id")
             .write.mode("overwrite")
@@ -247,6 +267,73 @@ class JournalStore:
             .parquet(path)
         )
 
+    # -- bucketed catalog publication (sources/layout.py as the default) ---
+
+    def publish_catalog(self) -> None:
+        """Publish the store as id-bucketed, sorted catalog tables — the
+        co-located layout of ``sources/layout.py`` — making the
+        zero-Exchange journal⋈metajournal join the default ``read()`` plan.
+        Aligned bucket counts on both sides are what buy the shuffle-free
+        join; the sort by (id, seq_nr) buys min-max row-group skipping
+        inside each bucket file."""
+        assert self.catalog, "construct the store with catalog=<prefix>"
+        (
+            self.journal()
+            .write.mode("overwrite")
+            .partitionBy("topic")
+            .bucketBy(self.buckets, "id")
+            .sortBy("id", "seq_nr")
+            .format("parquet")
+            .saveAsTable(f"{self.catalog}_journal")
+        )
+        (
+            self.metajournal()
+            .write.mode("overwrite")
+            .bucketBy(self.buckets, "id")
+            .sortBy("id")
+            .format("parquet")
+            .saveAsTable(f"{self.catalog}_metajournal")
+        )
+        self._catalog_live = True
+
+    def _read_catalog(
+        self,
+        topic: str | None,
+        key: str | None,
+        from_seq_nr: int,
+        cfg: "JournalConfig",
+    ) -> DataFrame:
+        """The co-located read: same semantics as the parquet path, planned
+        against the bucketed tables — the join and the R5 window both run on
+        the scan's hash(id) bucketing, so the whole read has zero Exchange.
+
+        Requires ``spark.sql.requireAllClusterKeysForCoPartition=false``
+        (set by ``session.get_spark``): the join clusters on (topic, id)
+        [+ record_id when correlation is on, Catalyst extracts it into the
+        equi-keys], and hash(id) buckets co-partition any superset of the
+        bucket key under that setting."""
+        from kafka_journal_spark.operators.read import apply_seq_nr_uniqueness
+
+        j = self.spark.table(f"{self.catalog}_journal")
+        m = self.spark.table(f"{self.catalog}_metajournal").select(
+            "topic", "id", "record_id", F.col("delete_to").alias("_dt")
+        )
+        if topic is not None:
+            j = j.filter(F.col("topic") == topic)
+            m = m.filter(F.col("topic") == topic)
+        if key is not None:
+            j = j.filter(F.col("id") == key)
+            m = m.filter(F.col("id") == key)
+        df = j.join(m, ["topic", "id"], "inner")  # co-located, never hinted
+        if cfg.correlate_events_with_meta:
+            df = df.filter(F.col("meta_record_id") == F.col("record_id"))
+        df = df.filter(F.col("seq_nr") > F.coalesce(F.col("_dt"), F.lit(0))).filter(
+            F.col("seq_nr") >= F.lit(from_seq_nr)
+        )
+        return apply_seq_nr_uniqueness(df, cfg.seq_nr_uniqueness).drop(
+            "_dt", "record_id"
+        )
+
     # -- read path (EventualCassandra.read semantics) ----------------------
 
     def read(
@@ -262,6 +349,8 @@ class JournalStore:
         from kafka_journal_spark.operators.read import apply_seq_nr_uniqueness
 
         cfg = config or JournalConfig()
+        if self.catalog and self._catalog_live:
+            return self._read_catalog(topic, key, from_seq_nr, cfg)
         j = self.journal()
         m = self.metajournal().select(
             "topic", "id", "record_id", F.col("delete_to").alias("_dt")
@@ -323,3 +412,7 @@ class JournalStore:
         os.replace(tmp, final)
         if os.path.exists(bak):
             shutil.rmtree(bak)
+        # compaction is the natural publication point for the bucketed
+        # co-located layout — refresh it so read() planning stays catalog-first
+        if self.catalog:
+            self.publish_catalog()

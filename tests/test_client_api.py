@@ -82,3 +82,43 @@ def test_binary_payload_append_and_read(spark, tmp_path):
 
     with _pytest.raises(AssertionError):
         c.append("t", "m", ["text", b"bytes"])
+
+
+def test_read_many_matches_single_reads(spark, tmp_path):
+    """The bulk path must equal N per-key reads — one pruned scan instead of
+    N driver collects — across replicated prefix, un-replicated tail,
+    deletes, an un-replicated purge, and a missing key."""
+    from pyspark.sql import functions as F
+
+    from kafka_journal_spark.api import JournalClient
+
+    c = JournalClient(spark, str(tmp_path / "bulk"))
+    c.append("journal", "a", ["a1", "a2"])
+    c.append("journal", "b", ["b1"])
+    c.delete_to("journal", "a", 1)
+    c.append("journal", "c", ["c1", "c2", "c3"])
+    c.replicate()  # everything so far is the replicated prefix
+    c.append("journal", "a", ["a3"])  # un-replicated tail append
+    c.purge("journal", "b")  # un-replicated purge
+    c.append("journal", "b", ["B1"])  # fresh append after the purge
+
+    keys = ["a", "b", "c", "missing"]
+    bulk = {
+        (r.id, r.seq_nr): r.payload_txt
+        for r in c.read_many("journal", keys).collect()
+    }
+    singles = {}
+    for k in keys:
+        for seq, payload in c.read("journal", k):
+            singles[(k, seq)] = payload
+    assert bulk == singles
+    assert ("a", 1) not in bulk and ("b", 1) in bulk  # delete applied; purge+fresh
+
+    # one plan, pruned: the store journal scan carries the id In-filter
+    plan = (
+        c.read_many("journal", keys)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "In(id, [" in plan, plan

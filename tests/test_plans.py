@@ -107,3 +107,55 @@ def test_recovery_merge_plan_is_lean(spark):
     p = _plan(recovery_merge(journal_actions(spark, SF)))
     # the events source feeds prefix + tail: at most 3 scans of it
     assert p.count("Scan parquet") <= 3
+
+
+def test_store_catalog_read_is_colocated_and_correct(spark, tmp_path):
+    """With catalog=<prefix>, compaction publishes id-bucketed tables and
+    read() plans the co-located join: ZERO exchange anywhere in the read
+    (join AND R5 window both reuse the scan's hash(id) bucketing)."""
+    from conftest import append, delete, make_actions
+
+    from kafka_journal_spark.sources.statestore import JournalStore
+    from kafka_journal_spark.streaming.replicator import replicate_batch
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # session.get_spark sets this; the test session opts in explicitly
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try:
+        store = JournalStore(spark, str(tmp_path / "cat"), catalog="t_store")
+        replicate_batch(
+            make_actions(
+                spark,
+                [append("a", 1), append("a", 2), delete("a", 1), append("b", 1)],
+            ),
+            store,
+        )
+        parquet_rows = {(r.id, r.seq_nr) for r in store.read().collect()}
+
+        store.compact()  # publication point
+        assert store._catalog_live
+        p = _plan(store.read())
+        assert "Exchange" not in p, p
+        catalog_rows = {(r.id, r.seq_nr) for r in store.read().collect()}
+        assert catalog_rows == parquet_rows == {("a", 2), ("b", 1)}
+
+        # any write stales the publication -> read falls back to live parquet
+        replicate_batch(
+            make_actions(spark, [append("b", 2)], offset_base=10), store
+        )
+        assert not store._catalog_live
+        assert {(r.id, r.seq_nr) for r in store.read().collect()} == {
+            ("a", 2), ("b", 1), ("b", 2),
+        }
+
+        # recompaction republishes with the new tail folded in
+        store.compact()
+        assert store._catalog_live
+        assert {(r.id, r.seq_nr) for r in store.read().collect()} == {
+            ("a", 2), ("b", 1), ("b", 2),
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "true")
+        spark.sql("DROP TABLE IF EXISTS t_store_journal")
+        spark.sql("DROP TABLE IF EXISTS t_store_metajournal")
