@@ -47,6 +47,7 @@ def main():
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     import __spark_entry__ as E
+    from pyspark.sql import functions as F
     from kafka_journal_spark.session import get_spark
 
     spark = get_spark("bench", cpus=cpus)
@@ -54,8 +55,52 @@ def main():
     # bench concern — j_actions/j_read/q3 live in the extras
     qs = {**E.queries(), **E.extra_queries()}
 
-    # JVM/codegen warmup
+    # JVM/codegen warmup: exercise the operator classes the headline queries
+    # share (parquet scan, window, hash-agg, sort-merge join, to_json /
+    # from_json) on tiny data so the one-time JIT cost lands here rather
+    # than being attributed to whichever query happens to run first
     spark.range(1000).selectExpr("sum(id)").collect()
+    w = spark.range(256).selectExpr("id", "id % 7 AS k", "CAST(id AS STRING) AS s")
+    (
+        w.selectExpr("k", "s", "sum(id) OVER (PARTITION BY k ORDER BY id) AS r")
+        .filter("r >= 0")
+        .groupBy("k")
+        .agg({"r": "max"})
+        .collect()
+    )
+    w.join(w.selectExpr("k AS k2", "id AS id2"), w.k == F.col("k2")).count()
+    (
+        w.groupBy("k")
+        .agg(F.max_by("s", "id"), F.min_by("s", "id"), F.max("id"))
+        .select(
+            F.aggregate(
+                F.split(F.col("max_by(s, id)"), ""),
+                F.lit(0).cast("long"),
+                lambda a, c: a + F.ascii(c),
+            )
+        )
+        .collect()
+    )
+    (
+        w.select(F.to_json(F.struct("k", "s")).alias("j"))
+        .select(F.from_json("j", "k long, s string"))
+        .collect()
+    )
+    spark.read.parquet(os.path.join(sf_dir, "events.parquet")).limit(64).collect()
+    # spin up the Arrow/pandas Python worker pool (one worker per core):
+    # the first UDF-bearing query otherwise pays ~seconds of fleet startup
+    import pandas as _pd
+
+    def _noop(it):
+        for b in it:
+            yield b
+
+    (
+        spark.range(cpus * 4, numPartitions=cpus)
+        .withColumnRenamed("id", "x")
+        .mapInPandas(_noop, schema="x long")
+        .count()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -132,7 +132,12 @@ EVENTS_PAYLOAD_SCHEMA = T.StructType(
 
 
 def action_header_json(df: DataFrame) -> Column:
-    """Encode action columns into the one-of header JSON (E3 forward)."""
+    """Encode action columns into the one-of header JSON (E3 forward).
+
+    ONE ``to_json`` over a four-branch struct: ``to_json`` drops null fields
+    (``ignoreNullFields`` default), so exactly the active branch appears —
+    identical bytes to serializing each branch separately, with a quarter of
+    the generated serializer code."""
     is_append = F.col("action_type") == "append"
     is_delete = F.col("action_type") == "delete"
     is_purge = F.col("action_type") == "purge"
@@ -147,10 +152,13 @@ def action_header_json(df: DataFrame) -> Column:
     delete_doc = F.struct(F.col("delete_to").alias("to"), F.col("origin"), F.col("version"))
     purge_doc = F.struct(F.col("origin"), F.col("version"))
     mark_doc = F.struct(F.col("mark_id").alias("id"), F.col("origin"), F.col("version"))
-    return F.when(is_append, F.to_json(F.struct(append_doc.alias("append")))).when(
-        is_delete, F.to_json(F.struct(delete_doc.alias("delete")))
-    ).when(is_purge, F.to_json(F.struct(purge_doc.alias("purge")))).otherwise(
-        F.to_json(F.struct(mark_doc.alias("mark")))
+    return F.to_json(
+        F.struct(
+            F.when(is_append, append_doc).alias("append"),
+            F.when(is_delete, delete_doc).alias("delete"),
+            F.when(is_purge, purge_doc).alias("purge"),
+            F.when(~(is_append | is_delete | is_purge), mark_doc).alias("mark"),
+        )
     )
 
 
