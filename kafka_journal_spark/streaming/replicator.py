@@ -260,8 +260,9 @@ def replicate_batch(batch: DataFrame, store: JournalStore) -> None:
             & (F.col("offset") > F.coalesce(F.col("_purge_off"), F.lit(-1)))
         )
     )
-    # no broadcast hint: new_meta is the FULL merged head table (O(#keys)),
-    # not just the batch's keys — AQE broadcasts it at runtime while it is
+    # no broadcast hint: new_meta holds the full state of every TOUCHED
+    # segment (the batch's keys plus their segment neighbors — can still be
+    # large under wide batches) — AQE broadcasts it at runtime while it is
     # small and shuffle-joins once it is not
     rid_map = new_meta.select(
         "topic", "id", F.col("record_id").alias("_rid"), F.col("delete_to").alias("_dt")
