@@ -447,10 +447,14 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: listed here are still exported via ``extra_queries()`` /
 #: ``extra_oracle_sql()`` and verified by ``tools/check_correctness.py``
 #: (they are subsumed variants: j_read ⊂ j_read_from, j_ids ⊂ j_pointer,
-#: j_actions ⊂ j_wire_roundtrip, q3/q10/q14 ⊂ the kept join+agg gates,
+#: j_actions ⊂ j_wire_roundtrip, j_topics ⊂ j_pointers (same table,
+#: coarser projection), q3/q10/q14 ⊂ the kept join+agg gates,
 #: q_cube ⊂ q_rollup, q_distinct ⊂ q_setops (set ops are distinct-based),
-#: e_lsh_buckets/e_ann_bucketed ⊂ e_ann_multiprobe,
-#: e_label_stats ⊂ e_centroids, x_expiry_candidates ⊂ x_meta_expiry,
+#: d_minhash_sigs ⊂ d_minhash_lsh (the LSH oracle recomputes the
+#: signatures), e_lsh_buckets/e_ann_bucketed ⊂ e_ann_multiprobe,
+#: e_cosine_pandas ⊂ e_cosine_topk (identical result, Arrow kernel path
+#: gate-covered by m_wav_decode), e_label_stats ⊂ e_centroids,
+#: x_expiry_candidates ⊂ x_meta_expiry,
 #: s_snapshots/s_load_bounded ⊂ s_load_latest).
 GATE_ORDER = [
     # journal engine (SURVEY §2.1-§2.6)
@@ -468,7 +472,6 @@ GATE_ORDER = [
     "w_batching",
     "j_integrity",
     "j_read_by_tag",
-    "j_topics",
     "q_sql_surface",
     # classic relational surface (SURVEY §2.7)
     "q1",
@@ -493,16 +496,18 @@ GATE_ORDER = [
     "d_fingerprint",
     "d_strings",
     "d_curation",
+    # training-data packing
+    "d_pack_chunks",
     # dedup family
     "d_dedup_exact",
     "d_ngram_jaccard",
-    "d_minhash_sigs",
     "d_minhash_lsh",
+    "d_dedup_clusters",
     "d_simhash_sigs",
     # embedding similarity
     "e_cosine_topk",
     "e_ann_multiprobe",
-    "e_cosine_pandas",
+    "e_quantize_int8",
     "e_centroids",
     # multimodal: real WAV decode through the mapInPandas fan-out
     "m_wav_decode",

@@ -240,6 +240,88 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select("doc_a", "doc_b", round6(est).alias("est_jaccard"))
 
 
+CLUSTER_THRESHOLD = 0.5  # LSH pairs admitted to the cluster graph
+
+
+def dedup_clusters(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = CLUSTER_THRESHOLD,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH pair
+    graph, the step production dedup needs after candidate generation —
+    pairs (a,b),(b,c) must collapse to ONE representative, which pairwise
+    keep-lists get wrong.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min label among itself and its neighbors; converges in
+    O(component diameter) rounds (near-dup clusters are shallow; for
+    adversarial chain graphs switch to large-star/small-star, which is the
+    same join shape with path halving).  Each round is ONE shuffle keyed on
+    doc_id, with ``localCheckpoint`` cutting the lineage so plan size stays
+    constant; the driver only sees a changed-row COUNT per round, never the
+    data.
+
+    Output: every document with its ``cluster_id`` (min doc_id of its
+    component; singletons map to themselves) and the canonical
+    ``keep`` decision.
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir).filter(
+        F.col("est_jaccard") >= F.lit(threshold)
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .unionByName(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("s").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("s"), F.col("label").alias("_sl")),
+                "s",
+            )
+            .groupBy(F.col("d").alias("doc_id"))
+            .agg(F.min("_sl").alias("_nl"))
+        )
+        new = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("_nl", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(
+                labels.select("doc_id", F.col("label").alias("_old")), "doc_id"
+            )
+            .filter(F.col("label") != F.col("_old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("cluster_id") == F.col("doc_id"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -437,10 +519,36 @@ DEDUP_ORACLES["d_curation"] = f"""
     JOIN __c ON __q.doc_id = __c.doc_id
 """
 
+# the cluster oracle computes the SAME components with a recursive CTE
+# (transitive closure over the thresholded LSH pair graph) — an independent
+# algorithm from the iterative label propagation under test
+DEDUP_ORACLES["d_dedup_clusters"] = f"""
+    WITH RECURSIVE __pairs AS (
+      SELECT doc_a, doc_b FROM ({DEDUP_ORACLES["d_minhash_lsh"]})
+      WHERE est_jaccard >= {CLUSTER_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM __pairs
+      UNION ALL
+      SELECT doc_b AS s, doc_a AS d FROM __pairs
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    comp AS (SELECT s, LEAST(s, MIN(d)) AS cid FROM reach GROUP BY s)
+    SELECT doc.doc_id,
+           COALESCE(c.cid, doc.doc_id) AS cluster_id,
+           (COALESCE(c.cid, doc.doc_id) = doc.doc_id) AS keep
+    FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.s
+"""
+
 DEDUP_QUERIES = {
     "d_dedup_exact": dedup_exact,
     "d_ngram_jaccard": ngram_jaccard_pairs,
     "d_minhash_sigs": minhash_signatures_gate,
     "d_minhash_lsh": minhash_lsh_pairs,
+    "d_dedup_clusters": dedup_clusters,
     "d_simhash_sigs": simhash_signatures,
 }

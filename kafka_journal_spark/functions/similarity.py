@@ -24,6 +24,8 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_journal_spark.functions.numeric import round6
+
 N_QUERIES = 8  # queries = vec_id < N_QUERIES
 TOP_K = 5
 BUCKET_DIMS = 6  # sign bits of the first 6 dims -> 64 buckets
@@ -462,8 +464,61 @@ SIM_ORACLES: dict[str, str] = {
     """,
 }
 
+def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the memory-scale path for
+    ANN over 100 TB of embeddings (4x smaller vectors, scale factor per
+    row): ``scale = max|v| / 127``, ``q_i = clamp(round(v_i/scale), ±127)``.
+
+    Emits per-vector reconstruction-quality stats.  All floating results
+    are fixed-point-quantized (q7 integers) BEFORE any aggregation so sums
+    and maxima are order-free and bit-identical across engines (the
+    ``e_centroids`` pattern); everything is higher-order column functions —
+    no explode, no UDF, one narrow pass.
+    """
+    v = F.col("vec")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = amax / F.lit(127.0)
+    qv = F.when(
+        amax == 0, F.transform(v, lambda x: F.lit(0).cast("long"))
+    ).otherwise(
+        F.transform(
+            v,
+            lambda x: F.greatest(
+                F.lit(-127).cast("long"),
+                F.least(F.lit(127).cast("long"), F.floor(x / scale + F.lit(0.5))),
+            ),
+        )
+    )
+    df = (
+        _emb(spark, sf_dir)
+        .withColumn("_amax", amax)
+        .withColumn("_scale", scale)
+        .withColumn("_q", qv)
+    )
+    errs_q7 = F.zip_with(
+        F.col("vec"),
+        F.col("_q"),
+        lambda x, q: F.floor(F.abs(x - q * F.col("_scale")) * F.lit(1e7) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    return df.select(
+        "vec_id",
+        round6(F.col("_scale")).alias("scale"),
+        F.size("vec").alias("n_dims"),
+        F.aggregate(
+            F.col("_q"), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("sum_q"),
+        F.array_max(errs_q7).alias("max_abs_err_q7"),
+        F.aggregate(errs_q7, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "sum_abs_err_q7"
+        ),
+    )
+
+
 SIM_QUERIES = {
     "e_cosine_topk": cosine_topk,
+    "e_quantize_int8": quantize_int8,
     "e_lsh_buckets": lsh_buckets,
     "e_ann_bucketed": ann_bucketed_topk,
     "e_ann_multiprobe": ann_multiprobe_topk,
@@ -476,6 +531,41 @@ SIM_QUERIES = {
 
 # the pandas kernel reproduces the exact brute-force result
 SIM_ORACLES["e_cosine_pandas"] = SIM_ORACLES["e_cosine_topk"]
+
+SIM_ORACLES["e_quantize_int8"] = """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, vec,
+             list_max(list_transform(vec, x -> abs(x))) AS amax
+      FROM v
+    ),
+    q AS (
+      SELECT vec_id, vec, amax, amax / 127.0 AS scale,
+             CASE WHEN amax = 0
+                  THEN list_transform(vec, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(vec, x -> CAST(GREATEST(-127, LEAST(127,
+                         FLOOR(x / (amax / 127.0) + 0.5))) AS BIGINT))
+             END AS qv
+      FROM s
+    ),
+    e AS (
+      SELECT vec_id, scale, vec, qv,
+             list_transform(range(1, len(vec) + 1),
+                            i -> CAST(FLOOR(abs(vec[i] - qv[i] * scale) * 1e7 + 0.5) AS BIGINT))
+               AS errs_q7
+      FROM q
+    )
+    SELECT vec_id,
+           (FLOOR(scale * 1000000.0 + 0.5) / 1000000.0) AS scale,
+           CAST(len(vec) AS INTEGER) AS n_dims,
+           CAST(list_aggregate(qv, 'sum') AS BIGINT) AS sum_q,
+           CAST(list_max(errs_q7) AS BIGINT) AS max_abs_err_q7,
+           CAST(list_aggregate(errs_q7, 'sum') AS BIGINT) AS sum_abs_err_q7
+    FROM e
+"""
 
 SIM_ORACLES["d_embedding_neardup"] = f"""
     WITH e AS (

@@ -201,6 +201,37 @@ def _profile_sql(lang: str) -> str:
 
 
 TEXT_ORACLES: dict[str, str] = {
+    "d_pack_chunks": f"""
+        WITH d0 AS (
+          SELECT doc_id, lang, CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        d AS (
+          SELECT *, COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS cum_before
+          FROM d0 WHERE n_tokens > 0
+        ),
+        s AS (
+          SELECT lang, doc_id, n_tokens, cum_before,
+                 CAST(FLOOR(cum_before / 2048) AS BIGINT) AS first_chunk,
+                 CAST(FLOOR((cum_before + n_tokens - 1) / 2048) AS BIGINT) AS last_chunk
+          FROM d
+        ),
+        e AS (
+          SELECT lang, doc_id, n_tokens, cum_before,
+                 CAST(unnest(generate_series(first_chunk, last_chunk)) AS BIGINT) AS chunk_id
+          FROM s
+        )
+        SELECT lang, chunk_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(LEAST(cum_before + n_tokens, (chunk_id + 1) * 2048)
+                        - GREATEST(cum_before, chunk_id * 2048)) AS BIGINT) AS n_tokens,
+               MIN(doc_id) AS first_doc,
+               MAX(doc_id) AS last_doc
+        FROM e GROUP BY lang, chunk_id
+    """,
     "d_tokens": f"""
         WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents)
         SELECT doc_id,
@@ -328,6 +359,66 @@ def d_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_CAPACITY = 2048  # tokens per training context window
+
+
+def pack_chunks(spark: SparkSession, sf_dir: str, capacity: int = PACK_CAPACITY) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard pretraining layout:
+    per language stream, documents are concatenated in ``doc_id`` order and
+    the token stream is cut into fixed ``capacity`` context windows; a
+    document may straddle a boundary (its tokens split across the adjacent
+    chunks).  Emits per-chunk packing stats (docs touched, token fill).
+
+    Plan: one window (exclusive running token sum) + an explode over the
+    chunk span each document covers + one groupBy — all integer column
+    math, exact across engines.  Scale: the window partitions by ``lang``;
+    at real corpus scale shard the stream key (e.g. ``(lang, doc_id mod
+    S)``) so one language's token stream does not serialize into a single
+    partition — same plan shape, sharded key.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens_col()
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", F.size(toks).cast("long").alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = (
+        d.withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .withColumn("first_chunk", F.floor(F.col("cum_before") / capacity))
+        .withColumn(
+            "last_chunk",
+            F.floor((F.col("cum_before") + F.col("n_tokens") - 1) / capacity),
+        )
+    )
+    e = d.select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        "cum_before",
+        F.explode(F.sequence("first_chunk", "last_chunk")).alias("chunk_id"),
+    )
+    tokens_in_chunk = F.least(
+        F.col("cum_before") + F.col("n_tokens"), (F.col("chunk_id") + 1) * F.lit(capacity)
+    ) - F.greatest(F.col("cum_before"), F.col("chunk_id") * F.lit(capacity))
+    return (
+        e.withColumn("_t", tokens_in_chunk)
+        .groupBy("lang", "chunk_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_t").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
 TEXT_QUERIES = {
     "d_tokens": d_tokens,
     "d_tokens_bpe": d_tokens_bpe,
@@ -336,4 +427,5 @@ TEXT_QUERIES = {
     "d_quality": d_quality,
     "d_lang_id": d_lang_id,
     "d_fingerprint": d_fingerprint,
+    "d_pack_chunks": pack_chunks,
 }

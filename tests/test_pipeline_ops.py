@@ -1,0 +1,99 @@
+"""Invariant tests for the training-pipeline operators added in round 4:
+dedup clusters (connected components), concat-and-chunk packing, int8
+quantization.  The value-level parity lives in the DuckDB oracles; these
+check the algebraic properties the oracles cannot express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dedup_clusters_are_transitive_components(spark):
+    from kafka_journal_spark.functions.dedup import (
+        CLUSTER_THRESHOLD,
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    clusters = dedup_clusters(spark, SF)
+    label = {r.doc_id: r.cluster_id for r in clusters.collect()}
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(spark, SF)
+        .filter(F.col("est_jaccard") >= CLUSTER_THRESHOLD)
+        .collect()
+    ]
+    # every admitted pair ends up in ONE cluster (transitivity through
+    # chains is exactly what pairwise dedup gets wrong)
+    for a, b in pairs:
+        assert label[a] == label[b], (a, b)
+    # cluster representative is the component's min doc_id and keeps itself
+    for doc, cid in label.items():
+        assert cid <= doc
+        assert label[cid] == cid
+    # independent union-find over the same pairs gives identical components
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for doc in label:
+        assert label[doc] == (find(doc) if doc in parent else doc)
+
+
+def test_pack_chunks_conserves_tokens_and_fills(spark):
+    from kafka_journal_spark.functions.text import (
+        PACK_CAPACITY,
+        pack_chunks,
+        tokens_col,
+    )
+
+    chunks = pack_chunks(spark, SF).collect()
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("lang", F.size(tokens_col()).cast("long").alias("n"))
+        .filter(F.col("n") > 0)
+        .groupBy("lang")
+        .agg(F.sum("n").alias("total"))
+        .collect()
+    )
+    totals = {r.lang: r.total for r in docs}
+    got = {}
+    for r in chunks:
+        got[r.lang] = got.get(r.lang, 0) + r.n_tokens
+        assert 1 <= r.n_tokens <= PACK_CAPACITY
+    # concat-and-chunk loses no tokens
+    assert got == totals
+    # every chunk except each language's last is exactly full
+    by_lang = {}
+    for r in chunks:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.chunk_id)
+        assert [r.chunk_id for r in rs] == list(range(len(rs)))
+        assert all(r.n_tokens == PACK_CAPACITY for r in rs[:-1])
+
+
+def test_quantize_int8_bounds_and_reconstruction(spark):
+    from kafka_journal_spark.functions.similarity import quantize_int8, _emb
+
+    q = {r.vec_id: r for r in quantize_int8(spark, SF).collect()}
+    vecs = {r.vec_id: r.vec for r in _emb(spark, SF).collect()}
+    assert set(q) == set(vecs)
+    for vid, r in q.items():
+        v = vecs[vid]
+        amax = max(abs(x) for x in v)
+        assert abs(r.scale - amax / 127.0) < 1e-6
+        assert r.n_dims == len(v)
+        # worst-case symmetric-quantization error is half a step (q7 units)
+        assert r.max_abs_err_q7 <= (amax / 127.0 / 2) * 1e7 + 1
