@@ -35,9 +35,13 @@ HEADLINE = [
     "q_asof_join",
     "d_dedup_exact",
     "d_minhash_lsh",
+    "d_dedup_clusters",
     "d_simhash_sigs",
+    "d_pack_chunks",
     "e_cosine_topk",
     "e_cosine_pandas",
+    "e_quantize_int8",
+    "m_wav_decode",
 ]
 
 

@@ -193,9 +193,17 @@ def events_payload_json(df: DataFrame) -> Column:
                 F.col("payload").alias("payload"),
             )
         )
+    # PayloadMetadata rides the document (PayloadMetadata.scala:181
+    # expireAfter): actions carrying a TTL serialize it; to_json drops the
+    # null field for the rest, leaving the reference's empty {} metadata
+    expire_ms = (
+        (F.col("expire_after_secs") * F.lit(1000)).cast("long")
+        if "expire_after_secs" in df.columns
+        else F.lit(None).cast("long")
+    )
     doc = F.struct(
         events.alias("events"),
-        F.struct(F.lit(None).cast("long").alias("expireAfterMs")).alias("metadata"),
+        F.struct(expire_ms.alias("expireAfterMs")).alias("metadata"),
     )
     return F.to_json(doc)
 
@@ -414,11 +422,23 @@ def encode_actions_to_kafka(actions: DataFrame) -> DataFrame:
         # the action's PayloadMetadata (e.g. expireAfter) rides the version-1
         # envelope tail — the reference serializes it, and the decoder
         # surfaces it, so hardcoding '{}' would make the codec asymmetric
-        meta_col = (
-            F.coalesce(F.col("metadata"), F.lit("{}"))
-            if "metadata" in actions.columns
-            else F.lit("{}")
-        )
+        meta_parts = []
+        if "metadata" in actions.columns:
+            meta_parts.append(F.col("metadata"))
+        if "expire_after_secs" in actions.columns:
+            # synthesize PayloadMetadata for TTL-carrying actions without an
+            # explicit metadata document
+            meta_parts.append(
+                F.when(
+                    F.col("expire_after_secs").isNotNull(),
+                    F.concat(
+                        F.lit('{"expireAfterMs":'),
+                        (F.col("expire_after_secs") * 1000).cast("long").cast("string"),
+                        F.lit("}"),
+                    ),
+                )
+            )
+        meta_col = F.coalesce(*meta_parts, F.lit("{}")) if meta_parts else F.lit("{}")
         value = F.when(
             is_bin,
             enc(
@@ -526,6 +546,19 @@ def decode_kafka_to_actions(kafka_df: DataFrame) -> DataFrame:
             is_bin, F.transform(F.col("_blob_bin.events"), lambda e: e["payload"])
         ).alias("payloads_bin"),
         F.when(is_bin, F.col("_blob_bin.metadata")).alias("metadata"),
+        # PayloadMetadata.expireAfter round-trips from either envelope: the
+        # JSON document's typed field, or the binary envelope's metadata tail
+        F.floor(
+            F.coalesce(
+                F.col("_blob.metadata.expireAfterMs"),
+                F.get_json_object(F.col("_blob_bin.metadata"), "$.expireAfterMs").cast(
+                    "long"
+                ),
+            )
+            / F.lit(1000)
+        )
+        .cast("long")
+        .alias("expire_after_secs"),
         # user headers: everything except the journal.action dispatch header
         # (EventRecord.scala:65-82)
         F.map_from_entries(

@@ -318,6 +318,39 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-correlated subquery -> left-semi join with a
+    non-equi conjunct (late-shipping lineitem), priority counts.  The semi
+    join shuffles on the equi key only; the date comparison rides as the
+    join's residual condition."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count-per-customer histogram — a left outer
+    join (customers with zero orders count at 0) followed by a second
+    aggregation over the counts."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (sort-based; both engines
     use linear interpolation and agree bit-for-bit — verified empirically).
@@ -557,10 +590,29 @@ ANALYTICS_ORACLES: dict[str, str] = {
             FROM orders
         ) WHERE rk <= 3
     """,
+    "q4": """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+    """,
+    "q13": """
+        WITH per_cust AS (
+          SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+          FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey
+        )
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM per_cust GROUP BY c_count
+    """,
 }
 
 ANALYTICS_QUERIES = {
     "q1": q1_pricing_summary,
+    "q4": q4_order_priority,
+    "q13": q13_customer_distribution,
     "q3": q3_shipping_priority,
     "q5": q5_local_volume,
     "q6": q6_forecast_revenue,

@@ -183,3 +183,38 @@ def test_decode_carries_per_event_tags(spark):
     assert r.tags_list == [["red"], ["blue", "bold"]]
     events = {e.seq_nr: e.tags for e in explode_events(decoded).collect()}
     assert events == {7: ["red"], 8: ["blue", "bold"]}
+
+
+def test_expiry_metadata_roundtrips_both_envelopes(spark):
+    """PayloadMetadata.expireAfter rides the JSON document's metadata field
+    and the binary envelope's metadata tail — a TTL set by the writer must
+    survive the wire in both encodings (PayloadMetadata.scala:181)."""
+    from pyspark.sql import functions as F
+
+    from conftest import append, make_actions
+    from kafka_journal_spark.codecs import (
+        decode_kafka_to_actions,
+        encode_actions_to_kafka,
+    )
+
+    acts = make_actions(
+        spark, [append("a", 1), append("b", 1), append("c", 1)]
+    ).withColumn(
+        "expire_after_secs",
+        F.when(F.col("id") == "a", F.lit(43_200))  # 12 h
+        .when(F.col("id") == "b", F.lit(90_000))   # 25 h
+        .cast("long"),
+    )
+
+    # JSON envelope
+    rt = decode_kafka_to_actions(encode_actions_to_kafka(acts))
+    got = {r.id: r.expire_after_secs for r in rt.collect()}
+    assert got == {"a": 43_200, "b": 90_000, "c": None}
+
+    # binary envelope (whole batch binary)
+    bin_acts = acts.withColumn(
+        "payload_bin", F.encode(F.col("payload"), "utf-8")
+    ).withColumn("payload_type", F.lit("binary"))
+    rtb = decode_kafka_to_actions(encode_actions_to_kafka(bin_acts))
+    gotb = {r.id: r.expire_after_secs for r in rtb.collect()}
+    assert gotb == {"a": 43_200, "b": 90_000, "c": None}
