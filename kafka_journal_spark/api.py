@@ -48,7 +48,7 @@ ACTIONS_LOG_DDL = (
     "timestamp timestamp, origin string, version string, seq_nr_from long, "
     "seq_nr_to long, payload_type string, payload string, payloads array<string>, "
     "payloads_bin array<binary>, headers map<string,string>, "
-    "tags array<string>, delete_to long, mark_id string"
+    "tags array<string>, delete_to long, mark_id string, expire_after_secs long"
 )
 
 
@@ -119,7 +119,13 @@ class JournalClient:
         return self.store.pointer(topic, key)
 
     def append(
-        self, topic: str, key: str, payloads: list, tags=None, headers=None
+        self,
+        topic: str,
+        key: str,
+        payloads: list,
+        tags=None,
+        headers=None,
+        expire_after_secs: Optional[int] = None,
     ) -> tuple[int, int]:
         """Atomically append a batch of events; returns (partition, offset).
 
@@ -127,7 +133,10 @@ class JournalClient:
         the batch rides the binary envelope exactly as in the reference's
         "any binary => whole batch binary" rule, KafkaWrite.scala:88-98);
         ``headers`` is an optional per-record user-header map
-        (EventRecord.scala:65-82).
+        (EventRecord.scala:65-82); ``expire_after_secs`` sets the journal's
+        TTL from this append on (PayloadMetadata.scala:181 expireAfter —
+        second-granular; the metajournal head follows the LAST append's
+        value, and the TTL job purges due journals).
         """
         import datetime as dt
 
@@ -156,6 +165,7 @@ class JournalClient:
                     "headers": dict(headers) if headers else None,
                     "tags": list(tags or []),
                     "delete_to": None, "mark_id": None,
+                    "expire_after_secs": expire_after_secs,
                 }
             ]
         )
@@ -179,6 +189,7 @@ class JournalClient:
                     "payload_type": None, "payload": None, "payloads": None,
                     "payloads_bin": None, "headers": None,
                     "tags": None, "delete_to": min(to, ptr), "mark_id": None,
+                    "expire_after_secs": None,
                 }
             ]
         )
@@ -203,6 +214,7 @@ class JournalClient:
                     "payload_type": None, "payload": None, "payloads": None,
                     "payloads_bin": None, "headers": None,
                     "tags": None, "delete_to": None, "mark_id": None,
+                    "expire_after_secs": None,
                 }
             ]
         )
@@ -256,6 +268,22 @@ class JournalClient:
             .drop("_ptr_off")
         )
         return stitch_tail(eventual, tail, from_seq_nr)
+
+    def ttl_purge(self, now_ts: str) -> int:
+        """The P8 TTL job (``PurgeExpired.scala:23-71``): purge every
+        journal due at ``now_ts``.  Each due key gets a Purge action
+        PRODUCED THROUGH THE LOG (a real offset, normal replication
+        ordering — never a direct store delete), then the tail is drained.
+        A purged head row disappears, so the job is naturally idempotent.
+        """
+        from kafka_journal_spark.operators.expiry import ttl_due
+
+        due = ttl_due(self.store, now_ts)
+        for topic, key in due:
+            self.purge(topic, key)
+        if due:
+            self.replicate()
+        return len(due)
 
     def replicate(self) -> None:
         """Drain the un-replicated log through the replication fold (the

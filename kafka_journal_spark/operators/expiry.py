@@ -105,6 +105,33 @@ def expiry_purge_actions(
     )
 
 
+def ttl_due(store, now_ts: str) -> list:
+    """P8's candidate scan against a LIVE store: journals due at ``now_ts``
+    as ``[(topic, id)]``.  The prunable ``expire_on`` date predicate runs
+    before the exact ``expire_on_ts`` refine; only the due keys reach the
+    driver (O(expired) — the same per-key fan-out the reference's
+    distributed job performs, ``PurgeExpired.scala:60-70``).
+
+    The PRODUCER turns these into Purge actions: expiry is never a direct
+    store delete — the purge must be produced through the actions log /
+    Kafka topic so it gets a real offset and the normal replication
+    ordering (injecting synthetic offsets into the store would collide
+    with offsets the log assigns later and silently fence out writes)."""
+    from pyspark.sql import functions as FF
+
+    cut = FF.lit(now_ts).cast("timestamp")
+    return [
+        (r.topic, r.id)
+        for r in (
+            store.metajournal()
+            .filter(FF.col("expire_on") <= FF.to_date(cut))
+            .filter(FF.col("expire_on_ts") <= cut)
+            .select("topic", "id")
+            .collect()
+        )
+    ]
+
+
 EXPIRY_ORACLES: dict[str, str] = {}
 
 

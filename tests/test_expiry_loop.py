@@ -82,3 +82,35 @@ def test_sub_day_ttl_is_second_granular(spark, tmp_path):
         .filter(F.col("expire_on_ts") <= cut)
     )
     assert [r.id for r in due.collect()] == ["a"]
+
+
+def test_client_ttl_to_store_purge_end_to_end(spark, tmp_path):
+    """The full TTL loop: a client append with expire_after_secs rides the
+    log, replication lands it on the metajournal head, and run_ttl_purge
+    purges due journals through the normal pipeline — idempotently."""
+    from kafka_journal_spark.api import JournalClient
+
+    c = JournalClient(spark, str(tmp_path / "ttl_e2e"))
+    c.append("journal", "short", ["s1"], expire_after_secs=12 * 3600)
+    c.append("journal", "long", ["l1"], expire_after_secs=10 * 86400)
+    c.append("journal", "forever", ["f1"])
+    c.replicate()
+
+    heads = {r.id: r.expire_after_secs for r in c.store.metajournal().collect()}
+    assert heads["short"] == 12 * 3600 and heads["long"] == 10 * 86400
+    assert heads["forever"] is None
+
+    # one day later: only the 12 h journal is due
+    import datetime as dt
+
+    now = (dt.datetime.utcnow() + dt.timedelta(days=1)).isoformat(sep=" ", timespec="seconds")
+    assert c.ttl_purge(now) == 1
+    assert {r.id for r in c.store.read().collect()} == {"long", "forever"}
+    assert c.store.pointer("journal", "short") is None
+    # purged head row is gone -> the job is idempotent
+    assert c.ttl_purge(now) == 0
+    # the purge rode the LOG: later appends get non-colliding offsets and
+    # are not fenced out by the advanced pointer
+    c.append("journal", "short", ["s2"])
+    c.replicate()
+    assert c.read("journal", "short") == [(1, "s2")]
