@@ -218,3 +218,49 @@ def test_expiry_metadata_roundtrips_both_envelopes(spark):
     rtb = decode_kafka_to_actions(encode_actions_to_kafka(bin_acts))
     gotb = {r.id: r.expire_after_secs for r in rtb.collect()}
     assert gotb == {"a": 43_200, "b": 90_000, "c": None}
+
+
+def test_binary_envelope_pack_unpack_property():
+    """Property: pack ∘ unpack is identity for arbitrary event batches —
+    seq_nrs, unicode tags, payload type/None, arbitrary payload bytes
+    (incl. bytes that look like envelope headers), and metadata JSON."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_journal_spark.codecs import pack_events_binary, unpack_events_binary
+
+    event = st.fixed_dictionaries(
+        {
+            "seqNr": st.integers(min_value=1, max_value=2**62),
+            "tags": st.lists(
+                st.text(max_size=8), max_size=4
+            ),
+            "payloadType": st.sampled_from(["binary", "json", "text", None]),
+            "payload": st.one_of(st.none(), st.binary(max_size=64)),
+        }
+    )
+    meta = st.one_of(
+        st.just("{}"),
+        st.just('{"expireAfterMs":43200000}'),
+        st.text(alphabet="abc{}:,0189", max_size=24).map(lambda s: s or "{}"),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(event, min_size=1, max_size=5), meta)
+    def check(events, metadata):
+        buf = pack_events_binary(events, metadata)
+        out = unpack_events_binary(buf)
+        assert out is not None
+        assert out["metadata"] == (metadata or "{}")
+        assert len(out["events"]) == len(events)
+        for e_in, e_out in zip(events, out["events"]):
+            assert e_out["seqNr"] == e_in["seqNr"]
+            assert e_out["tags"] == list(e_in["tags"])
+            if e_in["payload"] is None:
+                assert e_out["payload"] is None
+            else:
+                assert bytes(e_out["payload"]) == bytes(e_in["payload"])
+                # None payloadType packs as the binary discriminator
+                assert e_out["payloadType"] == (e_in["payloadType"] or "binary")
+
+    check()
