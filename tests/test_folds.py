@@ -197,3 +197,22 @@ def test_combinations_counts():
 def test_combinations_cover_all_splits():
     got = {tuple(tuple(b) for b in c) for c in combinations(3)}
     assert got == {((1, 2, 3),), ((1,), (2, 3)), ((1, 2), (3,)), ((1,), (2,), (3,))}
+
+
+def test_delete_reclamps_after_append_restart():
+    """ADVICE regression (HeadInfo.scala:255-262): append 1-10, delete 10,
+    append 1-2, delete 1 -> the watermark is pulled DOWN to 2 by the
+    re-clamp against the restarted head, not kept at the stale 10."""
+    h = head_info(
+        [
+            ActionRec("append", 0, 1, 10, None),
+            ActionRec("delete", 1, None, None, 10),
+            ActionRec("append", 2, 1, 2, None),
+            ActionRec("delete", 3, None, None, 1),
+        ]
+    )
+    assert h.kind == "append"
+    # HeadInfo.scala append branch: copy(seqNr = range.to) — the LAST
+    # append's range wins, so the head follows the restart
+    assert h.seq_nr == 2
+    assert h.delete_to == 2

@@ -159,3 +159,23 @@ def test_store_catalog_read_is_colocated_and_correct(spark, tmp_path):
         spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "true")
         spark.sql("DROP TABLE IF EXISTS t_store_journal")
         spark.sql("DROP TABLE IF EXISTS t_store_metajournal")
+
+
+def test_pack_chunks_single_shuffle(spark):
+    """Concat-and-chunk packing must cost ONE exchange: the per-language
+    window's hash(lang); the (lang, chunk_id) aggregation reuses that
+    partitioning via the subset rule rather than reshuffling."""
+    from kafka_journal_spark.functions.text import pack_chunks
+
+    p = _plan(pack_chunks(spark, SF))
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_quantize_int8_is_narrow(spark):
+    """Per-vector quantization is a single narrow pass — no exchange, no
+    Python node; everything rides higher-order column functions."""
+    from kafka_journal_spark.functions.similarity import quantize_int8
+
+    p = _plan(quantize_int8(spark, SF))
+    assert "Exchange" not in p, p
+    assert "ArrowEval" not in p and "BatchEval" not in p, p
