@@ -44,6 +44,9 @@ def tokens_col(text: Column = None) -> Column:
 
 TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
+#: BM25 retrieval constants (shared by the operator and its oracle)
+BM25_K1, BM25_B, BM25_TOPK, BM25_QTERMS = 1.2, 0.75, 10, 3
+
 
 def shingles_col(toks: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles; empty when the doc has < n tokens.
@@ -201,6 +204,45 @@ def _profile_sql(lang: str) -> str:
 
 
 TEXT_ORACLES: dict[str, str] = {
+    "d_bm25_topk": f"""
+        WITH t AS (
+          SELECT doc_id, lower(unnest({TOKS_SQL})) AS term FROM documents
+        ),
+        tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM t GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+               FROM tf GROUP BY doc_id),
+        dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                  FROM tf GROUP BY term),
+        consts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                          CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+                   FROM dl),
+        query AS (
+          SELECT term FROM tf WHERE length(term) >= 4
+          GROUP BY term ORDER BY SUM(tf) DESC, term ASC LIMIT {BM25_QTERMS}
+        ),
+        j AS (
+          SELECT tf.doc_id, tf.tf, dl.dl, dfreq.df, consts.n_docs, consts.avgdl
+          FROM tf JOIN query ON tf.term = query.term
+                  JOIN dl ON tf.doc_id = dl.doc_id
+                  JOIN dfreq ON tf.term = dfreq.term
+                  CROSS JOIN consts
+        ),
+        scored AS (
+          SELECT doc_id,
+                 CAST(SUM(CAST(FLOOR(
+                   ((n_docs - df + 0.5) / (df + 0.5))
+                   * (CAST(tf AS DOUBLE) * {BM25_K1 + 1.0})
+                   / (CAST(tf AS DOUBLE) + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * (CAST(dl AS DOUBLE) / avgdl)))
+                   * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS score_q6
+          FROM j GROUP BY doc_id
+        )
+        SELECT doc_id, score_q6, rank FROM (
+          SELECT doc_id, score_q6,
+                 CAST(ROW_NUMBER() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS INTEGER) AS rank
+          FROM scored
+        ) WHERE rank <= {BM25_TOPK}
+    """,
     "d_pack_chunks": f"""
         WITH d0 AS (
           SELECT doc_id, lang, CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens
@@ -419,6 +461,75 @@ def pack_chunks(spark: SparkSession, sf_dir: str, capacity: int = PACK_CAPACITY)
     )
 
 
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-style retrieval over the corpus: per-term document frequencies,
+    length-normalized term frequency saturation, query-term join, top-k by
+    score — the classic sparse-retrieval shape (one exploded-term agg feeds
+    tf, dl, df AND the query-term selection; the query side is 3 rows and
+    broadcasts).
+
+    Two determinism choices (documented divergences from textbook BM25,
+    same operator shape):
+    - the idf is the log-free rational ``(N - df + 0.5) / (df + 0.5)`` —
+      ``ln`` differs in the last ulp between engines, rational arithmetic
+      is bit-identical;
+    - per-term scores are fixed-point-quantized (q6) BEFORE summation so
+      the aggregation is order-free (``e_centroids`` pattern).
+    The query is self-contained: the corpus's ``BM25_QTERMS`` most frequent
+    tokens of length >= 4 (ties by token).
+    """
+    toks = F.transform(tokens_col(), lambda t: F.lower(t))
+    t = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(toks).alias("term"))
+    )
+    tf = t.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    tf = tf.localCheckpoint(eager=True)  # feeds dl, df, query AND the join
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    consts = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    query = (
+        tf.filter(F.length("term") >= 4)
+        .groupBy("term")
+        .agg(F.sum("tf").alias("_gc"))
+        .orderBy(F.desc("_gc"), F.asc("term"))
+        .limit(BM25_QTERMS)
+        .select("term")
+    )
+    j = (
+        tf.join(F.broadcast(query), "term")
+        .join(dl, "doc_id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(consts))
+    )
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    term_score = idf * (tf_d * F.lit(BM25_K1 + 1.0)) / denom
+    scored = (
+        j.withColumn(
+            "_s_q6", F.floor(term_score * F.lit(1e6) + F.lit(0.5)).cast("long")
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("_s_q6").cast("long").alias("score_q6"))
+    )
+    from pyspark.sql import Window
+
+    # global top-k via sort-limit (TakeOrdered — per-partition top-k then a
+    # k-row merge, never a single-partition global sort); the rank window
+    # runs over the k survivors only
+    top = scored.orderBy(F.desc("score_q6"), F.asc("doc_id")).limit(BM25_TOPK)
+    w = Window.orderBy(F.desc("score_q6"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "doc_id", "score_q6", "rank"
+    )
+
+
 TEXT_QUERIES = {
     "d_tokens": d_tokens,
     "d_tokens_bpe": d_tokens_bpe,
@@ -428,4 +539,5 @@ TEXT_QUERIES = {
     "d_lang_id": d_lang_id,
     "d_fingerprint": d_fingerprint,
     "d_pack_chunks": pack_chunks,
+    "d_bm25_topk": bm25_topk,
 }

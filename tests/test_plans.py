@@ -179,3 +179,12 @@ def test_quantize_int8_is_narrow(spark):
     p = _plan(quantize_int8(spark, SF))
     assert "Exchange" not in p, p
     assert "ArrowEval" not in p and "BatchEval" not in p, p
+
+
+def test_bm25_topk_uses_take_ordered(spark):
+    """The global top-k must plan as TakeOrdered (per-partition top-k +
+    k-row merge), never a single-partition global sort window."""
+    from kafka_journal_spark.functions.text import bm25_topk
+
+    p = _plan(bm25_topk(spark, SF))
+    assert "TakeOrderedAndProject" in p, p
