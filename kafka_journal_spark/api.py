@@ -275,14 +275,39 @@ class JournalClient:
         PRODUCED THROUGH THE LOG (a real offset, normal replication
         ordering — never a direct store delete), then the tail is drained.
         A purged head row disappears, so the job is naturally idempotent.
+
+        Bulk path: ALL due Purge actions are built as one row batch and
+        appended with ONE log write, then ONE replicate drains them —
+        driver work is O(1) log round-trips however many journals expire
+        (a mass-expiry day must not become millions of per-key appends).
+        Offsets are assigned consecutively in sorted (topic, id) order so
+        reruns are deterministic.
         """
+        import datetime as dt
+
         from kafka_journal_spark.operators.expiry import ttl_due
 
-        due = ttl_due(self.store, now_ts)
-        for topic, key in due:
-            self.purge(topic, key)
-        if due:
-            self.replicate()
+        due = sorted(ttl_due(self.store, now_ts))
+        if not due:
+            return 0
+        off = self._next_offset()
+        now = dt.datetime.utcnow()
+        self._emit(
+            [
+                {
+                    "topic": topic, "partition": self._partition(key),
+                    "offset": off + i, "id": key, "action_type": "purge",
+                    "timestamp": now, "origin": self.origin,
+                    "version": "1.0", "seq_nr_from": None, "seq_nr_to": None,
+                    "payload_type": None, "payload": None, "payloads": None,
+                    "payloads_bin": None, "headers": None,
+                    "tags": None, "delete_to": None, "mark_id": None,
+                    "expire_after_secs": None,
+                }
+                for i, (topic, key) in enumerate(due)
+            ]
+        )
+        self.replicate()
         return len(due)
 
     def replicate(self) -> None:

@@ -125,10 +125,59 @@ EVENTS_PAYLOAD_SCHEMA = T.StructType(
         ),
         T.StructField(
             "metadata",
-            T.StructType([T.StructField("expireAfterMs", T.LongType())]),
+            T.StructType(
+                [
+                    # the reference writes PayloadMetadata.expireAfter as a
+                    # Scala FiniteDuration STRING ("1 day") and reads either
+                    # that or a bare number of millis
+                    # (PlayJsonHelper.scala:63-83 finiteDurationFormat);
+                    # StringType captures both (from_json stringifies the
+                    # numeric token), duration_to_secs() normalizes
+                    T.StructField("expireAfter", T.StringType()),
+                    # legacy tolerance: pre-r5 blobs of THIS engine carried
+                    # millis under expireAfterMs
+                    T.StructField("expireAfterMs", T.LongType()),
+                ]
+            ),
         ),
     ]
 )
+
+
+#: Scala FiniteDuration unit word -> seconds factor (Duration.toString long
+#: forms plus the short forms Duration(...) itself accepts)
+_DURATION_UNIT_SECS = [
+    (("d", "day", "days"), 86400.0),
+    (("h", "hour", "hours"), 3600.0),
+    (("min", "minute", "minutes"), 60.0),
+    (("s", "sec", "second", "seconds"), 1.0),
+    (("ms", "milli", "millis", "millisecond", "milliseconds"), 1e-3),
+    (("us", "µs", "micro", "micros", "microsecond", "microseconds"), 1e-6),
+    (("ns", "nano", "nanos", "nanosecond", "nanoseconds"), 1e-9),
+]
+
+
+def duration_to_secs(col: Column) -> Column:
+    """Whole seconds from the reference's ``expireAfter`` wire value —
+    a ``FiniteDuration.toString`` string ("1 day", "43200 milliseconds")
+    or a bare number meaning MILLIS (both sides of
+    ``PlayJsonHelper.scala:63-83``).  Null in, null out; unknown unit →
+    null (the reference would fail the read — we skip the TTL)."""
+    raw = F.trim(col)
+    # nullif guards ANSI cast: a non-matching extract yields '' not null
+    num = F.nullif(
+        F.regexp_extract(raw, r"^([0-9]+(?:\.[0-9]+)?)", 1), F.lit("")
+    ).cast("double")
+    unit = F.lower(F.regexp_extract(raw, r"^[0-9.]+\s*([A-Za-zµ]+)$", 1))
+    factor = None
+    for words, secs in _DURATION_UNIT_SECS:
+        cond = unit.isin(*words)
+        factor = F.when(cond, F.lit(secs)) if factor is None else factor.when(cond, F.lit(secs))
+    return (
+        F.when(raw.rlike(r"^[0-9]+$"), F.floor(raw.cast("double") / 1000))
+        .otherwise(F.floor(num * factor))
+        .cast("long")
+    )
 
 
 def action_header_json(df: DataFrame) -> Column:
@@ -195,15 +244,23 @@ def events_payload_json(df: DataFrame) -> Column:
         )
     # PayloadMetadata rides the document (PayloadMetadata.scala:181
     # expireAfter): actions carrying a TTL serialize it; to_json drops the
-    # null field for the rest, leaving the reference's empty {} metadata
-    expire_ms = (
-        (F.col("expire_after_secs") * F.lit(1000)).cast("long")
+    # null field for the rest, leaving the reference's empty {} metadata.
+    # The wire value is a FiniteDuration STRING ("86400 seconds") — the
+    # reference's own Writes emits Duration.toString and its Reads parses
+    # any unit form back (PlayJsonHelper.scala:63-83); millis-as-number
+    # would also be readable but the string matches the committed golden
+    # fixtures' shape (Payload-text-many.json: "expireAfter": "1 day")
+    expire_str = (
+        F.when(
+            F.col("expire_after_secs").isNotNull(),
+            F.concat(F.col("expire_after_secs").cast("string"), F.lit(" seconds")),
+        )
         if "expire_after_secs" in df.columns
-        else F.lit(None).cast("long")
+        else F.lit(None).cast("string")
     )
     doc = F.struct(
         events.alias("events"),
-        F.struct(expire_ms.alias("expireAfterMs")).alias("metadata"),
+        F.struct(expire_str.alias("expireAfter")).alias("metadata"),
     )
     return F.to_json(doc)
 
@@ -432,9 +489,9 @@ def encode_actions_to_kafka(actions: DataFrame) -> DataFrame:
                 F.when(
                     F.col("expire_after_secs").isNotNull(),
                     F.concat(
-                        F.lit('{"expireAfterMs":'),
-                        (F.col("expire_after_secs") * 1000).cast("long").cast("string"),
-                        F.lit("}"),
+                        F.lit('{"expireAfter":"'),
+                        F.col("expire_after_secs").cast("string"),
+                        F.lit(' seconds"}'),
                     ),
                 )
             )
@@ -547,18 +604,24 @@ def decode_kafka_to_actions(kafka_df: DataFrame) -> DataFrame:
         ).alias("payloads_bin"),
         F.when(is_bin, F.col("_blob_bin.metadata")).alias("metadata"),
         # PayloadMetadata.expireAfter round-trips from either envelope: the
-        # JSON document's typed field, or the binary envelope's metadata tail
-        F.floor(
-            F.coalesce(
-                F.col("_blob.metadata.expireAfterMs"),
-                F.get_json_object(F.col("_blob_bin.metadata"), "$.expireAfterMs").cast(
-                    "long"
-                ),
-            )
-            / F.lit(1000)
-        )
-        .cast("long")
-        .alias("expire_after_secs"),
+        # JSON document's field or the binary envelope's metadata tail, in
+        # the reference's duration-string-or-millis form (duration_to_secs),
+        # with legacy expireAfterMs tolerance for pre-r5 blobs of this engine
+        F.coalesce(
+            duration_to_secs(F.col("_blob.metadata.expireAfter")),
+            duration_to_secs(
+                F.get_json_object(F.col("_blob_bin.metadata"), "$.expireAfter")
+            ),
+            F.floor(
+                F.coalesce(
+                    F.col("_blob.metadata.expireAfterMs"),
+                    F.get_json_object(
+                        F.col("_blob_bin.metadata"), "$.expireAfterMs"
+                    ).cast("long"),
+                )
+                / F.lit(1000)
+            ).cast("long"),
+        ).alias("expire_after_secs"),
         # user headers: everything except the journal.action dispatch header
         # (EventRecord.scala:65-82)
         F.map_from_entries(

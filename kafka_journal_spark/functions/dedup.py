@@ -327,43 +327,72 @@ def dedup_clusters(
 # ---------------------------------------------------------------------------
 
 
+#: Packed-lane SimHash accumulator layout: 15 longs × 4 counters × 16 bits.
+#: Per-bit popcounts live in disjoint 16-bit lanes of a long, so ONE sum
+#: aggregates four bit-counters at once (lanes cannot carry into each other
+#: while every per-doc token count stays < 2^16 — enforced, see
+#: ``simhash_signatures``).  s_b = 2*c_b - n, so "weighted sum positive"
+#: ⟺ ``2*c_b > n`` — no ±1 arithmetic needed at all.
+_SIMHASH_LANES = 4
+_SIMHASH_LANE_BITS = 16
+_SIMHASH_PACKS = SIMHASH_BITS // _SIMHASH_LANES  # 15
+#: Per-doc token cap that keeps a 16-bit lane from overflowing.  Real
+#: corpus documents sit orders of magnitude under it; enforcing it in-plan
+#: makes the packing safe rather than probabilistic.
+SIMHASH_MAX_TOKENS = (1 << _SIMHASH_LANE_BITS) - 1
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash) — 60-bit SimHash over token hashes weighted by
     occurrence count; bit b is set when the weighted sum of (+1/-1) per
-    token is positive."""
-    par = spark.sparkContext.defaultParallelism
-    toks = (
-        _docs(spark, sf_dir)
-        .select("doc_id", "text")
-        .repartition(par, "doc_id")
-        .select("doc_id", F.explode(tokens_col()).alias("token"))
+    token is positive (⟺ more than half the token occurrences have bit b
+    set: s_b = 2*c_b − n).
+
+    Plan (the 100 TB shape): scan → token explode → md5 (all codegen) →
+    hash-aggregate per doc_id with 15 PACKED bit-count sums (4 counters per
+    long, disjoint 16-bit lanes — see ``_SIMHASH_LANES``) → ONE exchange of
+    ~17 longs per document → final aggregate → signature projection.  The
+    partial aggregate runs map-side, so the only shuffle carries fixed-width
+    counters, never tokens — and there is no per-bit row explosion (the old
+    plan generated 60 bit-rows per (doc, token) and shuffled twice; pinned
+    gone by ``test_plans.py::test_simhash_signatures_plan``).  No explicit
+    repartition: input splits provide map-side parallelism at real scale,
+    and shuffling raw text just to spread a tiny local file would be the
+    wrong trade at 100 TB.
+
+    Documents with more than ``SIMHASH_MAX_TOKENS`` token occurrences are
+    excluded in-plan (lane-overflow guard) — the synthetic corpus maxes out
+    3 orders of magnitude below the cap; zero-token docs produce no explode
+    rows, matching the oracle's UNNEST semantics."""
+    docs = _docs(spark, sf_dir).filter(
+        F.size(tokens_col()) <= SIMHASH_MAX_TOKENS
     )
-    tok_counts = toks.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
-    tok_hash = tok_counts.select(
-        "doc_id", "cnt", hash60(F.col("token")).alias("h")
-    )
-    bits = tok_hash.select(
-        "doc_id",
-        "cnt",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
-    ).select(
-        "doc_id",
-        "b",
-        # SQL-level shiftright: the Python API wants a literal shift amount,
-        # the SQL function accepts a column
-        F.when(F.expr("shiftright(h, b)").bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
-        .otherwise(-F.col("cnt"))
-        .alias("w"),
-    )
-    per_bit = bits.groupBy("doc_id", "b").agg(F.sum("w").alias("s"))
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1L, b)")).otherwise(
-                F.lit(0).cast("long")
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+    t = toks.select("doc_id", hash60(F.col("token")).alias("h"))
+    packs = []
+    for k in range(_SIMHASH_PACKS):
+        lane_sum = None
+        for j in range(_SIMHASH_LANES):
+            b = _SIMHASH_LANES * k + j
+            bit = F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
+            term = F.shiftleft(bit, _SIMHASH_LANE_BITS * j)
+            lane_sum = term if lane_sum is None else lane_sum + term
+        packs.append(F.sum(lane_sum).alias(f"p{k}"))
+    sums = t.groupBy("doc_id").agg(F.count("*").alias("n"), *packs)
+    sig = None
+    lane_mask = (1 << _SIMHASH_LANE_BITS) - 1
+    for k in range(_SIMHASH_PACKS):
+        for j in range(_SIMHASH_LANES):
+            b = _SIMHASH_LANES * k + j
+            c = F.shiftright(F.col(f"p{k}"), _SIMHASH_LANE_BITS * j).bitwiseAND(
+                F.lit(lane_mask)
             )
-        ).alias("simhash")
-    )
+            term = (
+                F.when(c * 2 > F.col("n"), F.lit(1 << b).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            )
+            sig = term if sig is None else sig + term
+    return sums.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 20) -> DataFrame:

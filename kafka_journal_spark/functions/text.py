@@ -245,34 +245,35 @@ TEXT_ORACLES: dict[str, str] = {
     """,
     "d_pack_chunks": f"""
         WITH d0 AS (
-          SELECT doc_id, lang, CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens
+          SELECT doc_id, lang, CAST(doc_id % 8 AS BIGINT) AS shard,
+                 CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens
           FROM documents
         ),
         d AS (
           SELECT *, COALESCE(SUM(n_tokens) OVER (
-                       PARTITION BY lang ORDER BY doc_id
+                       PARTITION BY lang, shard ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                     AS cum_before
           FROM d0 WHERE n_tokens > 0
         ),
         s AS (
-          SELECT lang, doc_id, n_tokens, cum_before,
+          SELECT lang, shard, doc_id, n_tokens, cum_before,
                  CAST(FLOOR(cum_before / 2048) AS BIGINT) AS first_chunk,
                  CAST(FLOOR((cum_before + n_tokens - 1) / 2048) AS BIGINT) AS last_chunk
           FROM d
         ),
         e AS (
-          SELECT lang, doc_id, n_tokens, cum_before,
+          SELECT lang, shard, doc_id, n_tokens, cum_before,
                  CAST(unnest(generate_series(first_chunk, last_chunk)) AS BIGINT) AS chunk_id
           FROM s
         )
-        SELECT lang, chunk_id,
+        SELECT lang, shard, chunk_id,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(LEAST(cum_before + n_tokens, (chunk_id + 1) * 2048)
                         - GREATEST(cum_before, chunk_id * 2048)) AS BIGINT) AS n_tokens,
                MIN(doc_id) AS first_doc,
                MAX(doc_id) AS last_doc
-        FROM e GROUP BY lang, chunk_id
+        FROM e GROUP BY lang, shard, chunk_id
     """,
     "d_tokens": f"""
         WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents)
@@ -402,32 +403,51 @@ def d_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PACK_CAPACITY = 2048  # tokens per training context window
+#: Stream-shard fan-out for sequence packing: the running token sum
+#: partitions by ``(lang, pmod(doc_id, PACK_SHARDS))``, never by ``lang``
+#: alone — at corpus scale one language is ~half the stream and a
+#: lang-keyed window would serialize it through a single task.  Sharding
+#: is deterministic (content key, not rand), so chunk ids are stable per
+#: shard and the oracle reproduces them exactly.  At 100 TB raise S to a
+#: few × the cluster's task slots; each shard stays an independent,
+#: order-preserving packing stream.
+PACK_SHARDS = 8
 
 
-def pack_chunks(spark: SparkSession, sf_dir: str, capacity: int = PACK_CAPACITY) -> DataFrame:
+def pack_chunks(
+    spark: SparkSession,
+    sf_dir: str,
+    capacity: int = PACK_CAPACITY,
+    shards: int = PACK_SHARDS,
+) -> DataFrame:
     """Concat-and-chunk sequence packing — the standard pretraining layout:
-    per language stream, documents are concatenated in ``doc_id`` order and
-    the token stream is cut into fixed ``capacity`` context windows; a
-    document may straddle a boundary (its tokens split across the adjacent
-    chunks).  Emits per-chunk packing stats (docs touched, token fill).
+    per ``(lang, shard)`` stream, documents are concatenated in ``doc_id``
+    order and the token stream is cut into fixed ``capacity`` context
+    windows; a document may straddle a boundary (its tokens split across
+    the adjacent chunks).  Emits per-chunk packing stats (docs touched,
+    token fill).
 
     Plan: one window (exclusive running token sum) + an explode over the
-    chunk span each document covers + one groupBy — all integer column
-    math, exact across engines.  Scale: the window partitions by ``lang``;
-    at real corpus scale shard the stream key (e.g. ``(lang, doc_id mod
-    S)``) so one language's token stream does not serialize into a single
-    partition — same plan shape, sharded key.
+    chunk span each document covers + one groupBy that reuses the window's
+    partitioning — ONE exchange total, all integer column math, exact
+    across engines.  The stream key is sharded ``(lang, doc_id mod S)`` so
+    no partition ever receives a whole language (see ``PACK_SHARDS``).
     """
     from pyspark.sql import Window
 
     toks = tokens_col()
     d = (
         _docs(spark, sf_dir)
-        .select("doc_id", "lang", F.size(toks).cast("long").alias("n_tokens"))
+        .select(
+            "doc_id",
+            "lang",
+            F.pmod(F.col("doc_id"), F.lit(shards)).alias("shard"),
+            F.size(toks).cast("long").alias("n_tokens"),
+        )
         .filter(F.col("n_tokens") > 0)
     )
     w = (
-        Window.partitionBy("lang")
+        Window.partitionBy("lang", "shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -441,6 +461,7 @@ def pack_chunks(spark: SparkSession, sf_dir: str, capacity: int = PACK_CAPACITY)
     )
     e = d.select(
         "lang",
+        "shard",
         "doc_id",
         "n_tokens",
         "cum_before",
@@ -451,7 +472,7 @@ def pack_chunks(spark: SparkSession, sf_dir: str, capacity: int = PACK_CAPACITY)
     ) - F.greatest(F.col("cum_before"), F.col("chunk_id") * F.lit(capacity))
     return (
         e.withColumn("_t", tokens_in_chunk)
-        .groupBy("lang", "chunk_id")
+        .groupBy("lang", "shard", "chunk_id")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.sum("_t").cast("long").alias("n_tokens"),

@@ -114,3 +114,44 @@ def test_client_ttl_to_store_purge_end_to_end(spark, tmp_path):
     c.append("journal", "short", ["s2"])
     c.replicate()
     assert c.read("journal", "short") == [(1, "s2")]
+
+
+def test_mass_expiry_is_one_log_write(spark, tmp_path):
+    """A mass-expiry day must cost ONE log append + ONE replicate, not a
+    per-key driver loop: every due journal's Purge action rides a single
+    emitted batch with consecutive offsets."""
+    from kafka_journal_spark.api import JournalClient
+
+    c = JournalClient(spark, str(tmp_path / "ttl_mass"))
+    n = 25
+    for i in range(n):
+        c.append("journal", f"k{i:03d}", [f"v{i}"], expire_after_secs=3600)
+    c.append("journal", "keeper", ["kv"])
+    c.replicate()
+
+    emits = []
+    orig_emit = c._emit
+
+    def counting_emit(rows):
+        emits.append(rows)
+        return orig_emit(rows)
+
+    c._emit = counting_emit
+    import datetime as dt
+
+    now = (dt.datetime.utcnow() + dt.timedelta(days=1)).isoformat(
+        sep=" ", timespec="seconds"
+    )
+    assert c.ttl_purge(now) == n
+    # one emitted batch carrying every due purge, offsets consecutive
+    assert len(emits) == 1
+    batch = emits[0]
+    assert len(batch) == n
+    assert all(r["action_type"] == "purge" for r in batch)
+    offs = [r["offset"] for r in batch]
+    assert offs == list(range(min(offs), min(offs) + n))
+    # the store converged: only the TTL-free journal remains
+    assert {r.id for r in c.store.read().collect()} == {"keeper"}
+    # idempotent — and the second call performs no log write at all
+    assert c.ttl_purge(now) == 0
+    assert len(emits) == 1

@@ -72,16 +72,23 @@ def test_pack_chunks_conserves_tokens_and_fills(spark):
     for r in chunks:
         got[r.lang] = got.get(r.lang, 0) + r.n_tokens
         assert 1 <= r.n_tokens <= PACK_CAPACITY
-    # concat-and-chunk loses no tokens
+    # concat-and-chunk loses no tokens (shards partition each language)
     assert got == totals
-    # every chunk except each language's last is exactly full
-    by_lang = {}
+    # every chunk except each (lang, shard) stream's last is exactly full,
+    # and chunk ids are dense from 0 within each stream
+    by_stream = {}
     for r in chunks:
-        by_lang.setdefault(r.lang, []).append(r)
-    for lang, rs in by_lang.items():
+        by_stream.setdefault((r.lang, r.shard), []).append(r)
+    for _, rs in by_stream.items():
         rs.sort(key=lambda r: r.chunk_id)
         assert [r.chunk_id for r in rs] == list(range(len(rs)))
         assert all(r.n_tokens == PACK_CAPACITY for r in rs[:-1])
+    # the stream key actually shards: every language with enough docs
+    # spreads over >1 shard, so no partition receives a whole language
+    langs_with_multiple = {lang for (lang, _s) in by_stream}
+    for lang in langs_with_multiple:
+        shards = {s for (l, s) in by_stream if l == lang}
+        assert len(shards) > 1, f"{lang} serialized into one shard"
 
 
 def test_quantize_int8_bounds_and_reconstruction(spark):

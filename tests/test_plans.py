@@ -162,13 +162,18 @@ def test_store_catalog_read_is_colocated_and_correct(spark, tmp_path):
 
 
 def test_pack_chunks_single_shuffle(spark):
-    """Concat-and-chunk packing must cost ONE exchange: the per-language
-    window's hash(lang); the (lang, chunk_id) aggregation reuses that
-    partitioning via the subset rule rather than reshuffling."""
+    """Concat-and-chunk packing must cost ONE exchange — the stream
+    window's hash(lang, shard) — and the (lang, shard, chunk_id)
+    aggregation reuses that partitioning via the subset rule rather than
+    reshuffling.  The exchange key MUST include the shard column: keying
+    by lang alone would serialize a whole language through one task."""
+    import re
+
     from kafka_journal_spark.functions.text import pack_chunks
 
     p = _plan(pack_chunks(spark, SF))
     assert p.count("Exchange hashpartitioning") == 1, p
+    assert re.search(r"Exchange hashpartitioning\(lang#\d+, shard#\d+", p), p
 
 
 def test_quantize_int8_is_narrow(spark):
@@ -179,6 +184,24 @@ def test_quantize_int8_is_narrow(spark):
     p = _plan(quantize_int8(spark, SF))
     assert "Exchange" not in p, p
     assert "ArrowEval" not in p and "BatchEval" not in p, p
+
+
+def test_simhash_signatures_plan(spark):
+    """SimHash costs ONE exchange carrying fixed-width packed counters and
+    ONE Generate (the token explode — tokenization itself).  The old 60×
+    per-bit row explosion is pinned gone: no ``sequence`` explode, exactly
+    one Generate, exactly one Exchange (partial agg runs map-side), no
+    Python node."""
+    from kafka_journal_spark.functions.dedup import simhash_signatures
+
+    p = _plan(simhash_signatures(spark, SF))
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("Generate") == 1, p
+    assert "sequence(" not in p, p
+    assert "ArrowEval" not in p and "BatchEval" not in p, p
+    # partial (map-side) aggregation before the exchange: the shuffle
+    # carries counters, not tokens
+    assert "partial_sum" in p, p
 
 
 def test_bm25_topk_uses_take_ordered(spark):
