@@ -528,9 +528,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kafka_journal_spark.operators.snapshots import SNAPSHOT_QUERIES
     from kafka_journal_spark.functions.multimodal import MULTIMODAL_QUERIES
     from kafka_journal_spark.operators.events_analytics import EVENTS_QUERIES
+    from kafka_journal_spark.operators.tpch_full import TPCH_FULL_QUERIES
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(_journal_queries())
+    out.update(TPCH_FULL_QUERIES)
     out.update(MULTIMODAL_QUERIES)
     out.update(ANALYTICS_QUERIES)
     out.update(TEXT_QUERIES)
@@ -551,10 +553,12 @@ def _all_oracles() -> dict[str, str]:
     from kafka_journal_spark.operators.snapshots import SNAPSHOT_ORACLES
     from kafka_journal_spark.functions.multimodal import MULTIMODAL_ORACLES
     from kafka_journal_spark.operators.events_analytics import EVENTS_ORACLES
+    from kafka_journal_spark.operators.tpch_full import TPCH_FULL_ORACLES
     from kafka_journal_spark.oracles import ORACLES
 
     out: dict[str, str] = {}
     out.update(ORACLES)
+    out.update(TPCH_FULL_ORACLES)
     out.update(MULTIMODAL_ORACLES)
     out.update(ANALYTICS_ORACLES)
     out.update(TEXT_ORACLES)

@@ -243,25 +243,183 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 CLUSTER_THRESHOLD = 0.5  # LSH pairs admitted to the cluster graph
 
 
+def _cc_label(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int, bool]:
+    """Min-label propagation over a SYMMETRIC edge relation (s, d): each
+    round every node takes the min label among itself and its neighbors.
+    O(component diameter) rounds — right for shallow near-dup clusters.
+    Returns (labels(node, label), rounds, converged)."""
+    labels = (
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    rounds, converged = 0, False
+    for _ in range(max_iter):
+        rounds += 1
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("node").alias("s"), F.col("label").alias("_sl")),
+                "s",
+            )
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.min("_sl").alias("_nl"))
+        )
+        new = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("_nl", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.select("node", F.col("label").alias("_old")), "node")
+            .filter(F.col("label") != F.col("_old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            converged = True
+            break
+    return labels, rounds, converged
+
+
+def _edge_checksum(edges_c: DataFrame) -> tuple[int, int]:
+    """(count, order-independent hash-sum) of a canonical edge set — the
+    O(1)-driver convergence probe for star contraction (a full set-equality
+    check would cost an extra join per round)."""
+    row = edges_c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return int(row.n), int(row.h)
+
+
+def _cc_star(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int, bool]:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") over a symmetric edge
+    relation (s, d): converges in O(log^2 n) rounds on ANY graph — the
+    adversarial-chain-safe alternative to min-label propagation (a crawl
+    mirror chain of depth 10^4 is ~25 rounds here vs 10^4 there).
+
+    Each round is two grouped joins keyed by node id (same shuffle shape
+    as one label round); edges are kept canonical (a > b) and
+    ``localCheckpoint`` cuts lineage per round.  Convergence is detected by
+    an order-independent (count, hash-sum) checksum staying fixed across a
+    full large+small cycle — one tiny aggregate per round instead of a
+    set-difference join.  Returns (labels(node, label), rounds, converged).
+    """
+    # canonical undirected form: (a, b) with a > b
+    edges_c = (
+        edges.filter(F.col("s") != F.col("d"))
+        .select(
+            F.greatest("s", "d").alias("a"), F.least("s", "d").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = _edge_checksum(edges_c)
+    rounds, converged = 0, False
+    for _ in range(max_iter):
+        rounds += 1
+        # large-star: every node u connects its LARGER neighbors to the min
+        # of its neighborhood (incl. itself)
+        sym = edges_c.select(F.col("a").alias("s"), F.col("b").alias("d")).unionByName(
+            edges_c.select(F.col("b").alias("s"), F.col("a").alias("d"))
+        )
+        mins = sym.groupBy("s").agg(F.min("d").alias("_mn"))
+        m = F.least(F.col("s"), F.col("_mn"))
+        ls = (
+            sym.join(mins, "s")
+            .filter(F.col("d") > F.col("s"))
+            .select(F.col("d").alias("a"), m.alias("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star: every node a connects its SMALLER neighbors (and
+        # itself) to the min of those — path-halving toward the root
+        smins = ls.groupBy("a").agg(F.min("b").alias("_m"))
+        ss = (
+            ls.join(smins, "a")
+            .select(F.col("b").alias("a"), F.col("_m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .unionByName(smins.select("a", F.col("_m").alias("b")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        edges_c = ss
+        cur = _edge_checksum(edges_c)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    # at the fixed point the edge set is a union of stars rooted at each
+    # component's min node: label = root for spokes, self for roots
+    labels = (
+        edges_c.select(F.col("a").alias("node"), F.col("b").alias("label"))
+        .unionByName(edges_c.select(F.col("b").alias("node"), F.col("b").alias("label")))
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+    )
+    return labels, rounds, converged
+
+
+def connected_components(
+    edges: DataFrame,
+    algorithm: str = "label",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an edge DataFrame with columns (s, d)
+    (direction-insensitive; self-loops ignored): returns (node, label)
+    where label is the component's min node id.  ``algorithm='label'`` is
+    min-label propagation (O(diameter) rounds, one shuffle per round —
+    best for shallow graphs); ``'star'`` is alternating large-star/
+    small-star (O(log^2 n) rounds on ANY graph — use for adversarial
+    chains).  Raises if ``max_iter`` rounds pass without convergence —
+    partial labels are WRONG labels and must never be returned silently.
+    """
+    sym = edges.select("s", "d").unionByName(
+        edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    )
+    if algorithm == "label":
+        labels, rounds, converged = _cc_label(sym, max_iter)
+    elif algorithm == "star":
+        labels, rounds, converged = _cc_star(sym, max_iter)
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r} (label|star)")
+    if not converged:
+        raise RuntimeError(
+            f"connected_components({algorithm!r}) did not converge in "
+            f"{max_iter} rounds — raise max_iter (or use algorithm='star' "
+            f"for deep-chain graphs)"
+        )
+    return labels
+
+
 def dedup_clusters(
     spark: SparkSession,
     sf_dir: str,
     threshold: float = CLUSTER_THRESHOLD,
     max_iter: int = 20,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the MinHash-LSH pair
     graph, the step production dedup needs after candidate generation —
     pairs (a,b),(b,c) must collapse to ONE representative, which pairwise
     keep-lists get wrong.
 
-    Algorithm: iterative min-label propagation — each round every node
-    takes the min label among itself and its neighbors; converges in
-    O(component diameter) rounds (near-dup clusters are shallow; for
-    adversarial chain graphs switch to large-star/small-star, which is the
-    same join shape with path halving).  Each round is ONE shuffle keyed on
-    doc_id, with ``localCheckpoint`` cutting the lineage so plan size stays
-    constant; the driver only sees a changed-row COUNT per round, never the
-    data.
+    ``algorithm`` picks the component engine (see
+    :func:`connected_components`): ``'label'`` for the shallow clusters
+    near-dup graphs actually have, ``'star'`` when duplicate CHAINS (crawl
+    mirrors) make component diameter adversarial.  Both produce identical
+    labels (property-tested on random graphs) and both raise rather than
+    return partial labels on non-convergence.  The driver only ever sees a
+    per-round convergence probe (a count / checksum), never the data.
 
     Output: every document with its ``cluster_id`` (min doc_id of its
     component; singletons map to themselves) and the canonical
@@ -270,50 +428,14 @@ def dedup_clusters(
     pairs = minhash_lsh_pairs(spark, sf_dir).filter(
         F.col("est_jaccard") >= F.lit(threshold)
     )
-    edges = (
-        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
-        .unionByName(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
-        .localCheckpoint(eager=True)
-    )
-    labels = (
-        edges.select(F.col("s").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("label"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(
-                labels.select(F.col("doc_id").alias("s"), F.col("label").alias("_sl")),
-                "s",
-            )
-            .groupBy(F.col("d").alias("doc_id"))
-            .agg(F.min("_sl").alias("_nl"))
-        )
-        new = (
-            labels.join(nbr_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce("_nl", F.col("label"))).alias(
-                    "label"
-                ),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new.join(
-                labels.select("doc_id", F.col("label").alias("_old")), "doc_id"
-            )
-            .filter(F.col("label") != F.col("_old"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
-            break
+    edges = pairs.select(
+        F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
+    ).localCheckpoint(eager=True)
+    labels = connected_components(edges, algorithm=algorithm, max_iter=max_iter)
     return (
         _docs(spark, sf_dir)
         .select("doc_id")
-        .join(labels, "doc_id", "left")
+        .join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("label", F.col("doc_id")).alias("cluster_id"),

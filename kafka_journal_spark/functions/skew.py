@@ -42,6 +42,14 @@ def salted_agg(
     (an ``F.rand`` fallback would re-assign rows on stage recomputation
     after the partial agg consumed the original assignment, double-counting
     or dropping rows: the classic nondeterministic-repartition hazard).
+
+    LIMITATION of the all-columns fallback: rows that are fully identical
+    hash to the SAME shard, so a hot key whose skew comes from exact
+    duplicate rows is not spread.  Spreading those would need per-row
+    identity that survives retries — which only the data itself can
+    provide.  Pass ``salt_on`` naming a near-unique column (an offset,
+    event_id, or ``F.struct`` of several) whenever one exists; that is why
+    the parameter is first-class rather than an internal detail.
     """
     merge_fn = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
     shard = F.pmod(

@@ -86,13 +86,20 @@ POINTERS_SCHEMA_DDL = (
 
 def _repair_dir(final: str) -> None:
     """Restore a table whose last swap crashed between rename-aside and
-    promote: the live dir is missing but its ``.bak`` survives."""
+    promote: the live dir is missing but its ``.bak`` survives.  Bak names
+    embed a monotonic nanosecond timestamp, so ``sorted(...)[-1]`` is
+    deterministically the NEWEST state, never an arbitrary survivor of an
+    older crash.  When the live dir exists, lingering ``.bak`` dirs are
+    garbage from a crashed post-promote cleanup — dropped here so a later
+    mid-swap crash cannot resurrect state from many swaps ago."""
     import glob
 
-    if not os.path.exists(final):
-        baks = sorted(glob.glob(f"{final}.*.bak"))
-        if baks:
-            os.replace(baks[-1], final)
+    baks = sorted(glob.glob(f"{final}.*.bak"))
+    if not os.path.exists(final) and baks:
+        os.replace(baks.pop(), final)
+    if os.path.exists(final):
+        for b in baks:
+            shutil.rmtree(b, ignore_errors=True)
 
 
 def safe_dir_swap(
@@ -117,7 +124,14 @@ def safe_dir_swap(
     when it is not (a ``coalesce(1)`` would funnel 100 TB-scale metadata
     through one task — only tiny fixed-size tables pass ``coalesce``).
     """
+    import glob
+    import time
+
     _repair_dir(final)
+    # a crashed earlier swap may have left an orphan .tmp — writer-side
+    # cleanup (single-owner writes; readers never touch .tmp dirs)
+    for t in glob.glob(f"{final}.*.tmp"):
+        shutil.rmtree(t, ignore_errors=True)
     w = df
     if coalesce is not None:
         w = w.coalesce(coalesce)
@@ -128,7 +142,7 @@ def safe_dir_swap(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
-    bak = f"{final}.{uuid.uuid4().hex[:8]}.bak"
+    bak = f"{final}.{time.time_ns():020d}.bak"
     if os.path.exists(final):
         os.replace(final, bak)
     os.replace(tmp, final)
@@ -156,11 +170,41 @@ class JournalStore:
         self.root = root
         self.catalog = catalog
         self.buckets = buckets
-        self._catalog_live = False
         os.makedirs(root, exist_ok=True)
 
     def _path(self, name: str) -> str:
         return os.path.join(self.root, name)
+
+    # -- catalog publication watermark ------------------------------------
+    #
+    # The bucketed catalog tables are a SNAPSHOT; any journal/metajournal
+    # write stales them.  The watermark is a pair of tiny files in the store
+    # root (not an in-memory flag): every mutating write stamps a fresh
+    # token into ``_store_epoch``, and ``publish_catalog`` copies the token
+    # it published under into ``_catalog_epoch``.  read() compares the two —
+    # so a SECOND store instance (another driver, a restarted job) writing
+    # to the same root invalidates THIS instance's catalog snapshot too.
+
+    def _read_token(self, name: str) -> str:
+        try:
+            with open(self._path(name)) as f:
+                return f.read().strip()
+        except OSError:
+            return ""
+
+    def _write_token(self, name: str, value: str) -> None:
+        tmp = self._path(f"{name}.{uuid.uuid4().hex[:8]}.tok")
+        with open(tmp, "w") as f:
+            f.write(value)
+        os.replace(tmp, self._path(name))
+
+    def _mark_stale(self) -> None:
+        self._write_token("_store_epoch", uuid.uuid4().hex)
+
+    @property
+    def _catalog_live(self) -> bool:
+        pub = self._read_token("_catalog_epoch")
+        return bool(pub) and pub == self._read_token("_store_epoch")
 
     def _read(self, name: str, ddl: str) -> DataFrame:
         p = self._path(name)
@@ -185,13 +229,13 @@ class JournalStore:
     def append_journal(self, rows: DataFrame) -> None:
         """Append event rows (partitioned by topic — partition pruning on
         every topic-scoped read)."""
-        self._catalog_live = False  # new tail not yet in the bucketed tables
+        self._mark_stale()  # new tail not yet in the bucketed tables
         rows.write.mode("append").partitionBy("topic").parquet(self._path("journal"))
 
     def swap_metajournal(self, df: DataFrame) -> None:
         """Full head-table rewrite (initial materialization / compaction) —
         same segment-partitioned layout as the incremental path."""
-        self._catalog_live = False
+        self._mark_stale()
         safe_dir_swap(
             self.spark,
             self._path("metajournal"),
@@ -237,7 +281,7 @@ class JournalStore:
         """
         path = self._path("metajournal")
         _repair_dir(path)
-        self._catalog_live = False
+        self._mark_stale()
         (
             df.repartitionByRange("segment", "topic", "id")
             .write.mode("overwrite")
@@ -294,7 +338,11 @@ class JournalStore:
             .format("parquet")
             .saveAsTable(f"{self.catalog}_metajournal")
         )
-        self._catalog_live = True
+        tok = self._read_token("_store_epoch")
+        if not tok:
+            self._mark_stale()
+            tok = self._read_token("_store_epoch")
+        self._write_token("_catalog_epoch", tok)
 
     def _read_catalog(
         self,
@@ -405,8 +453,10 @@ class JournalStore:
             .partitionBy("topic")
             .parquet(tmp)
         )
+        import time
+
         final = self._path("journal")
-        bak = f"{final}.{uuid.uuid4().hex[:8]}.bak"  # matches _repair_dir's glob
+        bak = f"{final}.{time.time_ns():020d}.bak"  # matches _repair_dir's glob
         if os.path.exists(final):
             os.replace(final, bak)  # rename aside, never rmtree the live dir
         os.replace(tmp, final)

@@ -104,3 +104,100 @@ def test_quantize_int8_bounds_and_reconstruction(spark):
         assert r.n_dims == len(v)
         # worst-case symmetric-quantization error is half a step (q7 units)
         assert r.max_abs_err_q7 <= (amax / 127.0 / 2) * 1e7 + 1
+
+
+# ---------------------------------------------------------------------------
+# connected components: star contraction vs label propagation
+# ---------------------------------------------------------------------------
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "s long, d long"
+    )
+
+
+def _sym(edges):
+    return edges.select("s", "d").unionByName(
+        edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    )
+
+
+def _uf_labels(pairs):
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_star_components_match_label_and_union_find_on_random_graphs(spark):
+    import random
+
+    from kafka_journal_spark.functions.dedup import connected_components
+
+    for seed in (7, 42, 1337):
+        rng = random.Random(seed)
+        n = 40
+        pairs = {
+            (a, b)
+            for _ in range(60)
+            for a, b in [sorted(rng.sample(range(n), 2))]
+        }
+        edges = _edges_df(spark, pairs)
+        want = _uf_labels(pairs)
+        for algo in ("label", "star"):
+            got = {
+                r.node: r.label
+                for r in connected_components(edges, algorithm=algo).collect()
+            }
+            assert got == want, (seed, algo)
+
+
+def test_star_contraction_is_logarithmic_on_chains(spark):
+    # a 64-deep duplicate chain (crawl-mirror shape): label propagation
+    # needs O(n) rounds; star contraction must finish in O(log^2 n)
+    from kafka_journal_spark.functions.dedup import _cc_label, _cc_star
+
+    n = 64
+    chain = [(i, i + 1) for i in range(n - 1)]
+    edges = _sym(_edges_df(spark, chain)).localCheckpoint(eager=True)
+
+    labels, rounds, converged = _cc_star(edges, max_iter=16)
+    assert converged and rounds <= 14, rounds
+    got = {r.node: r.label for r in labels.collect()}
+    assert got == {i: 0 for i in range(1, n)} or got == {i: 0 for i in range(n)}
+
+    # label propagation on the same chain does NOT converge in that budget
+    _, _, lp_converged = _cc_label(edges, max_iter=14)
+    assert not lp_converged
+
+
+def test_nonconvergence_raises_not_partial(spark):
+    import pytest as _pytest
+
+    from kafka_journal_spark.functions.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(30)]
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(_edges_df(spark, chain), algorithm="label", max_iter=3)
+
+
+def test_dedup_clusters_star_mode_matches_label_mode(spark):
+    from kafka_journal_spark.functions.dedup import dedup_clusters
+
+    label = {r.doc_id: r.cluster_id for r in dedup_clusters(spark, SF).collect()}
+    star = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(spark, SF, algorithm="star").collect()
+    }
+    assert label == star

@@ -1,0 +1,122 @@
+"""Crash-recovery and multi-instance invariants of the JournalStore — the
+tests behind the documented architecture decision (COVERAGE.md "Authoritative
+head store"): the parquet metajournal is the AUTHORITY, the journal is the
+source of truth it can always be rebuilt from, and the bucketed catalog /
+standing head-state stream are caches that must never serve stale state.
+
+Reference parity: the reference recovers from a crashed replicator batch via
+Kafka-offset replay + idempotent Cassandra upserts
+(TopicReplicator.scala:148-153, ReplicatedCassandra.scala:133-216); here the
+same guarantee comes from the pointer offset guard + the R5 first-offset
+dedup on read.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from conftest import append, delete, make_actions
+
+from kafka_journal_spark.sources.statestore import JournalStore, _repair_dir
+from kafka_journal_spark.streaming.replicator import replicate_batch
+
+
+def _mk(path, marker):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "MARKER"), "w") as f:
+        f.write(marker)
+
+
+def _marker(path):
+    with open(os.path.join(path, "MARKER")) as f:
+        return f.read()
+
+
+def test_repair_restores_newest_bak(tmp_path):
+    # crash between rename-aside and promote: live dir missing, TWO baks
+    # linger (an old one from a crashed cleanup plus the fresh one).
+    # Monotonic timestamp names make the newest deterministic.
+    live = str(tmp_path / "metajournal")
+    _mk(f"{live}.00000000000000000001.bak", "ancient")
+    _mk(f"{live}.00000000000000000002.bak", "newest")
+    _repair_dir(live)
+    assert _marker(live) == "newest"
+    # the stale bak is garbage and must be gone: a later mid-swap crash
+    # must not be able to resurrect the ancient state
+    assert not any(p.endswith(".bak") for p in os.listdir(tmp_path))
+
+
+def test_repair_cleans_stale_bak_when_live_exists(tmp_path):
+    # crash after promote but before cleanup: live is current, bak lingers
+    live = str(tmp_path / "journal")
+    _mk(live, "current")
+    _mk(f"{live}.00000000000000000009.bak", "stale")
+    _repair_dir(live)
+    assert _marker(live) == "current"
+    assert not any(p.endswith(".bak") for p in os.listdir(tmp_path))
+
+
+def test_catalog_snapshot_invalidated_by_second_instance(spark, tmp_path):
+    # the catalog publication watermark lives in the store ROOT, not in
+    # instance memory: a write through instance B stales instance A's
+    # bucketed-catalog snapshot (the cache can never mask new appends)
+    try:
+        a = JournalStore(spark, str(tmp_path / "s"), catalog="t_xinst")
+        replicate_batch(make_actions(spark, [append("k", 1)]), a)
+        a.compact()
+        assert a._catalog_live
+        b = JournalStore(spark, str(tmp_path / "s"), catalog="t_xinst")
+        replicate_batch(make_actions(spark, [append("k", 2)], offset_base=10), b)
+        assert not a._catalog_live  # A sees B's write through the watermark
+        assert {(r.id, r.seq_nr) for r in a.read().collect()} == {("k", 1), ("k", 2)}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_xinst_journal")
+        spark.sql("DROP TABLE IF EXISTS t_xinst_metajournal")
+
+
+def test_restart_after_crash_mid_batch_preserves_authority(spark, tmp_path):
+    """The authority survives a crash between the replicator's three writes:
+    journal rows land, the metajournal/pointers update never happens.  On
+    restart the pointer offset guard replays the whole batch; re-appended
+    journal rows are collapsed by the R5 first-offset dedup; the final state
+    equals a clean never-crashed replication."""
+    root = str(tmp_path / "store")
+    batch1 = make_actions(spark, [append("a", 1), append("b", 1)])
+    batch2 = make_actions(
+        spark, [append("a", 2), delete("b", 1), append("b", 2)], offset_base=10
+    )
+
+    # clean run for the expected end state
+    clean = JournalStore(spark, str(tmp_path / "clean"))
+    replicate_batch(batch1, clean)
+    replicate_batch(batch2, clean)
+    want_rows = {(r.id, r.seq_nr, r.offset) for r in clean.read().collect()}
+    want_ptr = {(r.topic, r.partition, r.offset) for r in clean.pointers().collect()}
+
+    # crashed run: batch2's journal append succeeds, the head upsert raises
+    store = JournalStore(spark, root)
+    replicate_batch(batch1, store)
+    real_upsert = store.upsert_metajournal
+
+    def _boom(df, segs):
+        raise RuntimeError("simulated crash after journal append")
+
+    store.upsert_metajournal = _boom
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        replicate_batch(batch2, store)
+    store.upsert_metajournal = real_upsert
+    # journal carries the orphaned batch2 rows; pointers still at batch1
+    assert store.pointers().agg({"offset": "max"}).collect()[0][0] == 1
+
+    # restart: a FRESH instance over the same root replays the batch
+    reopened = JournalStore(spark, root)
+    replicate_batch(batch2, reopened)
+    assert {(r.id, r.seq_nr, r.offset) for r in reopened.read().collect()} == want_rows
+    assert {
+        (r.topic, r.partition, r.offset) for r in reopened.pointers().collect()
+    } == want_ptr
+    # the journal physically holds the crash-duplicated appends; compaction
+    # drops them and the read stays identical
+    reopened.compact()
+    assert {(r.id, r.seq_nr, r.offset) for r in reopened.read().collect()} == want_rows
