@@ -283,6 +283,48 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             f"SELECT user_id, session_start, session_end, n_events FROM {name}"
         )
 
+    def x_dedup_stream(spark, sf_dir):
+        # streaming exact dedup: the events stream delivered TWICE (full
+        # redelivery, the at-least-once worst case) through
+        # dropDuplicatesWithinWatermark keyed on event_id — state-store
+        # dedup with watermark-bounded eviction, the 100 TB shape for
+        # exactly-once semantics over a duplicating transport; the oracle
+        # is the plain distinct event set
+        import os
+        import tempfile
+
+        from kafka_journal_spark.operators.actions import load_events
+
+        d = tempfile.mkdtemp(prefix="kjs-dedupstream-")
+        ev = load_events(spark, sf_dir).select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        ev.write.parquet(f"{d}/src")
+        ev.write.mode("append").parquet(f"{d}/src")  # the redelivery
+        ddl = (
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double"
+        )
+        stream = (
+            spark.readStream.schema(ddl)
+            .parquet(f"{d}/src")
+            .withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        name = "dedupstream_" + os.path.basename(d).split("-")[-1]
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.sql(
+            f"SELECT event_id, ts, user_id, event_type, value FROM {name}"
+        )
+
     def x_stats_moments(spark, sf_dir):
         # statistical aggregates via exact integral moments: values are
         # floor-quantized, summed exactly as decimals, and mean/variance/
@@ -417,6 +459,7 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_settings_kv": x_settings_kv,
         "x_window_stream": x_window_stream,
         "x_session_stream": x_session_stream,
+        "x_dedup_stream": x_dedup_stream,
         "x_skew_salted_agg": x_skew_salted_agg,
         "x_skew_count_distinct": x_skew_count_distinct,
         "x_stats_moments": x_stats_moments,

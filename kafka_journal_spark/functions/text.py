@@ -47,6 +47,19 @@ TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 #: BM25 retrieval constants (shared by the operator and its oracle)
 BM25_K1, BM25_B, BM25_TOPK, BM25_QTERMS = 1.2, 0.75, 10, 3
 
+#: shared regexes (RE2-compatible so Java regex and DuckDB agree): email,
+#: NANP-ish phone, dotted-quad IP.  No lookarounds, no \b — the two engines'
+#: word-boundary semantics differ around punctuation.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+1-555-[0-9]{4}"
+PII_IP_RE = r"10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+#: Gopher-rule thresholds (Rae et al. 2021 table A1 spirit): docs whose
+#: mass concentrates in one token or whose n-grams repeat heavily are
+#: boilerplate/spam candidates.
+REP_TOP_TOKEN_MAX = 0.20
+REP_DUP_2GRAM_MAX = 0.60
+
 
 def shingles_col(toks: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles; empty when the doc has < n tokens.
@@ -203,7 +216,70 @@ def _profile_sql(lang: str) -> str:
     return f"len(list_filter(toks, t -> list_contains([{words}], lower(t))))"
 
 
+#: PII oracle building blocks (kept as module constants so the injected
+#: suffix is one definition shared by the Spark plan and the SQL below)
+_PII_SQL_TEXT = (
+    "text || ' contact doc' || CAST(doc_id AS VARCHAR) || '@example.com or "
+    "+1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+    "' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'"
+)
+
 TEXT_ORACLES: dict[str, str] = {
+    "d_pii_scrub": f"""
+        WITH p AS (SELECT doc_id, {_PII_SQL_TEXT} AS pii FROM documents),
+        s AS (
+          SELECT doc_id, pii,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(pii, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                     '{PII_PHONE_RE}', '<PHONE>', 'g'),
+                   '{PII_IP_RE}', '<IP>', 'g') AS scrubbed
+          FROM p
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(pii, '{PII_EMAIL_RE}')) AS INTEGER) AS n_emails,
+               CAST(len(regexp_extract_all(pii, '{PII_PHONE_RE}')) AS INTEGER) AS n_phones,
+               CAST(len(regexp_extract_all(pii, '{PII_IP_RE}')) AS INTEGER) AS n_ips,
+               md5(scrubbed) AS scrubbed_fp,
+               CAST(length(pii) - length(scrubbed) AS INTEGER) AS chars_removed
+        FROM s
+    """,
+    "d_repetition": f"""
+        WITH __toks AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+        base AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS INTEGER) AS n_tokens,
+                 GREATEST(len(toks) - 1, 0) AS _n2,
+                 len({shingles_sql(n=2)}) AS _d2,
+                 GREATEST(len(toks) - 2, 0) AS _n3,
+                 len({shingles_sql(n=3)}) AS _d3
+          FROM __toks
+        ),
+        tc AS (
+          SELECT doc_id, MAX(c) AS _top, SUM(c) AS _tot FROM (
+            SELECT doc_id, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(toks) AS t FROM __toks)
+            GROUP BY doc_id, t
+          ) GROUP BY doc_id
+        )
+        SELECT b.doc_id, b.n_tokens,
+               {round6_sql("CASE WHEN _tot IS NOT NULL AND _tot > 0 "
+                           "THEN CAST(_top AS DOUBLE) / CAST(_tot AS DOUBLE) "
+                           "ELSE 0.0 END")} AS top_token_frac,
+               {round6_sql("CASE WHEN _n2 > 0 "
+                           "THEN 1.0 - CAST(_d2 AS DOUBLE) / CAST(_n2 AS DOUBLE) "
+                           "ELSE 0.0 END")} AS dup_2gram_frac,
+               {round6_sql("CASE WHEN _n3 > 0 "
+                           "THEN 1.0 - CAST(_d3 AS DOUBLE) / CAST(_n3 AS DOUBLE) "
+                           "ELSE 0.0 END")} AS dup_3gram_frac,
+               ((CASE WHEN _tot IS NOT NULL AND _tot > 0
+                      THEN CAST(_top AS DOUBLE) / CAST(_tot AS DOUBLE)
+                      ELSE 0.0 END) <= {REP_TOP_TOKEN_MAX}
+                AND (CASE WHEN _n2 > 0
+                         THEN 1.0 - CAST(_d2 AS DOUBLE) / CAST(_n2 AS DOUBLE)
+                         ELSE 0.0 END) <= {REP_DUP_2GRAM_MAX}) AS keep
+        FROM base b LEFT JOIN tc ON b.doc_id = tc.doc_id
+    """,
     "d_bm25_topk": f"""
         WITH t AS (
           SELECT doc_id, lower(unnest({TOKS_SQL})) AS term FROM documents
@@ -551,7 +627,119 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# PII detection / scrubbing
+# ---------------------------------------------------------------------------
+
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + scrub over documents: count emails/phones/IPs, then
+    redact them with typed placeholders.  Pure JVM regex expressions —
+    codegen-resident, no Python, embarrassingly parallel (the 100 TB shape:
+    a map-only pass).
+
+    The synthetic corpus carries no organic PII, so a deterministic PII
+    suffix (derived from ``doc_id`` identically in both engines) is
+    appended in-plan before detection — the regex/scrub machinery is what
+    is under test, and a corpus of zero matches would test nothing.
+    """
+    doc = _docs(spark, sf_dir)
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" contact doc"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(pii, PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IP_RE,
+        "<IP>",
+    )
+    return doc.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(pii, F.lit(f"({PII_EMAIL_RE})"))).alias("n_emails"),
+        F.size(F.regexp_extract_all(pii, F.lit(f"({PII_PHONE_RE})"))).alias("n_phones"),
+        F.size(F.regexp_extract_all(pii, F.lit(f"({PII_IP_RE})"))).alias("n_ips"),
+        F.md5(scrubbed).alias("scrubbed_fp"),
+        (F.length(pii) - F.length(scrubbed)).alias("chars_removed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+
+
+
+def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics: top-token mass fraction and
+    duplicate 2-/3-gram fractions, plus the Gopher-style keep flag.
+
+    Plan: the n-gram fractions are pure array expressions (zero shuffle);
+    the top-token fraction is one explode + hash-aggregate keyed on
+    (doc_id) with ``max_by``-free max(count) — the single shuffle carries
+    two longs per doc.  At 100 TB this is the cheapest quality family
+    after plain counters.
+    """
+    toks = tokens_col()
+    two = F.greatest(F.size(toks) - 1, F.lit(0))
+    three = F.greatest(F.size(toks) - 2, F.lit(0))
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        two.alias("_n2"),
+        F.size(shingles_col(toks, 2)).alias("_d2"),
+        three.alias("_n3"),
+        F.size(shingles_col(toks, 3)).alias("_d3"),
+    )
+    tok_counts = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(tokens_col()).alias("_t"))
+        .groupBy("doc_id", "_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("doc_id")
+        .agg(F.max("_c").alias("_top"), F.sum("_c").alias("_tot"))
+    )
+    dup2 = F.when(
+        F.col("_n2") > 0,
+        F.lit(1.0) - F.col("_d2").cast("double") / F.col("_n2").cast("double"),
+    ).otherwise(F.lit(0.0))
+    dup3 = F.when(
+        F.col("_n3") > 0,
+        F.lit(1.0) - F.col("_d3").cast("double") / F.col("_n3").cast("double"),
+    ).otherwise(F.lit(0.0))
+    top_frac = F.when(
+        F.col("_tot").isNotNull() & (F.col("_tot") > 0),
+        F.col("_top").cast("double") / F.col("_tot").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        base.join(tok_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            round6(top_frac).alias("top_token_frac"),
+            round6(dup2).alias("dup_2gram_frac"),
+            round6(dup3).alias("dup_3gram_frac"),
+            (
+                (top_frac <= F.lit(REP_TOP_TOKEN_MAX))
+                & (dup2 <= F.lit(REP_DUP_2GRAM_MAX))
+            ).alias("keep"),
+        )
+    )
+
+
 TEXT_QUERIES = {
+    "d_pii_scrub": pii_scrub,
+    "d_repetition": repetition_metrics,
     "d_tokens": d_tokens,
     "d_tokens_bpe": d_tokens_bpe,
     "d_curation": d_curation,

@@ -165,6 +165,11 @@ ORACLES: dict[str, str] = {
     ),
     "j_pointer": _q('SELECT topic, id, partition, "offset", seq_nr FROM __meta'),
     "j_ids": _q("SELECT topic, id FROM __meta WHERE topic = 'journal'"),
+    # streaming watermarked dedup == plain distinct (event_id is unique in
+    # the source; the stream sees every row twice)
+    "x_dedup_stream": """
+        SELECT DISTINCT event_id, ts, user_id, event_type, value FROM events
+    """,
     # streaming tumbling windows == batch hour buckets (epoch-aligned)
     "x_window_stream": """
         SELECT date_trunc('hour', ts) AS ws, event_type,

@@ -211,3 +211,27 @@ def test_bm25_topk_uses_take_ordered(spark):
 
     p = _plan(bm25_topk(spark, SF))
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_tpch_full_plans(spark):
+    """The round-5 TPC-H shapes plan the way the docstrings promise:
+    dimensions broadcast, top-k as TakeOrdered (never a global sort),
+    q21's quantifiers as semi/anti joins."""
+    from kafka_journal_spark.operators import tpch_full as T
+
+    p2 = _plan(T.q2_min_cost_supplier(spark, SF))
+    assert p2.count("BroadcastHashJoin") >= 3  # nation, region, part, eu_supp
+    assert "TakeOrderedAndProject" in p2
+
+    p9 = _plan(T.q9_product_profit(spark, SF))
+    assert p9.count("BroadcastHashJoin") >= 3  # part, supplier, nation
+
+    p18 = _plan(T.q18_large_volume_customers(spark, SF))
+    assert "TakeOrderedAndProject" in p18
+
+    p21 = _plan(T.q21_waiting_orders(spark, SF))
+    assert "LeftSemi" in p21 and "LeftAnti" in p21
+    assert "TakeOrderedAndProject" in p21
+
+    p22 = _plan(T.q22_global_sales_opportunity(spark, SF))
+    assert "LeftAnti" in p22
