@@ -212,6 +212,145 @@ def decode_wav_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(kernel, schema=WAV_FEATURE_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# real image decode: BMP (Windows BITMAPINFOHEADER, 24-bit uncompressed,
+# bottom-up, 4-byte row stride) — the second real container format, parsed
+# entirely with struct/numpy (no image libraries).  Wrong stride math, a
+# missed row flip, or a BGR/RGB mixup each shows up as a value mismatch
+# against the position-weighted closed-form oracle.
+# ---------------------------------------------------------------------------
+
+BMP_FEATURE_SCHEMA = (
+    "media_id long, width int, height int, n_pixels int, "
+    "mean_r double, mean_g double, mean_b double, luma_mean double, "
+    "checksum long"
+)
+
+
+def _bmp_dims(media_id: int) -> tuple[int, int]:
+    """Width 8..16 (so the 4-byte row stride padding is 0..3 bytes across
+    the corpus — the padding path is genuinely exercised), height 6..10."""
+    return 8 + media_id % 9, 6 + media_id % 5
+
+
+def _bmp_pixel(media_id: int, x: int, y: int) -> tuple[int, int, int]:
+    """Deterministic (r, g, b) at logical position (x, y), y=0 = TOP row.
+    The SQL oracle recomputes features from THIS closed form — never from
+    the BMP bytes — so it is independent of both codec halves."""
+    base = media_id * 7 + y * 13 + x * 29
+    return (base + 173) % 256, (base + 91) % 256, base % 256
+
+
+def synth_bmp_media(spark: SparkSession, sf_dir: str, n: int = 64) -> DataFrame:
+    """Media table whose blobs are REAL 24-bit BMP files: BITMAPFILEHEADER +
+    BITMAPINFOHEADER + bottom-up BGR rows padded to 4-byte stride — built
+    per row with struct/numpy (deterministic stand-in for an object-store
+    image corpus)."""
+    import os
+    import struct
+
+    import numpy as np
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.col("doc_id") < n)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = _bmp_dims(mid)
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                base = (mid * 7 + y * 13 + x * 29).astype(np.int64)
+                img = np.empty((h, w, 3), dtype=np.uint8)  # BGR on disk
+                img[..., 0] = base % 256
+                img[..., 1] = (base + 91) % 256
+                img[..., 2] = (base + 173) % 256
+                stride = ((3 * w + 3) // 4) * 4
+                rows = np.zeros((h, stride), dtype=np.uint8)
+                rows[:, : 3 * w] = img.reshape(h, 3 * w)
+                pixel_data = rows[::-1].tobytes()  # bottom-up row order
+                file_header = struct.pack(
+                    "<2sIHHI", b"BM", 14 + 40 + len(pixel_data), 0, 0, 54
+                )
+                info_header = struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data),
+                    2835, 2835, 0, 0,
+                )
+                blobs.append(file_header + info_header + pixel_data)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "mime": "image/bmp", "blob": blobs}
+            )
+
+    return docs.mapInPandas(gen, schema="media_id long, mime string, blob binary")
+
+
+def decode_bmp_features(media: DataFrame) -> DataFrame:
+    """REAL decode: parse the BMP headers with struct (magic, data offset,
+    dimensions, bpp, compression all read from the file, never assumed),
+    undo the bottom-up row order and stride padding with numpy slicing, and
+    compute channel statistics plus a position-weighted checksum
+    ``sum((3r + 5g + 7b) * (x + y*w + 1))`` that catches orientation and
+    stride bugs the channel means would miss.  Exact int64 sums; one
+    ``frombuffer`` per blob, no per-pixel Python."""
+    import struct
+
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                raw = bytes(r.blob)
+                magic, _size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", raw, 0)
+                assert magic == b"BM", "not a BMP"
+                (hdr_sz, w, h, _planes, bpp, comp) = struct.unpack_from(
+                    "<IiiHHI", raw, 14
+                )
+                assert hdr_sz >= 40 and bpp == 24 and comp == 0, "unsupported BMP"
+                assert h > 0, "top-down BMPs not produced by this corpus"
+                stride = ((3 * w + 3) // 4) * 4
+                rows = np.frombuffer(
+                    raw, dtype=np.uint8, count=stride * h, offset=offset
+                ).reshape(h, stride)
+                img = rows[::-1, : 3 * w].reshape(h, w, 3).astype(np.int64)
+                b, g, rr = img[..., 0], img[..., 1], img[..., 2]
+                n = w * h
+                pos = (
+                    np.arange(w, dtype=np.int64)[None, :]
+                    + np.arange(h, dtype=np.int64)[:, None] * w
+                    + 1
+                )
+                checksum = int(((3 * rr + 5 * g + 7 * b) * pos).sum())
+                luma = int((299 * rr + 587 * g + 114 * b).sum()) / (1000.0 * n)
+                out.append(
+                    {
+                        "media_id": r.media_id,
+                        "width": w,
+                        "height": h,
+                        "n_pixels": n,
+                        "mean_r": int(rr.sum()) / n,
+                        "mean_g": int(g.sum()) / n,
+                        "mean_b": int(b.sum()) / n,
+                        "luma_mean": luma,
+                        "checksum": checksum,
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height", "n_pixels",
+                    "mean_r", "mean_g", "mean_b", "luma_mean", "checksum",
+                ],
+            )
+
+    return media.mapInPandas(kernel, schema=BMP_FEATURE_SCHEMA)
+
+
 def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only aggregation — must never touch the blob column (check
     ReadSchema in the plan: blobs pruned)."""
@@ -266,10 +405,26 @@ def _mm_queries():
             round6(F.col("rms")).alias("rms"),
         )
 
+    def m_bmp_decode(spark, sf_dir):
+        media = synth_bmp_media(spark, sf_dir)
+        feats = decode_bmp_features(media)
+        return feats.select(
+            "media_id",
+            "width",
+            "height",
+            "n_pixels",
+            round6(F.col("mean_r")).alias("mean_r"),
+            round6(F.col("mean_g")).alias("mean_g"),
+            round6(F.col("mean_b")).alias("mean_b"),
+            round6(F.col("luma_mean")).alias("luma_mean"),
+            "checksum",
+        )
+
     return {
         "m_media_stats": m_media_stats,
         "m_features": m_features,
         "m_wav_decode": m_wav_decode,
+        "m_bmp_decode": m_bmp_decode,
     }
 
 
@@ -335,5 +490,37 @@ MULTIMODAL_ORACLES: dict[str, str] = {
                CAST(MIN(smp) AS INTEGER) AS amp_min,
                (FLOOR(sqrt(CAST(SUM(CAST(smp AS BIGINT) * smp) AS DOUBLE) / n) * 1000000.0 + 0.5) / 1000000.0) AS rms
         FROM v GROUP BY media_id, n
+    """,
+    # recomputes image features from the pixel closed form (_bmp_pixel) —
+    # never touches BMP bytes, so stride/orientation/BGR decode bugs cannot
+    # cancel out between encoder and decoder
+    "m_bmp_decode": """
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 CAST(8 + doc_id % 9 AS INTEGER) AS w,
+                 CAST(6 + doc_id % 5 AS INTEGER) AS h
+          FROM documents WHERE doc_id < 64
+        ),
+        px AS (
+          SELECT media_id, w, h,
+                 CAST(i % w AS BIGINT) AS x, CAST(i // w AS BIGINT) AS y
+          FROM (SELECT media_id, w, h, unnest(range(w * h)) AS i FROM m)
+        ),
+        v AS (
+          SELECT media_id, w, h, x, y,
+                 (media_id * 7 + y * 13 + x * 29 + 173) % 256 AS r,
+                 (media_id * 7 + y * 13 + x * 29 + 91) % 256 AS g,
+                 (media_id * 7 + y * 13 + x * 29) % 256 AS b
+          FROM px
+        )
+        SELECT media_id, w AS width, h AS height,
+               CAST(w * h AS INTEGER) AS n_pixels,
+               (FLOOR((CAST(SUM(r) AS DOUBLE) / (w * h)) * 1000000.0 + 0.5) / 1000000.0) AS mean_r,
+               (FLOOR((CAST(SUM(g) AS DOUBLE) / (w * h)) * 1000000.0 + 0.5) / 1000000.0) AS mean_g,
+               (FLOOR((CAST(SUM(b) AS DOUBLE) / (w * h)) * 1000000.0 + 0.5) / 1000000.0) AS mean_b,
+               (FLOOR((CAST(SUM(299 * r + 587 * g + 114 * b) AS DOUBLE)
+                       / (1000.0 * w * h)) * 1000000.0 + 0.5) / 1000000.0) AS luma_mean,
+               CAST(SUM((3 * r + 5 * g + 7 * b) * (x + y * w + 1)) AS BIGINT) AS checksum
+        FROM v GROUP BY media_id, w, h
     """,
 }

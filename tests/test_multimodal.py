@@ -79,3 +79,55 @@ def test_wav_decode_real_header_and_pcm(spark):
         assert r.amp_max == max(s) and r.amp_min == min(s)
         assert abs(r.amp_mean - sum(s) / len(s)) < 1e-9
         assert abs(r.rms - math.sqrt(sum(x * x for x in s) / len(s))) < 1e-9
+
+
+def test_bmp_decode_is_real_and_orientation_sensitive(spark):
+    """The BMP kernel parses real files (magic + headers) and its features
+    match the pixel closed form computed scalar-side; flipping the row
+    order in the file changes the position-weighted checksum — so the
+    decoder genuinely undoes the bottom-up storage, it doesn't cancel out
+    against the encoder."""
+    import struct
+
+    from kafka_journal_spark.functions.multimodal import (
+        _bmp_dims,
+        _bmp_pixel,
+        decode_bmp_features,
+        synth_bmp_media,
+    )
+
+    media = synth_bmp_media(spark, SF, n=8)
+    rows = {r.media_id: bytes(r.blob) for r in media.collect()}
+    assert all(b[:2] == b"BM" for b in rows.values())
+
+    got = {r.media_id: r for r in decode_bmp_features(media).collect()}
+    assert set(got) == set(range(8))
+    for mid in range(8):
+        w, h = _bmp_dims(mid)
+        px = [_bmp_pixel(mid, x, y) for y in range(h) for x in range(w)]
+        want_ck = sum(
+            (3 * r + 5 * g + 7 * b) * (i + 1) for i, (r, g, b) in enumerate(px)
+        )
+        r = got[mid]
+        assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
+        assert r.checksum == want_ck
+        assert abs(r.mean_r - sum(p[0] for p in px) / len(px)) < 1e-9
+
+    # corrupt one blob: swap the first and last pixel rows in the file.
+    # Channel means are unchanged, but the checksum must move.
+    mid = 3
+    blob = rows[mid]
+    (offset,) = struct.unpack_from("<I", blob, 10)
+    w, h = _bmp_dims(mid)
+    stride = ((3 * w + 3) // 4) * 4
+    body = bytearray(blob[offset:])
+    first, last = bytes(body[:stride]), bytes(body[(h - 1) * stride:])
+    body[:stride], body[(h - 1) * stride:] = last, first
+    flipped = blob[:offset] + bytes(body)
+    pdf = spark.createDataFrame(
+        [(int(mid), "image/bmp", bytearray(flipped))],
+        "media_id long, mime string, blob binary",
+    )
+    r2 = decode_bmp_features(pdf).collect()[0]
+    assert abs(r2.mean_r - got[mid].mean_r) < 1e-9  # mass preserved
+    assert r2.checksum != got[mid].checksum  # position detected
