@@ -325,6 +325,64 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             f"SELECT event_id, ts, user_id, event_type, value FROM {name}"
         )
 
+    def x_stream_join(spark, sf_dir):
+        # stream-stream INTERVAL join (view -> purchase attribution within
+        # 30 minutes per user): two independent file streams, watermarks on
+        # both sides + the event-time range conjunct — the state-bounded
+        # join Structured Streaming requires at scale (unbounded state
+        # otherwise); oracle = identical batch SQL join
+        import os
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from kafka_journal_spark.operators.actions import load_events
+
+        d = tempfile.mkdtemp(prefix="kjs-streamjoin-")
+        load_events(spark, sf_dir).select(
+            "event_id", "ts", "user_id", "event_type"
+        ).write.parquet(f"{d}/src")
+        ddl = "event_id long, ts timestamp, user_id long, event_type string"
+
+        def _side(kind, prefix):
+            return (
+                spark.readStream.schema(ddl)
+                .parquet(f"{d}/src")
+                .filter(F.col("event_type") == kind)
+                .select(
+                    F.col("event_id").alias(f"{prefix}_id"),
+                    F.col("ts").alias(f"{prefix}_ts"),
+                    F.col("user_id").alias(f"{prefix}_user"),
+                )
+                .withWatermark(f"{prefix}_ts", "1 hour")
+            )
+
+        views, buys = _side("view", "v"), _side("purchase", "p")
+        joined = views.join(
+            buys,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        ).select(
+            F.col("v_user").alias("user_id"),
+            F.col("v_id").alias("view_id"),
+            F.col("p_id").alias("purchase_id"),
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")).alias("gap_secs"),
+        )
+        name = "streamjoin_" + os.path.basename(d).split("-")[-1]
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.sql(
+            f"SELECT user_id, view_id, purchase_id, gap_secs FROM {name}"
+        )
+
     def x_stats_moments(spark, sf_dir):
         # statistical aggregates via exact integral moments: values are
         # floor-quantized, summed exactly as decimals, and mean/variance/
@@ -460,6 +518,7 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_window_stream": x_window_stream,
         "x_session_stream": x_session_stream,
         "x_dedup_stream": x_dedup_stream,
+        "x_stream_join": x_stream_join,
         "x_skew_salted_agg": x_skew_salted_agg,
         "x_skew_count_distinct": x_skew_count_distinct,
         "x_stats_moments": x_stats_moments,

@@ -445,6 +445,76 @@ def dedup_clusters(
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+#: decontamination shingle width: 5-gram overlap against the benchmark set
+#: (13-gram is the published norm for web-scale corpora; the synthetic docs
+#: are ~60 tokens, so 5 keeps the oracle-visible overlap non-trivial)
+DECON_NGRAM = 5
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    ``DECON_NGRAM``-gram with the benchmark/eval set (here the
+    deterministic ``doc_id % 97 == 0`` slice stands in for an eval suite).
+
+    Plan (the 100 TB shape): the benchmark shingle set is tiny (an eval
+    suite, not the corpus) — distinct it and BROADCAST it; the corpus side
+    is a map-only shingle explode + broadcast semi-ish join + per-doc
+    count.  The corpus never shuffles on shingle, which is what makes this
+    viable where the full self-join of near-dup detection is not needed.
+    """
+    toks = tokens_col()
+    sh = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(shingles_col(toks, DECON_NGRAM)).alias("shingle")
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    )
+    overlap = (
+        sh.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.col("doc_id") % 97 == 0).alias("is_benchmark"),
+            (
+                F.coalesce("n_overlap", F.lit(0)) > 0
+            ).alias("contaminated"),
+        )
+    )
+
+
+DEDUP_EXTRA_ORACLES: dict[str, str] = {
+    "d_decontaminate": f"""
+        WITH __toks AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+        sh AS (
+          SELECT doc_id, unnest({shingles_sql(n=DECON_NGRAM)}) AS shingle
+          FROM __toks
+        ),
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        ov AS (
+          SELECT doc_id, COUNT(*) AS n_overlap
+          FROM sh JOIN bench USING (shingle)
+          GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(ov.n_overlap, 0) AS n_overlap,
+               (d.doc_id % 97 = 0) AS is_benchmark,
+               (COALESCE(ov.n_overlap, 0) > 0) AS contaminated
+        FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+    """,
+}
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
@@ -695,7 +765,10 @@ DEDUP_ORACLES["d_dedup_clusters"] = f"""
     FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.s
 """
 
+DEDUP_ORACLES.update(DEDUP_EXTRA_ORACLES)
+
 DEDUP_QUERIES = {
+    "d_decontaminate": decontaminate,
     "d_dedup_exact": dedup_exact,
     "d_ngram_jaccard": ngram_jaccard_pairs,
     "d_minhash_sigs": minhash_signatures_gate,

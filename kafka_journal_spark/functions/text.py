@@ -225,6 +225,17 @@ _PII_SQL_TEXT = (
 )
 
 TEXT_ORACLES: dict[str, str] = {
+    "d_sample_sources": """
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    % 1000 AS INTEGER) AS bucket,
+               CAST(CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1) AS INTEGER) % 2 = 0
+                         THEN 1000 ELSE 300 END AS INTEGER) AS rate_permille,
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+                < CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1) AS INTEGER) % 2 = 0
+                       THEN 1000 ELSE 300 END) AS keep
+        FROM documents
+    """,
     "d_pii_scrub": f"""
         WITH p AS (SELECT doc_id, {_PII_SQL_TEXT} AS pii FROM documents),
         s AS (
@@ -737,8 +748,46 @@ def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# deterministic stratified source sampling (corpus mixing)
+# ---------------------------------------------------------------------------
+
+#: per-source sampling rates in permille: even-numbered sources are kept
+#: whole, odd-numbered downsampled to 30% — the "mix web crawl down,
+#: keep curated sources" knob of a pretraining data recipe
+SAMPLE_RATE_EVEN = 1000
+SAMPLE_RATE_ODD = 300
+
+
+def sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source weighted sampling: each doc's keep decision
+    is ``md5-bucket(doc_id) < rate(source)`` — a pure map-side filter that
+    is reproducible across runs, engines, AND task retries (the property
+    ``F.rand``-based sampling loses: a recomputed partition would draw a
+    different sample, corrupting downstream exactly-once writes).
+
+    At 100 TB this is the corpus-mixing primitive: rates live in a tiny
+    broadcast map (here a parity rule), the scan is map-only, and the same
+    seed always yields the same corpus."""
+    from kafka_journal_spark.functions.dedup import hash64
+
+    bucket = F.pmod(hash64(F.col("doc_id").cast("string")), F.lit(1000))
+    src_num = F.regexp_extract("source", r"([0-9]+)$", 1).cast("int")
+    rate = F.when(src_num % 2 == 0, F.lit(SAMPLE_RATE_EVEN)).otherwise(
+        F.lit(SAMPLE_RATE_ODD)
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        bucket.cast("int").alias("bucket"),
+        rate.cast("int").alias("rate_permille"),
+        (bucket < rate).alias("keep"),
+    )
+
+
 TEXT_QUERIES = {
     "d_pii_scrub": pii_scrub,
+    "d_sample_sources": sample_sources,
     "d_repetition": repetition_metrics,
     "d_tokens": d_tokens,
     "d_tokens_bpe": d_tokens_bpe,

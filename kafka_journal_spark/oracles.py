@@ -165,6 +165,17 @@ ORACLES: dict[str, str] = {
     ),
     "j_pointer": _q('SELECT topic, id, partition, "offset", seq_nr FROM __meta'),
     "j_ids": _q("SELECT topic, id FROM __meta WHERE topic = 'journal'"),
+    # stream-stream interval join == identical batch join (the watermark
+    # only bounds state; with availableNow every pair is emitted)
+    "x_stream_join": """
+        SELECT v.user_id AS user_id, v.event_id AS view_id,
+               p.event_id AS purchase_id,
+               CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS gap_secs
+        FROM (SELECT * FROM events WHERE event_type = 'view') v
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON v.user_id = p.user_id
+         AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
     # streaming watermarked dedup == plain distinct (event_id is unique in
     # the source; the stream sees every row twice)
     "x_dedup_stream": """
