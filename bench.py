@@ -49,6 +49,14 @@ HEADLINE = [
     "e_cosine_pandas",
     "e_quantize_int8",
     "m_wav_decode",
+    # round-5 additions (kept additive: r4-vs-r5 comparisons use the
+    # shared prefix)
+    "q9",
+    "q18",
+    "d_pii_scrub",
+    "d_repetition",
+    "d_decontaminate",
+    "m_bmp_decode",
 ]
 
 

@@ -423,7 +423,96 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/offset window-function family over one shared sort: lag,
+    lead, ntile, percent_rank, cume_dist — all five share a single Window
+    spec so Catalyst plans ONE Window node (one shuffle + one sort).
+    percent_rank/cume_dist are exact rationals of row positions — bit-equal
+    across engines."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.lag("o_orderkey", 1).over(w).alias("prev_key"),
+        F.lead("o_orderkey", 1).over(w).alias("next_key"),
+        F.ntile(4).over(w).alias("quartile"),
+        round6(F.percent_rank().over(w)).alias("pct_rank"),
+        round6(F.cume_dist().over(w)).alias("cume"),
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither rollup nor cube: a hand-picked
+    lattice) + grouping_id to disambiguate null-as-value from
+    null-as-aggregate — via the SQL API, which is the only PySpark surface
+    for arbitrary sets."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__q_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping__id AS gid,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM __q_gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        """
+    )
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (status x priority order counts): the DataFrame ``pivot`` API
+    with an EXPLICIT value list — at scale the implicit variant adds a
+    distinct-collect job just to discover the columns."""
+    orders = _t(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    out = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(F.count(F.lit(1)))
+    )
+    renames = {p: f"p{i + 1}" for i, p in enumerate(prios)}
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in renames.values()],
+    )
+
+
 ANALYTICS_ORACLES: dict[str, str] = {
+    "q_window_funcs": """
+        SELECT o_orderkey, o_orderstatus,
+               LAG(o_orderkey, 1) OVER w AS prev_key,
+               LEAD(o_orderkey, 1) OVER w AS next_key,
+               CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+               (FLOOR(PERCENT_RANK() OVER w * 1000000.0 + 0.5) / 1000000.0) AS pct_rank,
+               (FLOOR(CUME_DIST() OVER w * 1000000.0 + 0.5) / 1000000.0) AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey)
+    """,
+    "q_grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(CASE WHEN GROUPING(o_orderstatus) = 0 AND GROUPING(o_orderpriority) = 1 THEN 1
+                         WHEN GROUPING(o_orderstatus) = 1 AND GROUPING(o_orderpriority) = 0 THEN 2
+                         ELSE 0 END AS BIGINT) AS gid,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+    """,
+    "q_pivot": """
+        SELECT o_orderstatus,
+               COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END), 0) AS p1,
+               COALESCE(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END), 0) AS p2,
+               COALESCE(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END), 0) AS p3,
+               COALESCE(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END), 0) AS p4,
+               COALESCE(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END), 0) AS p5
+        FROM orders GROUP BY o_orderstatus
+    """,
     "q1": f"""
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
@@ -610,6 +699,9 @@ ANALYTICS_ORACLES: dict[str, str] = {
 }
 
 ANALYTICS_QUERIES = {
+    "q_window_funcs": q_window_funcs,
+    "q_grouping_sets": q_grouping_sets,
+    "q_pivot": q_pivot,
     "q1": q1_pricing_summary,
     "q4": q4_order_priority,
     "q13": q13_customer_distribution,

@@ -235,3 +235,39 @@ def test_tpch_full_plans(spark):
 
     p22 = _plan(T.q22_global_sales_opportunity(spark, SF))
     assert "LeftAnti" in p22
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The benchmark shingle set must broadcast (an eval suite is tiny);
+    the corpus side must NOT shuffle on shingle."""
+    from kafka_journal_spark.functions.dedup import decontaminate
+
+    p = _plan(decontaminate(spark, SF))
+    # the overlap join itself is a broadcast (corpus probes the tiny
+    # benchmark set); the only shingle-keyed Exchange allowed is the
+    # benchmark side's own distinct — the CORPUS never shuffles on shingle
+    assert p.count("BroadcastHashJoin") >= 2  # shingle probe + doc_id left join
+    assert p.count("hashpartitioning(shingle") <= 1
+
+
+def test_pii_scrub_is_map_only(spark):
+    """PII detect+scrub is a pure map pass: zero Exchange in the plan."""
+    from kafka_journal_spark.functions.text import pii_scrub
+
+    assert "Exchange" not in _plan(pii_scrub(spark, SF))
+
+
+def test_sample_sources_is_map_only(spark):
+    from kafka_journal_spark.functions.text import sample_sources
+
+    assert "Exchange" not in _plan(sample_sources(spark, SF))
+
+
+def test_window_funcs_single_window_node(spark):
+    """All five window functions share one spec -> ONE Window node, one
+    shuffle, one sort."""
+    from kafka_journal_spark.operators.analytics import q_window_funcs
+
+    p = _plan(q_window_funcs(spark, SF))
+    assert p.count("Window") - p.count("WindowGroupLimit") == 1
+    assert p.count("Exchange") == 1
