@@ -156,29 +156,29 @@ def ngram_jaccard_pairs(
 
 def minhash_signatures(spark: SparkSession, sf_dir: str, k: int = MINHASH_K) -> DataFrame:
     """(doc_id, sig array<long>) — sig[i] = min over shingles of the i-th
-    affine permutation of the shingle's base hash."""
-    a_arr = F.array(*[F.lit(a) for a in MINHASH_A])
-    b_arr = F.array(*[F.lit(b) for b in MINHASH_B])
+    affine permutation of the shingle's base hash.
+
+    Plan (the 100 TB shape): one hash-aggregate per doc_id computing all K
+    permutation minima as K column aggregates ``min((A[i]*h + B[i]) % P)``
+    — the partial aggregate runs map-side, so the ONLY shuffle carries K+1
+    longs per document, and there is no per-permutation row explosion.
+    (The previous plan exploded K rows per (doc, shingle) and shuffled
+    twice — the same scale bug class the SimHash packed-lane rewrite
+    killed; pinned gone by ``test_plans.py::test_minhash_signatures_plan``.)
+    """
     sh = _doc_shingles(spark, sf_dir).select(
         "doc_id", hash64(F.col("shingle")).alias("h")
     )
-    expanded = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
-        F.col("h"),
-    ).select(
-        "doc_id",
-        "i",
-        (
-            (F.element_at(a_arr, F.col("i") + 1) * F.col("h") + F.element_at(b_arr, F.col("i") + 1))
-            % F.lit(MINHASH_P)
-        ).alias("h"),
-    )
-    per_i = expanded.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
+    mins = [
+        F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)).alias(
+            f"_m{i}"
+        )
+        for i in range(k)
+    ]
     return (
-        per_i.groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "mh"))).alias("_s"))
-        .select("doc_id", F.transform("_s", lambda s: s["mh"]).alias("sig"))
+        sh.groupBy("doc_id")
+        .agg(*mins)
+        .select("doc_id", F.array(*[F.col(f"_m{i}") for i in range(k)]).alias("sig"))
     )
 
 

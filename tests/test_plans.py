@@ -271,3 +271,17 @@ def test_window_funcs_single_window_node(spark):
     p = _plan(q_window_funcs(spark, SF))
     assert p.count("Window") - p.count("WindowGroupLimit") == 1
     assert p.count("Exchange") == 1
+
+
+def test_minhash_signatures_plan(spark):
+    """MinHash signatures must be K min-aggregates over ONE doc_id-keyed
+    Exchange — no per-permutation row explosion (the explode would multiply
+    the shuffle K-fold), no second aggregate hop."""
+    from kafka_journal_spark.functions.dedup import minhash_signatures
+
+    p = _plan(minhash_signatures(spark, SF))
+    gens = p.count("Generate explode")
+    assert gens == 1, p  # the shingle explode only — nothing per-permutation
+    # one doc_id-keyed Exchange for the agg plus the repartition of the
+    # CPU-dense shingle stage; nothing else
+    assert p.count("Exchange") <= 2, p
