@@ -466,8 +466,14 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     viable where the full self-join of near-dup detection is not needed.
     """
     toks = tokens_col()
-    sh = _docs(spark, sf_dir).select(
-        "doc_id", F.explode(shingles_col(toks, DECON_NGRAM)).alias("shingle")
+    # the shingle expression is CPU-dense per row: spread it before it runs
+    # (a single small parquet file = one partition = one core otherwise)
+    par = spark.sparkContext.defaultParallelism
+    sh = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(par, "doc_id")
+        .select("doc_id", F.explode(shingles_col(toks, DECON_NGRAM)).alias("shingle"))
     )
     bench = (
         sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
@@ -765,9 +771,86 @@ DEDUP_ORACLES["d_dedup_clusters"] = f"""
     FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.s
 """
 
+def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship end-to-end curation decision: one row per document with
+    every pipeline verdict and the final ``keep`` — the composition a real
+    pretraining data run executes (quality gate × language filter ×
+    near-dup cluster representative × benchmark decontamination ×
+    deterministic source mixing).
+
+    Plan: five independent per-doc relations joined on doc_id.  Quality /
+    lang / sampling are map-only; decontamination broadcasts the benchmark
+    set; clusters is the one iterative piece.  At 100 TB each stage's scale
+    story is its own (documented per operator) — the composition adds only
+    doc_id-keyed joins, which AQE plans as broadcasts while verdict tables
+    stay narrow.
+    """
+    from kafka_journal_spark.functions.text import (
+        d_lang_id,
+        d_quality,
+        sample_sources,
+    )
+
+    q = d_quality(spark, sf_dir).select("doc_id", "quality_score")
+    l = d_lang_id(spark, sf_dir).select("doc_id", "is_match")
+    c = dedup_clusters(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("_canon")
+    )
+    dec = decontaminate(spark, sf_dir).select("doc_id", "contaminated", "is_benchmark")
+    s = sample_sources(spark, sf_dir).select("doc_id", F.col("keep").alias("_sampled"))
+    out = (
+        q.join(l, "doc_id")
+        .join(c, "doc_id")
+        .join(dec, "doc_id")
+        .join(s, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("quality_score") >= 0.5).alias("quality_ok"),
+            F.col("is_match").alias("lang_ok"),
+            F.col("_canon").alias("canonical"),
+            (~F.col("contaminated") & ~F.col("is_benchmark")).alias("clean"),
+            F.col("_sampled").alias("sampled"),
+        )
+    )
+    return out.withColumn(
+        "keep",
+        F.col("quality_ok")
+        & F.col("lang_ok")
+        & F.col("canonical")
+        & F.col("clean")
+        & F.col("sampled"),
+    )
+
+
 DEDUP_ORACLES.update(DEDUP_EXTRA_ORACLES)
 
+# the end-to-end curation oracle composes the INDEPENDENT oracles of every
+# stage (each already verified on its own), so a pipeline bug cannot hide
+# behind a matching bug in a shared implementation
+DEDUP_ORACLES["d_pipeline_e2e"] = f"""
+    WITH __q AS ({_TEXT_ORACLES["d_quality"]}),
+         __l AS ({_TEXT_ORACLES["d_lang_id"]}),
+         __c AS (SELECT * FROM ({DEDUP_ORACLES["d_dedup_clusters"]})),
+         __dec AS (SELECT * FROM ({DEDUP_ORACLES["d_decontaminate"]})),
+         __s AS ({_TEXT_ORACLES["d_sample_sources"]})
+    SELECT __q.doc_id,
+           (__q.quality_score >= 0.5) AS quality_ok,
+           __l.is_match AS lang_ok,
+           __c.keep AS canonical,
+           (NOT __dec.contaminated AND NOT __dec.is_benchmark) AS clean,
+           __s.keep AS sampled,
+           ((__q.quality_score >= 0.5) AND __l.is_match AND __c.keep
+            AND NOT __dec.contaminated AND NOT __dec.is_benchmark
+            AND __s.keep) AS keep
+    FROM __q
+    JOIN __l ON __q.doc_id = __l.doc_id
+    JOIN __c ON __q.doc_id = __c.doc_id
+    JOIN __dec ON __q.doc_id = __dec.doc_id
+    JOIN __s ON __q.doc_id = __s.doc_id
+"""
+
 DEDUP_QUERIES = {
+    "d_pipeline_e2e": pipeline_e2e,
     "d_decontaminate": decontaminate,
     "d_dedup_exact": dedup_exact,
     "d_ngram_jaccard": ngram_jaccard_pairs,

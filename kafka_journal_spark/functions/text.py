@@ -704,7 +704,11 @@ def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens_col()
     two = F.greatest(F.size(toks) - 1, F.lit(0))
     three = F.greatest(F.size(toks) - 2, F.lit(0))
-    base = _docs(spark, sf_dir).select(
+    # tokenize/shingle per row is CPU-dense: spread before the expressions
+    # run (one small parquet file = one partition = one core otherwise)
+    par = spark.sparkContext.defaultParallelism
+    docs = _docs(spark, sf_dir).select("doc_id", "text").repartition(par, "doc_id")
+    base = docs.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         two.alias("_n2"),
@@ -713,7 +717,7 @@ def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(shingles_col(toks, 3)).alias("_d3"),
     )
     tok_counts = (
-        _docs(spark, sf_dir)
+        docs
         .select("doc_id", F.explode(tokens_col()).alias("_t"))
         .groupBy("doc_id", "_t")
         .agg(F.count(F.lit(1)).alias("_c"))
