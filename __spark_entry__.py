@@ -163,6 +163,17 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.to_json("tags").alias("tags"),
         )
 
+    def j_tag_index(spark, sf_dir):
+        # materialized tag secondary index (array_contains cannot push into
+        # a parquet scan — the index is the 100 TB answer for tag reads)
+        j = materialize_journal(journal_actions(spark, sf_dir))
+        return R.tag_index(j)
+
+    def j_read_by_tag_idx(spark, sf_dir):
+        # the indexed tag read must return exactly the direct scan's rows
+        j = materialize_journal(journal_actions(spark, sf_dir))
+        return R.read_by_tag_indexed(j, "click")
+
     def j_integrity(spark, sf_dir):
         # seq_nr-uniqueness check over a journal with a simulated
         # double-replication (every row duplicated at a shifted offset):
@@ -539,6 +550,8 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_batching": w_batching,
         "j_integrity": j_integrity,
         "j_read_by_tag": j_read_by_tag,
+        "j_tag_index": j_tag_index,
+        "j_read_by_tag_idx": j_read_by_tag_idx,
         "q_sql_surface": q_sql_surface,
     }
 

@@ -57,6 +57,7 @@ HEADLINE = [
     "d_repetition",
     "d_decontaminate",
     "m_bmp_decode",
+    "d_pipeline_e2e",
 ]
 
 

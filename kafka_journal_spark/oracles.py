@@ -146,6 +146,17 @@ ORACLES: dict[str, str] = {
                   to_json(tags) AS tags
            FROM __journal WHERE list_contains(tags, 'click')"""
     ),
+    # materialized tag secondary index (explode) and the indexed read,
+    # which must return exactly the rows of the direct tag-filtered scan
+    "j_tag_index": _q(
+        """SELECT unnest(tags) AS tag, topic, id, seq_nr, "offset"
+           FROM __journal"""
+    ),
+    "j_read_by_tag_idx": _q(
+        """SELECT id, topic, seq_nr, "offset", payload_txt,
+                  to_json(tags) AS tags
+           FROM __journal WHERE list_contains(tags, 'click')"""
+    ),
     "j_meta": _q("SELECT * FROM __meta"),
     "j_pointers": f"""
         WITH __a AS ({ACTIONS_SQL})
