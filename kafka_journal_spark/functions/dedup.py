@@ -196,22 +196,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: candidates come from a groupBy on (band index, band hash) — the
     classic shingle->minhash->band->bucket-join pipeline; no all-pairs step.
     """
-    r = MINHASH_K // LSH_BANDS
     # the band bucket-join is a self-join: without materialization both
     # sides would recompute the whole tokenize->shingle->minhash lineage
     sigs = minhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
-    bands = sigs.select(
-        "doc_id",
-        "sig",
-        F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("band"),
-    ).select(
-        "doc_id",
-        "sig",
-        "band",
-        F.md5(
-            F.concat_ws(",", F.transform(F.slice("sig", F.col("band") * r + 1, r), lambda x: x.cast("string")))
-        ).alias("band_hash"),
-    )
+    bands = _band_relation(sigs)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -238,6 +226,109 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.lit(float(MINHASH_K))
     )
     return cand.select("doc_a", "doc_b", round6(est).alias("est_jaccard"))
+
+
+def _band_relation(sigs: DataFrame) -> DataFrame:
+    """(doc_id, sig, band, band_hash) — the LSH banding of a signature set."""
+    r = MINHASH_K // LSH_BANDS
+    return sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("band"),
+    ).select(
+        "doc_id",
+        "sig",
+        "band",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice("sig", F.col("band") * r + 1, r), lambda x: x.cast("string")
+                ),
+            )
+        ).alias("band_hash"),
+    )
+
+
+def _est_jaccard(sig_a, sig_b) -> Column:
+    return (
+        F.size(
+            F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda eq: eq)
+        ).cast("double")
+        / F.lit(float(MINHASH_K))
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    spark: SparkSession, sf_dir: str, n_batches: int = 3
+) -> DataFrame:
+    """INCREMENTAL near-dup detection: documents arrive in batches, each
+    batch probes a persisted LSH band index of everything seen so far, then
+    appends its own bands — the production shape (a crawl never re-runs
+    dedup over the full corpus per increment).
+
+    Invariant under test (the dedup ConsistencySpec): the union of
+    per-batch discoveries equals the one-shot :func:`minhash_lsh_pairs`
+    run, row for row — verified against the SAME DuckDB oracle.  Every
+    unordered pair is found exactly once, in the later member's batch
+    (within-batch self-join covers same-batch pairs; the index probe covers
+    pairs with earlier batches).
+
+    Scale: the index is an append-only parquet relation keyed by
+    (band, band_hash) — bucket it by band_hash in production and the probe
+    is a co-located join; a batch's cost is O(batch x bucket occupancy),
+    never O(corpus^2).
+    """
+    import tempfile
+
+    index_dir = tempfile.mkdtemp(prefix="kjs-lshidx-") + "/bands"
+    sigs = minhash_signatures(spark, sf_dir).withColumn(
+        "_batch", F.pmod(F.col("doc_id"), F.lit(n_batches))
+    ).localCheckpoint(eager=True)
+    results = []
+    for b in range(n_batches):
+        batch = _band_relation(sigs.filter(F.col("_batch") == b).drop("_batch"))
+        batch = batch.localCheckpoint(eager=True)
+        # within-batch pairs
+        a, bb = batch.alias("a"), batch.alias("b")
+        within = a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        cands = within
+        if b > 0:
+            idx = spark.read.parquet(index_dir)
+            probe = batch.alias("n").join(
+                idx.alias("o"),
+                (F.col("n.band") == F.col("o.band"))
+                & (F.col("n.band_hash") == F.col("o.band_hash")),
+            ).select(
+                F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_a"),
+                F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_b"),
+                F.when(F.col("n.doc_id") < F.col("o.doc_id"), F.col("n.sig"))
+                .otherwise(F.col("o.sig"))
+                .alias("sig_a"),
+                F.when(F.col("n.doc_id") < F.col("o.doc_id"), F.col("o.sig"))
+                .otherwise(F.col("n.sig"))
+                .alias("sig_b"),
+            )
+            cands = cands.unionByName(probe)
+        found = cands.dropDuplicates(["doc_a", "doc_b"]).select(
+            "doc_a", "doc_b", round6(_est_jaccard(F.col("sig_a"), F.col("sig_b"))).alias("est_jaccard")
+        )
+        results.append(found.localCheckpoint(eager=True))
+        batch.write.mode("append").parquet(index_dir)
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out
 
 
 CLUSTER_THRESHOLD = 0.5  # LSH pairs admitted to the cluster graph
@@ -849,7 +940,12 @@ DEDUP_ORACLES["d_pipeline_e2e"] = f"""
     JOIN __s ON __q.doc_id = __s.doc_id
 """
 
+# incremental == one-shot: the SAME oracle as d_minhash_lsh grades the
+# batched index-probe implementation
+DEDUP_ORACLES["d_lsh_incremental"] = DEDUP_ORACLES["d_minhash_lsh"]
+
 DEDUP_QUERIES = {
+    "d_lsh_incremental": minhash_lsh_pairs_incremental,
     "d_pipeline_e2e": pipeline_e2e,
     "d_decontaminate": decontaminate,
     "d_dedup_exact": dedup_exact,
