@@ -163,53 +163,71 @@ def synth_wav_media(spark: SparkSession, sf_dir: str, n: int = 64) -> DataFrame:
     return docs.mapInPandas(gen, schema="media_id long, mime string, blob binary")
 
 
-def decode_wav_features(media: DataFrame) -> DataFrame:
+def decode_wav_features(media: DataFrame, on_error: str = "raise") -> DataFrame:
     """REAL decode through the mapInPandas fan-out: parse the RIFF header
     with ``wave``, unpack little-endian PCM16 frames, and compute audio
     features.  Everything (rate, frame count) comes from the parsed header —
-    nothing is assumed from the generator."""
+    nothing is assumed from the generator.
+
+    ``on_error``: ``'raise'`` fails the job on the first malformed blob
+    (strict ingestion); ``'quarantine'`` emits the row with null features
+    and the error text in ``decode_error`` instead — at 100 TB one corrupt
+    object must not kill a 10-hour job, and the quarantine rows ARE the
+    corruption report."""
     import io
     import math
     import wave
 
     import numpy as np
 
+    quarantine = on_error == "quarantine"
+    schema = WAV_FEATURE_SCHEMA + (", decode_error string" if quarantine else "")
+    cols = [
+        "media_id", "sample_rate", "n_samples", "duration_ms",
+        "amp_mean", "amp_max", "amp_min", "rms",
+    ] + (["decode_error"] if quarantine else [])
+
+    def _decode_one(blob: bytes) -> dict:
+        with wave.open(io.BytesIO(blob), "rb") as w:
+            if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                raise ValueError("unsupported WAV layout")
+            rate = w.getframerate()
+            nf = w.getnframes()
+            # vectorized frame decode: one frombuffer per blob, no
+            # per-sample Python arithmetic.  Sums are exact int64
+            # (PCM16: |sum| < 2^15 * nf, |sum of squares| < 2^30 * nf —
+            # no overflow for any realistic clip), so the float results
+            # are bit-identical to the scalar form.
+            samples = np.frombuffer(w.readframes(nf), dtype="<i2")
+        s64 = samples.astype(np.int64)
+        return {
+            "sample_rate": rate,
+            "n_samples": nf,
+            "duration_ms": nf * 1000.0 / rate,
+            "amp_mean": int(s64.sum()) / nf,
+            "amp_max": int(samples.max()),
+            "amp_min": int(samples.min()),
+            "rms": math.sqrt(int((s64 * s64).sum()) / nf),
+        }
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for r in pdf.itertuples():
-                with wave.open(io.BytesIO(bytes(r.blob)), "rb") as w:
-                    assert w.getnchannels() == 1 and w.getsampwidth() == 2
-                    rate = w.getframerate()
-                    nf = w.getnframes()
-                    # vectorized frame decode: one frombuffer per blob, no
-                    # per-sample Python arithmetic.  Sums are exact int64
-                    # (PCM16: |sum| < 2^15 * nf, |sum of squares| < 2^30 *
-                    # nf — no overflow for any realistic clip), so the
-                    # float results are bit-identical to the scalar form.
-                    samples = np.frombuffer(w.readframes(nf), dtype="<i2")
-                s64 = samples.astype(np.int64)
-                out.append(
-                    {
-                        "media_id": r.media_id,
-                        "sample_rate": rate,
-                        "n_samples": nf,
-                        "duration_ms": nf * 1000.0 / rate,
-                        "amp_mean": int(s64.sum()) / nf,
-                        "amp_max": int(samples.max()),
-                        "amp_min": int(samples.min()),
-                        "rms": math.sqrt(int((s64 * s64).sum()) / nf),
-                    }
-                )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "media_id", "sample_rate", "n_samples", "duration_ms",
-                    "amp_mean", "amp_max", "amp_min", "rms",
-                ],
-            )
+                try:
+                    rec = _decode_one(bytes(r.blob))
+                    if quarantine:
+                        rec["decode_error"] = None
+                except Exception as e:  # noqa: BLE001 — the quarantine contract
+                    if not quarantine:
+                        raise
+                    rec = {c: None for c in cols[1:]}
+                    rec["decode_error"] = f"{type(e).__name__}: {e}"
+                rec["media_id"] = r.media_id
+                out.append(rec)
+            yield pd.DataFrame(out, columns=cols)
 
-    return media.mapInPandas(kernel, schema=WAV_FEATURE_SCHEMA)
+    return media.mapInPandas(kernel, schema=schema)
 
 
 # ---------------------------------------------------------------------------
@@ -289,66 +307,81 @@ def synth_bmp_media(spark: SparkSession, sf_dir: str, n: int = 64) -> DataFrame:
     return docs.mapInPandas(gen, schema="media_id long, mime string, blob binary")
 
 
-def decode_bmp_features(media: DataFrame) -> DataFrame:
+def decode_bmp_features(media: DataFrame, on_error: str = "raise") -> DataFrame:
     """REAL decode: parse the BMP headers with struct (magic, data offset,
     dimensions, bpp, compression all read from the file, never assumed),
     undo the bottom-up row order and stride padding with numpy slicing, and
     compute channel statistics plus a position-weighted checksum
     ``sum((3r + 5g + 7b) * (x + y*w + 1))`` that catches orientation and
     stride bugs the channel means would miss.  Exact int64 sums; one
-    ``frombuffer`` per blob, no per-pixel Python."""
+    ``frombuffer`` per blob, no per-pixel Python.
+
+    ``on_error='quarantine'`` emits malformed blobs with null features and
+    the error text in ``decode_error`` instead of failing the job (see
+    :func:`decode_wav_features`)."""
     import struct
 
     import numpy as np
+
+    quarantine = on_error == "quarantine"
+    schema = BMP_FEATURE_SCHEMA + (", decode_error string" if quarantine else "")
+    cols = [
+        "media_id", "width", "height", "n_pixels",
+        "mean_r", "mean_g", "mean_b", "luma_mean", "checksum",
+    ] + (["decode_error"] if quarantine else [])
+
+    def _decode_one(raw: bytes) -> dict:
+        magic, _size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", raw, 0)
+        if magic != b"BM":
+            raise ValueError("not a BMP")
+        (hdr_sz, w, h, _planes, bpp, comp) = struct.unpack_from("<IiiHHI", raw, 14)
+        if not (hdr_sz >= 40 and bpp == 24 and comp == 0):
+            raise ValueError("unsupported BMP variant")
+        if h <= 0:
+            raise ValueError("top-down BMPs not produced by this corpus")
+        stride = ((3 * w + 3) // 4) * 4
+        if len(raw) < offset + stride * h:
+            raise ValueError("truncated pixel data")
+        rows = np.frombuffer(
+            raw, dtype=np.uint8, count=stride * h, offset=offset
+        ).reshape(h, stride)
+        img = rows[::-1, : 3 * w].reshape(h, w, 3).astype(np.int64)
+        b, g, rr = img[..., 0], img[..., 1], img[..., 2]
+        n = w * h
+        pos = (
+            np.arange(w, dtype=np.int64)[None, :]
+            + np.arange(h, dtype=np.int64)[:, None] * w
+            + 1
+        )
+        return {
+            "width": w,
+            "height": h,
+            "n_pixels": n,
+            "mean_r": int(rr.sum()) / n,
+            "mean_g": int(g.sum()) / n,
+            "mean_b": int(b.sum()) / n,
+            "luma_mean": int((299 * rr + 587 * g + 114 * b).sum()) / (1000.0 * n),
+            "checksum": int(((3 * rr + 5 * g + 7 * b) * pos).sum()),
+        }
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for r in pdf.itertuples():
-                raw = bytes(r.blob)
-                magic, _size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", raw, 0)
-                assert magic == b"BM", "not a BMP"
-                (hdr_sz, w, h, _planes, bpp, comp) = struct.unpack_from(
-                    "<IiiHHI", raw, 14
-                )
-                assert hdr_sz >= 40 and bpp == 24 and comp == 0, "unsupported BMP"
-                assert h > 0, "top-down BMPs not produced by this corpus"
-                stride = ((3 * w + 3) // 4) * 4
-                rows = np.frombuffer(
-                    raw, dtype=np.uint8, count=stride * h, offset=offset
-                ).reshape(h, stride)
-                img = rows[::-1, : 3 * w].reshape(h, w, 3).astype(np.int64)
-                b, g, rr = img[..., 0], img[..., 1], img[..., 2]
-                n = w * h
-                pos = (
-                    np.arange(w, dtype=np.int64)[None, :]
-                    + np.arange(h, dtype=np.int64)[:, None] * w
-                    + 1
-                )
-                checksum = int(((3 * rr + 5 * g + 7 * b) * pos).sum())
-                luma = int((299 * rr + 587 * g + 114 * b).sum()) / (1000.0 * n)
-                out.append(
-                    {
-                        "media_id": r.media_id,
-                        "width": w,
-                        "height": h,
-                        "n_pixels": n,
-                        "mean_r": int(rr.sum()) / n,
-                        "mean_g": int(g.sum()) / n,
-                        "mean_b": int(b.sum()) / n,
-                        "luma_mean": luma,
-                        "checksum": checksum,
-                    }
-                )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "media_id", "width", "height", "n_pixels",
-                    "mean_r", "mean_g", "mean_b", "luma_mean", "checksum",
-                ],
-            )
+                try:
+                    rec = _decode_one(bytes(r.blob))
+                    if quarantine:
+                        rec["decode_error"] = None
+                except Exception as e:  # noqa: BLE001 — the quarantine contract
+                    if not quarantine:
+                        raise
+                    rec = {c: None for c in cols[1:]}
+                    rec["decode_error"] = f"{type(e).__name__}: {e}"
+                rec["media_id"] = r.media_id
+                out.append(rec)
+            yield pd.DataFrame(out, columns=cols)
 
-    return media.mapInPandas(kernel, schema=BMP_FEATURE_SCHEMA)
+    return media.mapInPandas(kernel, schema=schema)
 
 
 def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

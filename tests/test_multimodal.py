@@ -131,3 +131,34 @@ def test_bmp_decode_is_real_and_orientation_sensitive(spark):
     r2 = decode_bmp_features(pdf).collect()[0]
     assert abs(r2.mean_r - got[mid].mean_r) < 1e-9  # mass preserved
     assert r2.checksum != got[mid].checksum  # position detected
+
+
+def test_decode_quarantine_mode_isolates_corrupt_blobs(spark):
+    """At 100 TB one corrupt object must not kill the job: quarantine mode
+    emits malformed blobs with null features + the error text, leaves good
+    rows bit-identical to strict mode, and strict mode still raises."""
+    import pytest as _pytest
+
+    from kafka_journal_spark.functions.multimodal import (
+        decode_bmp_features,
+        synth_bmp_media,
+    )
+
+    good = synth_bmp_media(spark, SF, n=4)
+    blobs = {r.media_id: bytes(r.blob) for r in good.collect()}
+    rows = [(int(k), "image/bmp", bytearray(v)) for k, v in blobs.items()]
+    rows.append((100, "image/bmp", bytearray(b"JUNKJUNKJUNK")))
+    rows.append((101, "image/bmp", bytearray(blobs[0][:30])))  # truncated header
+    mixed = spark.createDataFrame(rows, "media_id long, mime string, blob binary")
+
+    got = {r.media_id: r for r in decode_bmp_features(mixed, on_error="quarantine").collect()}
+    assert len(got) == 6
+    assert got[100].decode_error and got[100].checksum is None
+    assert got[101].decode_error and got[101].width is None
+    strict = {r.media_id: r for r in decode_bmp_features(good).collect()}
+    for mid in blobs:
+        assert got[mid].decode_error is None
+        assert got[mid].checksum == strict[mid].checksum
+
+    with _pytest.raises(Exception, match="struct.error|ValueError|PythonException"):
+        decode_bmp_features(mixed).collect()  # strict mode fails the job
