@@ -516,7 +516,58 @@ def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_incremental_topk(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K, n_batches: int = 3
+) -> DataFrame:
+    """INCREMENTAL ANN index maintenance: vectors arrive in batches, each
+    appended to a bucket-PARTITIONED parquet index (``partitionBy(bucket)``
+    — new data lands in its bucket directories, existing buckets are never
+    rewritten).  The query probe joins on the partition column, so at scale
+    the scan prunes to the probed bucket directories (broadcast DPP) — a
+    query touches O(bucket) files out of the whole corpus.
+
+    Invariant under test (the ANN ConsistencySpec): querying the
+    incrementally-built index equals the one-shot
+    :func:`ann_bucketed_topk`, graded by the SAME oracle.
+    """
+    import tempfile
+
+    index_dir = tempfile.mkdtemp(prefix="kjs-annidx-") + "/index"
+    emb = _emb(spark, sf_dir).withColumn(
+        "bucket", sign_bucket(F.col("vec")).cast("int")
+    )
+    for b in range(n_batches):
+        (
+            emb.filter(F.pmod(F.col("vec_id"), F.lit(n_batches)) == b)
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(index_dir)
+        )
+    idx = spark.read.parquet(index_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    pairs = idx.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    scored = pairs.select(
+        "q_id",
+        "vec_id",
+        F.round(cosine(F.col("q_vec"), F.col("vec")), 6).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "vec_id", "score", "rk")
+    )
+
+
 SIM_QUERIES = {
+    "e_ann_incremental": ann_incremental_topk,
     "e_cosine_topk": cosine_topk,
     "e_quantize_int8": quantize_int8,
     "e_lsh_buckets": lsh_buckets,
@@ -531,6 +582,9 @@ SIM_QUERIES = {
 
 # the pandas kernel reproduces the exact brute-force result
 SIM_ORACLES["e_cosine_pandas"] = SIM_ORACLES["e_cosine_topk"]
+
+# incremental index build == one-shot bucketed search (same oracle)
+SIM_ORACLES["e_ann_incremental"] = SIM_ORACLES["e_ann_bucketed"]
 
 SIM_ORACLES["e_quantize_int8"] = """
     WITH v AS (

@@ -285,3 +285,13 @@ def test_minhash_signatures_plan(spark):
     # one doc_id-keyed Exchange for the agg plus the repartition of the
     # CPU-dense shingle stage; nothing else
     assert p.count("Exchange") <= 2, p
+
+
+def test_ann_incremental_probe_gets_dynamic_partition_pruning(spark):
+    """The bucket-partitioned ANN index scan must carry a
+    dynamicpruningexpression on the bucket partition column: a query probe
+    reads only the probed bucket directories, not the whole corpus."""
+    from kafka_journal_spark.functions.similarity import ann_incremental_topk
+
+    p = _plan(ann_incremental_topk(spark, SF))
+    assert "dynamicpruningexpression(bucket" in p, p
