@@ -286,9 +286,14 @@ def minhash_lsh_pairs_incremental(
         "_batch", F.pmod(F.col("doc_id"), F.lit(n_batches))
     ).localCheckpoint(eager=True)
     results = []
+    wrote_any = False
     for b in range(n_batches):
         batch = _band_relation(sigs.filter(F.col("_batch") == b).drop("_batch"))
         batch = batch.localCheckpoint(eager=True)
+        if batch.isEmpty():
+            # an empty increment writes nothing — an all-empty-so-far index
+            # dir would otherwise fail schema inference on the probe read
+            continue
         # within-batch pairs
         a, bb = batch.alias("a"), batch.alias("b")
         within = a.join(
@@ -303,7 +308,7 @@ def minhash_lsh_pairs_incremental(
             F.col("b.sig").alias("sig_b"),
         )
         cands = within
-        if b > 0:
+        if wrote_any:
             idx = spark.read.parquet(index_dir)
             probe = batch.alias("n").join(
                 idx.alias("o"),
@@ -325,6 +330,11 @@ def minhash_lsh_pairs_incremental(
         )
         results.append(found.localCheckpoint(eager=True))
         batch.write.mode("append").parquet(index_dir)
+        wrote_any = True
+    if not results:
+        return spark.createDataFrame(
+            [], "doc_a long, doc_b long, est_jaccard double"
+        )
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
