@@ -279,9 +279,11 @@ def minhash_lsh_pairs_incremental(
     is a co-located join; a batch's cost is O(batch x bucket occupancy),
     never O(corpus^2).
     """
+    import shutil
     import tempfile
 
-    index_dir = tempfile.mkdtemp(prefix="kjs-lshidx-") + "/bands"
+    index_root = tempfile.mkdtemp(prefix="kjs-lshidx-")
+    index_dir = index_root + "/bands"
     sigs = minhash_signatures(spark, sf_dir).withColumn(
         "_batch", F.pmod(F.col("doc_id"), F.lit(n_batches))
     ).localCheckpoint(eager=True)
@@ -331,6 +333,10 @@ def minhash_lsh_pairs_incremental(
         results.append(found.localCheckpoint(eager=True))
         batch.write.mode("append").parquet(index_dir)
         wrote_any = True
+    # per-batch results are checkpointed, so nothing downstream reads the
+    # index files — drop them (in production the index is the durable
+    # artifact; here it is scratch per invocation)
+    shutil.rmtree(index_root, ignore_errors=True)
     if not results:
         return spark.createDataFrame(
             [], "doc_a long, doc_b long, est_jaccard double"
@@ -626,19 +632,24 @@ DEDUP_EXTRA_ORACLES: dict[str, str] = {
 # ---------------------------------------------------------------------------
 
 
-#: Packed-lane SimHash accumulator layout: 15 longs × 4 counters × 16 bits.
-#: Per-bit popcounts live in disjoint 16-bit lanes of a long, so ONE sum
-#: aggregates four bit-counters at once (lanes cannot carry into each other
-#: while every per-doc token count stays < 2^16 — enforced, see
-#: ``simhash_signatures``).  s_b = 2*c_b - n, so "weighted sum positive"
-#: ⟺ ``2*c_b > n`` — no ±1 arithmetic needed at all.
-_SIMHASH_LANES = 4
-_SIMHASH_LANE_BITS = 16
-_SIMHASH_PACKS = SIMHASH_BITS // _SIMHASH_LANES  # 15
-#: Per-doc token cap that keeps a 16-bit lane from overflowing.  Real
-#: corpus documents sit orders of magnitude under it; enforcing it in-plan
-#: makes the packing safe rather than probabilistic.
-SIMHASH_MAX_TOKENS = (1 << _SIMHASH_LANE_BITS) - 1
+#: Packed-lane SimHash accumulator layout: 30 longs × 2 counters × 32 bits.
+#: Per-bit popcounts live in disjoint 32-bit lanes of a long, so ONE sum
+#: aggregates two bit-counters at once.  s_b = 2*c_b - n, so "weighted sum
+#: positive" ⟺ ``2*c_b > n`` — no ±1 arithmetic needed at all.
+#:
+#: Why 32-bit lanes (not 16): the per-pack SUM must also stay under 2^63
+#: in Spark's ANSI mode (overflow THROWS, it does not wrap).  Each row
+#: contributes ≤ 2^32 + 1 to a pack, so the sum is safe for any document
+#: under ~2^30 token occurrences — no realistic document is excluded,
+#: where a 16-bit layout had to drop docs above 2^15 to keep the top lane's
+#: sum from overflowing (a silent dedup-recall hole at corpus scale).
+_SIMHASH_LANES = 2
+_SIMHASH_LANE_BITS = 32
+_SIMHASH_PACKS = SIMHASH_BITS // _SIMHASH_LANES  # 30
+#: Per-doc token-occurrence cap that keeps the packed SUM under 2^63 in
+#: ANSI mode.  ~10^9 — beyond any document; the in-plan guard makes the
+#: packing provably safe rather than probabilistic.
+SIMHASH_MAX_TOKENS = (1 << 30) - 1
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -659,10 +670,11 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     and shuffling raw text just to spread a tiny local file would be the
     wrong trade at 100 TB.
 
-    Documents with more than ``SIMHASH_MAX_TOKENS`` token occurrences are
-    excluded in-plan (lane-overflow guard) — the synthetic corpus maxes out
-    3 orders of magnitude below the cap; zero-token docs produce no explode
-    rows, matching the oracle's UNNEST semantics."""
+    Documents with more than ``SIMHASH_MAX_TOKENS`` (~10^9) token
+    occurrences are excluded in-plan (sum-overflow guard — ANSI mode
+    throws on long overflow rather than wrapping); no realistic document
+    approaches it, so the oracle sees every doc.  Zero-token docs produce
+    no explode rows, matching the oracle's UNNEST semantics."""
     docs = _docs(spark, sf_dir).filter(
         F.size(tokens_col()) <= SIMHASH_MAX_TOKENS
     )

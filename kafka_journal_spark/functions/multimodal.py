@@ -199,6 +199,12 @@ def decode_wav_features(media: DataFrame, on_error: str = "raise") -> DataFrame:
             # no overflow for any realistic clip), so the float results
             # are bit-identical to the scalar form.
             samples = np.frombuffer(w.readframes(nf), dtype="<i2")
+            if samples.size != nf:
+                # header promised nf frames; a truncated data chunk must
+                # surface (or quarantine), never silently skew the stats
+                raise ValueError(
+                    f"truncated data chunk: header {nf} frames, got {samples.size}"
+                )
         s64 = samples.astype(np.int64)
         return {
             "sample_rate": rate,

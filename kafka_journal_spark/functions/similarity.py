@@ -517,7 +517,11 @@ def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_incremental_topk(
-    spark: SparkSession, sf_dir: str, k: int = TOP_K, n_batches: int = 3
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    n_batches: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """INCREMENTAL ANN index maintenance: vectors arrive in batches, each
     appended to a bucket-PARTITIONED parquet index (``partitionBy(bucket)``
@@ -530,9 +534,11 @@ def ann_incremental_topk(
     incrementally-built index equals the one-shot
     :func:`ann_bucketed_topk`, graded by the SAME oracle.
     """
+    import shutil
     import tempfile
 
-    index_dir = tempfile.mkdtemp(prefix="kjs-annidx-") + "/index"
+    index_root = tempfile.mkdtemp(prefix="kjs-annidx-")
+    index_dir = index_root + "/index"
     emb = _emb(spark, sf_dir).withColumn(
         "bucket", sign_bucket(F.col("vec")).cast("int")
     )
@@ -559,11 +565,20 @@ def ann_incremental_topk(
         F.round(cosine(F.col("q_vec"), F.col("vec")), 6).alias("score"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id"))
-    return (
+    out = (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("q_id", "vec_id", "score", "rk")
     )
+    if materialize:
+        # materialize (small: k rows per query) so the scratch index can be
+        # deleted — the returned frame must not lazily read removed files.
+        # (In production the index is durable and nothing is deleted;
+        # ``materialize=False`` exposes the lazy plan, which the DPP plan
+        # test inspects.)
+        out = out.localCheckpoint(eager=True)
+        shutil.rmtree(index_root, ignore_errors=True)
+    return out
 
 
 SIM_QUERIES = {

@@ -87,15 +87,29 @@ POINTERS_SCHEMA_DDL = (
 def _repair_dir(final: str) -> None:
     """Restore a table whose last swap crashed between rename-aside and
     promote: the live dir is missing but its ``.bak`` survives.  Bak names
-    embed a monotonic nanosecond timestamp, so ``sorted(...)[-1]`` is
-    deterministically the NEWEST state, never an arbitrary survivor of an
-    older crash.  When the live dir exists, lingering ``.bak`` dirs are
-    garbage from a crashed post-promote cleanup — dropped here so a later
-    mid-swap crash cannot resurrect state from many swaps ago."""
+    embed a monotonic nanosecond timestamp and the tie-break is CONTENT
+    modification time (rename preserves it), so the NEWEST state is
+    restored even if an old-format (uuid-named) bak from a prior version
+    lingers — a lexicographic sort alone would let a hex name outrank a
+    numeric timestamp and resurrect ancient state.  When the live dir
+    exists, lingering ``.bak`` dirs are garbage from a crashed post-promote
+    cleanup — dropped here so a later mid-swap crash cannot resurrect
+    state from many swaps ago."""
     import glob
 
-    baks = sorted(glob.glob(f"{final}.*.bak"))
+    baks = glob.glob(f"{final}.*.bak")
     if not os.path.exists(final) and baks:
+        def _age(p: str) -> tuple:
+            try:
+                mt = max(
+                    (os.path.getmtime(os.path.join(root, f)) for root, _, fs in os.walk(p) for f in fs),
+                    default=os.path.getmtime(p),
+                )
+            except OSError:
+                mt = 0.0
+            return (mt, p)
+
+        baks.sort(key=_age)
         os.replace(baks.pop(), final)
     if os.path.exists(final):
         for b in baks:
@@ -321,6 +335,15 @@ class JournalStore:
         join; the sort by (id, seq_nr) buys min-max row-group skipping
         inside each bucket file."""
         assert self.catalog, "construct the store with catalog=<prefix>"
+        # capture the epoch BEFORE snapshotting: a write landing while the
+        # catalog tables are being built bumps _store_epoch past this token,
+        # so the publication correctly reports stale.  Reading the token
+        # afterwards would stamp the concurrent write over and serve a
+        # catalog that is missing it.
+        tok = self._read_token("_store_epoch")
+        if not tok:
+            self._mark_stale()
+            tok = self._read_token("_store_epoch")
         (
             self.journal()
             .write.mode("overwrite")
@@ -338,10 +361,6 @@ class JournalStore:
             .format("parquet")
             .saveAsTable(f"{self.catalog}_metajournal")
         )
-        tok = self._read_token("_store_epoch")
-        if not tok:
-            self._mark_stale()
-            tok = self._read_token("_store_epoch")
         self._write_token("_catalog_epoch", tok)
 
     def _read_catalog(

@@ -201,3 +201,38 @@ def test_dedup_clusters_star_mode_matches_label_mode(spark):
         for r in dedup_clusters(spark, SF, algorithm="star").collect()
     }
     assert label == star
+
+
+def test_simhash_packed_sum_survives_long_documents(spark, tmp_path):
+    # regression: with 16-bit lanes a ~40k-token doc overflowed the packed
+    # per-pack SUM under ANSI mode (throws, not wraps) — 32-bit lanes must
+    # both compute it and agree with the unpacked scalar definition
+    from kafka_journal_spark.functions.dedup import (
+        SIMHASH_BITS,
+        hash60,
+        simhash_signatures,
+    )
+    from pyspark.sql import functions as F
+
+    text = " ".join(f"tok{i % 97}" for i in range(40000))
+    spark.createDataFrame(
+        [(0, text, "en", "src0", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    (row,) = simhash_signatures(spark, str(tmp_path)).collect()
+
+    # scalar recomputation from per-token hash counts
+    toks = text.split()
+    hashes = {
+        r.t: r.h
+        for r in spark.createDataFrame([(t,) for t in set(toks)], "t string")
+        .select("t", hash60(F.col("t")).alias("h"))
+        .collect()
+    }
+    n = len(toks)
+    want = 0
+    for b in range(SIMHASH_BITS):
+        c = sum(1 for t in toks if (hashes[t] >> b) & 1)
+        if 2 * c > n:
+            want |= 1 << b
+    assert row.simhash == want

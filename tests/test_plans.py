@@ -293,5 +293,5 @@ def test_ann_incremental_probe_gets_dynamic_partition_pruning(spark):
     reads only the probed bucket directories, not the whole corpus."""
     from kafka_journal_spark.functions.similarity import ann_incremental_topk
 
-    p = _plan(ann_incremental_topk(spark, SF))
+    p = _plan(ann_incremental_topk(spark, SF, materialize=False))
     assert "dynamicpruningexpression(bucket" in p, p
