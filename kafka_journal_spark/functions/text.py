@@ -225,6 +225,26 @@ _PII_SQL_TEXT = (
 )
 
 TEXT_ORACLES: dict[str, str] = {
+    "x_udtf_windows": f"""
+        WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+        w AS (
+          SELECT doc_id, len(toks) AS n,
+                 CAST(unnest(range(CAST(ceil(len(toks) / 16.0) AS BIGINT))) AS INTEGER) AS chunk_idx,
+                 toks
+          FROM t WHERE len(toks) > 0
+        )
+        SELECT doc_id, chunk_idx,
+               CAST(LEAST(16, n - chunk_idx * 16) AS INTEGER) AS n_tokens,
+               toks[chunk_idx * 16 + 1] AS first_token
+        FROM w
+    """,
+    "x_udaf_median": """
+        SELECT o_orderstatus,
+               (FLOOR(quantile_cont(o_totalprice, 0.5) * 1000000.0 + 0.5)
+                / 1000000.0) AS median_price,
+               COUNT(*) AS n
+        FROM orders GROUP BY o_orderstatus
+    """,
     "d_sample_sources": """
         SELECT doc_id, source,
                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
@@ -789,7 +809,75 @@ def sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# UDTF + grouped-agg pandas UDAF surface (SURVEY §2.7 last row): the two
+# extension-function classes not otherwise exercised.  Both are DEMO-grade
+# by design — the engine's hot paths stay on JVM expressions (see module
+# docstring) — but the registration, Arrow batching, and result semantics
+# are real and oracle-checked.
+# ---------------------------------------------------------------------------
+
+
+def sentence_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table-function surface): split each document
+    into fixed-width token windows, one OUTPUT ROW per window — the 1:N
+    row fan-out shape only a table function (or explode) can express.
+    Arrow-optimized; the oracle reproduces the windows with UNNEST math."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="chunk_idx int, n_tokens int, first_token string", useArrow=True)
+    class TokenWindows:
+        def eval(self, text: str, width: int):
+            toks = [t for t in (text or "").split() if t]
+            for i in range(0, len(toks), width):
+                win = toks[i : i + width]
+                yield i // width, len(win), win[0]
+
+    spark.udtf.register("token_windows", TokenWindows)
+    docs = _docs(spark, sf_dir)
+    docs.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, w.chunk_idx, w.n_tokens, w.first_token
+        FROM __udtf_docs d, LATERAL token_windows(d.text, 16) w
+        """
+    )
+
+
+def grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDAF: exact per-group median via a numpy
+    kernel (Arrow-batched series in, scalar out) — the custom-UDAF surface.
+    np.median's linear interpolation matches DuckDB ``quantile_cont(0.5)``
+    bit-for-bit on these inputs; the JVM twin of this query is
+    ``q_percentiles``."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: this module uses PEP 563 string
+    # annotations, which pandas_udf's signature inference cannot read
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def median_udaf(v):
+        return float(np.median(v.to_numpy()))
+
+    # a grouped-agg pandas UDF cannot mix with JVM aggregates in one agg
+    # call — the row count rides as a second pandas aggregate
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def count_udaf(v):
+        return len(v)
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    return (
+        ev.groupBy("o_orderstatus")
+        .agg(
+            F.round(median_udaf(F.col("o_totalprice")), 6).alias("median_price"),
+            count_udaf(F.col("o_totalprice")).alias("n"),
+        )
+    )
+
+
 TEXT_QUERIES = {
+    "x_udtf_windows": sentence_udtf_chunks,
+    "x_udaf_median": grouped_agg_median,
     "d_pii_scrub": pii_scrub,
     "d_sample_sources": sample_sources,
     "d_repetition": repetition_metrics,
