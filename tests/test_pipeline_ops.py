@@ -236,3 +236,40 @@ def test_simhash_packed_sum_survives_long_documents(spark, tmp_path):
         if 2 * c > n:
             want |= 1 << b
     assert row.simhash == want
+
+
+def test_cc_property_random_graphs_hypothesis(spark):
+    # hypothesis-driven: both component engines equal union-find on
+    # arbitrary small graphs (duplicate edges, self-loops, isolated chains)
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from kafka_journal_spark.functions.dedup import connected_components
+
+    edges_strategy = st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        min_size=1,
+        max_size=40,
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(edges_strategy)
+    def run(raw):
+        pairs = [(a, b) for a, b in raw if a != b]
+        if not pairs:
+            return
+        edges = _edges_df(spark, pairs)
+        want = _uf_labels(pairs)
+        for algo in ("label", "star"):
+            got = {
+                r.node: r.label
+                for r in connected_components(
+                    edges, algorithm=algo, max_iter=40
+                ).collect()
+            }
+            assert got == want, (algo, sorted(pairs))
+
+    run()
