@@ -79,3 +79,51 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
     assert got[(14, "view")] == 1
     # the 09:00 late event was dropped: its window never appears
     assert (9, "click") not in got
+
+
+def test_dedup_state_survives_checkpointed_restart(spark, tmp_path):
+    """dropDuplicatesWithinWatermark state must persist across a query
+    restart: an event redelivered AFTER the stream stopped and resumed
+    from its checkpoint is still recognized as a duplicate — exactly-once
+    across restarts, not just within one run."""
+    import pandas as pd
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_batch(rows):
+        # file sink (memory sink cannot recover from a checkpoint); the
+        # output dir accumulates across restarts, so assertions are on the
+        # cumulative emitted set
+        spark.createDataFrame(
+            pd.DataFrame(rows), schema=EVENTS_DDL
+        ).write.mode("append").parquet(src)
+        q = (
+            spark.readStream.schema(EVENTS_DDL)
+            .parquet(src)
+            .withWatermark("ts", "2 hours")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.event_id, r.event_type)
+            for r in spark.read.parquet(out).select("event_id", "event_type").collect()
+        }
+
+    first = _rows((10, 0, "view"), (10, 5, "click"))
+    got1 = run_batch(first)
+    assert got1 == {(0, "view"), (1, "click")}
+
+    # restart: redeliver event 1 (same id, within the watermark) plus one
+    # genuinely new event — only the new one may pass the restored state
+    redelivery = [dict(first[1])] + _rows((10, 20, "purchase"))
+    redelivery[-1]["event_id"] = 2
+    got2 = run_batch(redelivery)
+    assert got2 == {(0, "view"), (1, "click"), (2, "purchase")}, got2
