@@ -730,6 +730,59 @@ def simhash_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 20) -> Da
     )
 
 
+SIMHASH_PREFIX_BITS = 12
+
+
+def simhash_multiprobe_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 20
+) -> DataFrame:
+    """Multi-probe SimHash candidates: each doc probes its own
+    ``SIMHASH_PREFIX_BITS``-bit prefix bucket PLUS every Hamming-1 neighbor
+    bucket (one prefix-bit flip) — the recall fix for near-dups whose
+    signatures differ inside the prefix, which single-probe bucketing can
+    never pair (same trade the embedding ANN makes in
+    ``ann_multiprobe_topk``).
+
+    Scale: one side explodes 13 probe rows; the join stays a bucket
+    equi-join (shuffle keyed by bucket), never all-pairs.  Each qualifying
+    pair is produced exactly once: the probing side's probe set contains
+    the other side's bucket exactly once when their prefix distance is
+    0 or 1.
+    """
+    sigs = simhash_signatures(spark, sf_dir).withColumn(
+        "bucket", F.shiftright("simhash", SIMHASH_BITS - SIMHASH_PREFIX_BITS)
+    )
+    probes = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                    for i in range(SIMHASH_PREFIX_BITS)
+                ],
+            )
+        ).alias("probe_bucket"),
+    )
+    b = sigs.alias("b")
+    a = probes.alias("a")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.probe_bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -966,7 +1019,21 @@ DEDUP_ORACLES["d_pipeline_e2e"] = f"""
 # batched index-probe implementation
 DEDUP_ORACLES["d_lsh_incremental"] = DEDUP_ORACLES["d_minhash_lsh"]
 
+# multiprobe simhash: sig CTE identical to d_simhash_sigs, then probe-set
+# containment expressed as "prefix distance <= 1" (xor popcount on the
+# prefix), plus the full-width hamming cap
+DEDUP_ORACLES["d_simhash_multiprobe"] = f"""
+    WITH sigs AS ({DEDUP_ORACLES["d_simhash_sigs"]})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash >> {SIMHASH_BITS - SIMHASH_PREFIX_BITS},
+                        b.simhash >> {SIMHASH_BITS - SIMHASH_PREFIX_BITS})) <= 1
+      AND bit_count(xor(a.simhash, b.simhash)) <= 20
+"""
+
 DEDUP_QUERIES = {
+    "d_simhash_multiprobe": simhash_multiprobe_pairs,
     "d_lsh_incremental": minhash_lsh_pairs_incremental,
     "d_pipeline_e2e": pipeline_e2e,
     "d_decontaminate": decontaminate,
