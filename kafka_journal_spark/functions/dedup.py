@@ -505,7 +505,14 @@ def connected_components(
             f"{max_iter} rounds — raise max_iter (or use algorithm='star' "
             f"for deep-chain graphs)"
         )
-    return labels
+    # contract: EVERY endpoint gets a row, including nodes touched only by
+    # self-loops — star contraction drops self-loop edges up front and
+    # would otherwise silently omit such nodes (label propagation keeps
+    # them); a hypothesis counterexample [(0,2),(1,1)] pinned this
+    nodes = sym.select(F.col("s").alias("node")).distinct()
+    return nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("label", F.col("node")).alias("label")
+    )
 
 
 def dedup_clusters(
@@ -706,11 +713,19 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 20) -> DataFrame:
-    """Near-dup candidates: pairs within the same 12-bit SimHash prefix
-    bucket with Hamming distance <= max_hamming."""
+SIMHASH_PREFIX_BITS = 12
+#: full-width Hamming cap shared by both simhash candidate generators and
+#: the multiprobe oracle — keep them in lockstep
+SIMHASH_MAX_HAMMING = 20
+
+
+def simhash_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING
+) -> DataFrame:
+    """Near-dup candidates: pairs within the same ``SIMHASH_PREFIX_BITS``
+    SimHash prefix bucket with Hamming distance <= max_hamming."""
     sigs = simhash_signatures(spark, sf_dir).withColumn(
-        "bucket", F.shiftright("simhash", SIMHASH_BITS - 12)
+        "bucket", F.shiftright("simhash", SIMHASH_BITS - SIMHASH_PREFIX_BITS)
     )
     a = sigs.alias("a")
     b = sigs.alias("b")
@@ -730,11 +745,10 @@ def simhash_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 20) -> Da
     )
 
 
-SIMHASH_PREFIX_BITS = 12
 
 
 def simhash_multiprobe_pairs(
-    spark: SparkSession, sf_dir: str, max_hamming: int = 20
+    spark: SparkSession, sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING
 ) -> DataFrame:
     """Multi-probe SimHash candidates: each doc probes its own
     ``SIMHASH_PREFIX_BITS``-bit prefix bucket PLUS every Hamming-1 neighbor
@@ -1029,7 +1043,7 @@ DEDUP_ORACLES["d_simhash_multiprobe"] = f"""
     FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash >> {SIMHASH_BITS - SIMHASH_PREFIX_BITS},
                         b.simhash >> {SIMHASH_BITS - SIMHASH_PREFIX_BITS})) <= 1
-      AND bit_count(xor(a.simhash, b.simhash)) <= 20
+      AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
 
 DEDUP_QUERIES = {

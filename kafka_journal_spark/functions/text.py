@@ -238,10 +238,9 @@ TEXT_ORACLES: dict[str, str] = {
                toks[chunk_idx * 16 + 1] AS first_token
         FROM w
     """,
-    "x_udaf_median": """
+    "x_udaf_median": f"""
         SELECT o_orderstatus,
-               (FLOOR(quantile_cont(o_totalprice, 0.5) * 1000000.0 + 0.5)
-                / 1000000.0) AS median_price,
+               {round6_sql("quantile_cont(o_totalprice, 0.5)")} AS median_price,
                COUNT(*) AS n
         FROM orders GROUP BY o_orderstatus
     """,
@@ -823,12 +822,17 @@ def sentence_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     into fixed-width token windows, one OUTPUT ROW per window — the 1:N
     row fan-out shape only a table function (or explode) can express.
     Arrow-optimized; the oracle reproduces the windows with UNNEST math."""
-    from pyspark.sql.functions import lit, udtf
+    import re
+
+    from pyspark.sql.functions import udtf
 
     @udtf(returnType="chunk_idx int, n_tokens int, first_token string", useArrow=True)
     class TokenWindows:
         def eval(self, text: str, width: int):
-            toks = [t for t in (text or "").split() if t]
+            # ASCII \s+ split to match tokens_col's Java-regex semantics
+            # (bare str.split() splits on UNICODE whitespace — U+00A0 etc.
+            # would tokenize differently from every other query)
+            toks = [t for t in re.split(r"\s+", text or "", flags=re.ASCII) if t]
             for i in range(0, len(toks), width):
                 win = toks[i : i + width]
                 yield i // width, len(win), win[0]
@@ -869,9 +873,12 @@ def grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("o_orderstatus")
         .agg(
-            F.round(median_udaf(F.col("o_totalprice")), 6).alias("median_price"),
+            median_udaf(F.col("o_totalprice")).alias("_m"),
             count_udaf(F.col("o_totalprice")).alias("n"),
         )
+        # round6 (not F.round): the repo's quantizer pair whose SQL twin
+        # (round6_sql) is bit-identical across engines
+        .select("o_orderstatus", round6(F.col("_m")).alias("median_price"), "n")
     )
 
 

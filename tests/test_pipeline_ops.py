@@ -240,7 +240,9 @@ def test_simhash_packed_sum_survives_long_documents(spark, tmp_path):
 
 def test_cc_property_random_graphs_hypothesis(spark):
     # hypothesis-driven: both component engines equal union-find on
-    # arbitrary small graphs (duplicate edges, self-loops, isolated chains)
+    # arbitrary small graphs (duplicate edges, reversed duplicates, chains);
+    # self-loops are fed to the ENGINE (which must ignore them) and only
+    # stripped from the union-find oracle
     from hypothesis import HealthCheck, given, settings, strategies as st
 
     from kafka_journal_spark.functions.dedup import connected_components
@@ -261,8 +263,11 @@ def test_cc_property_random_graphs_hypothesis(spark):
         pairs = [(a, b) for a, b in raw if a != b]
         if not pairs:
             return
-        edges = _edges_df(spark, pairs)
+        edges = _edges_df(spark, raw)  # self-loops included: engine's job
         want = _uf_labels(pairs)
+        for a, b in raw:
+            if a == b:  # self-loop-only nodes are singletons
+                want.setdefault(a, a)
         for algo in ("label", "star"):
             got = {
                 r.node: r.label

@@ -86,8 +86,6 @@ def test_dedup_state_survives_checkpointed_restart(spark, tmp_path):
     restart: an event redelivered AFTER the stream stopped and resumed
     from its checkpoint is still recognized as a duplicate — exactly-once
     across restarts, not just within one run."""
-    import pandas as pd
-
     src = str(tmp_path / "src")
     ckpt = str(tmp_path / "ckpt")
     out = str(tmp_path / "out")
@@ -96,9 +94,11 @@ def test_dedup_state_survives_checkpointed_restart(spark, tmp_path):
         # file sink (memory sink cannot recover from a checkpoint); the
         # output dir accumulates across restarts, so assertions are on the
         # cumulative emitted set
-        spark.createDataFrame(
-            pd.DataFrame(rows), schema=EVENTS_DDL
-        ).write.mode("append").parquet(src)
+        # list-of-dicts maps columns BY NAME (a pandas detour would map by
+        # position and silently scramble on dict-order changes)
+        spark.createDataFrame(rows, schema=EVENTS_DDL).write.mode(
+            "append"
+        ).parquet(src)
         q = (
             spark.readStream.schema(EVENTS_DDL)
             .parquet(src)
