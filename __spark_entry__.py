@@ -174,6 +174,52 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         j = materialize_journal(journal_actions(spark, sf_dir))
         return R.read_by_tag_indexed(j, "click")
 
+    def j_store_health(spark, sf_dir):
+        # observability: per-topic visibility accounting — append actions
+        # in the log vs rows a read can see (the gap = purge orphans +
+        # delete-hidden rows, i.e. compaction debt), live key count,
+        # tombstone watermark mass, and the log high-water mark.  At 100 TB
+        # this is the query that sizes compaction and alerts on debt; every
+        # input is an aggregate of relations the engine already maintains.
+        from kafka_journal_spark.operators.replicate import (
+            materialize_journal as _mj,
+            materialize_metajournal as _mm,
+        )
+
+        acts = journal_actions(spark, sf_dir)
+        log = acts.groupBy("topic").agg(
+            F.sum(F.when(F.col("action_type") == "append", 1).otherwise(0)).alias(
+                "n_append_actions"
+            ),
+            F.max("offset").alias("max_log_offset"),
+        )
+        live = _mj(acts).groupBy("topic").agg(F.count(F.lit(1)).alias("n_live"))
+        keys = (
+            _mm(acts)
+            .groupBy("topic")
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum(F.coalesce("delete_to", F.lit(0)))
+                .cast("long")
+                .alias("tombstone_debt"),
+            )
+        )
+        return (
+            log.join(live, "topic", "left")
+            .join(keys, "topic", "left")
+            .select(
+                "topic",
+                "n_append_actions",
+                F.coalesce("n_live", F.lit(0)).alias("n_live"),
+                (
+                    F.col("n_append_actions") - F.coalesce("n_live", F.lit(0))
+                ).alias("n_hidden"),
+                F.coalesce("n_keys", F.lit(0)).alias("n_keys"),
+                F.coalesce("tombstone_debt", F.lit(0)).alias("tombstone_debt"),
+                "max_log_offset",
+            )
+        )
+
     def j_integrity(spark, sf_dir):
         # seq_nr-uniqueness check over a journal with a simulated
         # double-replication (every row duplicated at a shifted offset):
@@ -552,6 +598,7 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_read_by_tag": j_read_by_tag,
         "j_tag_index": j_tag_index,
         "j_read_by_tag_idx": j_read_by_tag_idx,
+        "j_store_health": j_store_health,
         "q_sql_surface": q_sql_surface,
     }
 

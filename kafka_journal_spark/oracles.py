@@ -157,6 +157,25 @@ ORACLES: dict[str, str] = {
                   to_json(tags) AS tags
            FROM __journal WHERE list_contains(tags, 'click')"""
     ),
+    # per-topic visibility accounting (compaction debt, tombstone mass,
+    # log high-water mark) — derived entirely from the shared CTEs
+    "j_store_health": _q(
+        """SELECT a.topic, a.n_append_actions,
+                  COALESCE(l.n_live, 0) AS n_live,
+                  a.n_append_actions - COALESCE(l.n_live, 0) AS n_hidden,
+                  COALESCE(k.n_keys, 0) AS n_keys,
+                  CAST(COALESCE(k.tombstone_debt, 0) AS BIGINT) AS tombstone_debt,
+                  a.max_log_offset
+           FROM (SELECT topic,
+                        SUM(CASE WHEN action_type = 'append' THEN 1 ELSE 0 END) AS n_append_actions,
+                        MAX("offset") AS max_log_offset
+                 FROM __actions GROUP BY topic) a
+           LEFT JOIN (SELECT topic, COUNT(*) AS n_live
+                      FROM __journal GROUP BY topic) l USING (topic)
+           LEFT JOIN (SELECT topic, COUNT(*) AS n_keys,
+                             SUM(COALESCE(delete_to, 0)) AS tombstone_debt
+                      FROM __meta GROUP BY topic) k USING (topic)"""
+    ),
     "j_meta": _q("SELECT * FROM __meta"),
     "j_pointers": f"""
         WITH __a AS ({ACTIONS_SQL})
