@@ -453,6 +453,45 @@ class JournalStore:
         )
         return rows[0].seq_nr if rows else None
 
+    def health(self) -> DataFrame:
+        """Per-topic store observability: physical journal rows vs rows a
+        read can see (the gap = purge orphans + delete-hidden rows —
+        COMPACTION DEBT), live keys, tombstone watermark mass, and the
+        replicated offset.  The numbers that size/schedule ``compact()``
+        and alert on debt at scale; every input is one aggregate over a
+        table the store already maintains."""
+        phys = self.journal().groupBy("topic").agg(
+            F.count(F.lit(1)).alias("n_physical_rows"),
+            F.max("offset").alias("max_journal_offset"),
+        )
+        vis = self.read().groupBy("topic").agg(F.count(F.lit(1)).alias("n_visible"))
+        keys = self.metajournal().groupBy("topic").agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.coalesce("delete_to", F.lit(0))).cast("long").alias(
+                "tombstone_debt"
+            ),
+        )
+        ptr = self.pointers().groupBy("topic").agg(
+            F.max("offset").alias("replicated_offset")
+        )
+        return (
+            phys.join(vis, "topic", "left")
+            .join(keys, "topic", "left")
+            .join(ptr, "topic", "left")
+            .select(
+                "topic",
+                "n_physical_rows",
+                F.coalesce("n_visible", F.lit(0)).alias("n_visible"),
+                (
+                    F.col("n_physical_rows") - F.coalesce("n_visible", F.lit(0))
+                ).alias("compaction_debt"),
+                F.coalesce("n_keys", F.lit(0)).alias("n_keys"),
+                F.coalesce("tombstone_debt", F.lit(0)).alias("tombstone_debt"),
+                "max_journal_offset",
+                "replicated_offset",
+            )
+        )
+
     def compact(self) -> None:
         """Physically drop orphaned and deleted rows (the deferred cleanup
         behind the tombstone design): keep only rows visible to read().

@@ -120,3 +120,39 @@ def test_restart_after_crash_mid_batch_preserves_authority(spark, tmp_path):
     # drops them and the read stays identical
     reopened.compact()
     assert {(r.id, r.seq_nr, r.offset) for r in reopened.read().collect()} == want_rows
+
+
+def test_health_measures_compaction_debt(spark, tmp_path):
+    """health() quantifies the gap between physical journal rows and
+    readable rows (purge orphans + delete-hidden); compact() drives it to
+    zero without changing what a read sees."""
+    from conftest import purge
+
+    store = JournalStore(spark, str(tmp_path / "h"))
+    # two batches: the in-batch collapse keeps same-batch deletes/purges
+    # from ever landing hidden rows, so debt only accrues ACROSS batches
+    replicate_batch(
+        make_actions(
+            spark, [append("a", 1), append("a", 2), append("a", 3), append("b", 1)]
+        ),
+        store,
+    )
+    replicate_batch(
+        make_actions(
+            spark, [delete("a", 2), purge("b"), append("b", 1)], offset_base=10
+        ),
+        store,
+    )
+    before = {r.topic: r for r in store.health().collect()}["journal"]
+    # a1,a2 hidden by the delete watermark; b's first incarnation orphaned
+    assert before.n_visible == 2  # a3 + b1 (second incarnation)
+    assert before.compaction_debt == 3  # a1, a2, orphaned first b1
+    assert before.n_keys == 2
+    assert before.tombstone_debt == 2  # a's delete_to
+
+    visible_before = {(r.id, r.seq_nr) for r in store.read().collect()}
+    store.compact()
+    after = {r.topic: r for r in store.health().collect()}["journal"]
+    assert after.compaction_debt == 0
+    assert after.n_visible == before.n_visible
+    assert {(r.id, r.seq_nr) for r in store.read().collect()} == visible_before
