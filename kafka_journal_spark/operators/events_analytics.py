@@ -162,6 +162,31 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week, counted
+    by weeks-since-cohort of their later activity — the classic product-
+    analytics rollup.
+
+    Plan: one min-aggregate per user (cohort assignment), joined back to the
+    events (AQE broadcasts the per-user table while it is small, shuffles
+    once it is not), then a (cohort_week, week_offset) count with map-side
+    combine.  Weeks are epoch-day / 7 buckets — identical integer math in
+    both engines, no timezone or week-start semantics to diverge on.
+    """
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.floor(F.unix_date(F.to_date("ts")) / 7).alias("_wk")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("_wk").alias("_cohort_wk"))
+    return (
+        ev.join(cohort, "user_id")
+        .groupBy(
+            F.col("_cohort_wk").cast("long").alias("cohort_week"),
+            (F.col("_wk") - F.col("_cohort_wk")).cast("long").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )
+
+
 def j_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT DISTINCT topic (Pointer2Statements.SelectTopics)."""
     from kafka_journal_spark.operators.actions import journal_actions
@@ -170,6 +195,20 @@ def j_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENTS_ORACLES: dict[str, str] = {
+    "q_cohort_retention": """
+        WITH e AS (
+          SELECT user_id,
+                 CAST(FLOOR(datediff('day', DATE '1970-01-01',
+                                     CAST(ts AS DATE)) / 7) AS BIGINT) AS wk
+          FROM events
+        ),
+        c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id)
+        SELECT c.cohort_wk AS cohort_week,
+               CAST(e.wk - c.cohort_wk AS BIGINT) AS week_offset,
+               COUNT(DISTINCT e.user_id) AS n_active_users
+        FROM e JOIN c USING (user_id)
+        GROUP BY 1, 2
+    """,
     "q_distinct": """
         SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
         FROM events GROUP BY event_type
@@ -260,6 +299,7 @@ EVENTS_ORACLES: dict[str, str] = {
 }
 
 EVENTS_QUERIES = {
+    "q_cohort_retention": q_cohort_retention,
     "q_sessionize": q_sessionize,
     "q_funnel": q_funnel,
     "q_distinct": q_distinct,
