@@ -1,5 +1,5 @@
-"""The remaining TPC-H query shapes (q2, q9, q11, q12, q15, q17, q18, q20,
-q21, q22) — completing the 22-query relational surface started in
+"""The remaining TPC-H query shapes (q2, q9, q11, q12, q15, q16, q17, q18,
+q20, q21, q22) — completing the 22-query relational surface started in
 ``operators/analytics.py``.
 
 The synthetic star schema has no ``partsupp`` table and lacks a few TPC-H
@@ -187,6 +187,40 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey", "s_name", F.col("_rev").cast("double").alias("total_revenue")
         )
+    )
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per (brand, type, size)
+    slice, excluding one brand/type family and a supplier blacklist.
+
+    Shape fidelity: partsupp becomes the lineitem bridge (who ever shipped
+    the part); the ``s_comment LIKE '%Complaints%'`` blacklist becomes the
+    negative-balance suppliers — the NOT IN anti-join and the
+    count-distinct-over-groups aggregate keep their exact form.  Plan:
+    part filter broadcasts, blacklist anti-joins, distinct pairs then
+    grouped count with map-side combine.
+    """
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").startswith("ECONOMY"))
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("_bad")
+    )
+    pairs = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_supp), li.l_suppkey == F.col("_bad"), "left_anti")
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count(F.lit(1)).alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+        .limit(100)
     )
 
 
@@ -430,6 +464,23 @@ TPCH_FULL_ORACLES: dict[str, str] = {
         FROM revenue JOIN supplier ON l_suppkey = s_suppkey
         WHERE _rev = (SELECT MAX(_rev) FROM revenue)
     """,
+    "q16": """
+        WITH good AS (
+          SELECT DISTINCT p_brand, p_type, p_size, l_suppkey
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          WHERE p_brand <> 'Brand#5'
+            AND p_type NOT LIKE 'ECONOMY%'
+            AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+            AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                  WHERE s_acctbal < 0)
+        )
+        SELECT p_brand, p_type, p_size, COUNT(*) AS supplier_cnt
+        FROM good
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        LIMIT 100
+    """,
     "q17": f"""
         WITH matched AS (
           SELECT l_partkey, l_quantity, l_extendedprice
@@ -516,6 +567,7 @@ TPCH_FULL_ORACLES: dict[str, str] = {
 
 TPCH_FULL_QUERIES = {
     "q2": q2_min_cost_supplier,
+    "q16": q16_supplier_part_counts,
     "q9": q9_product_profit,
     "q11": q11_important_stock,
     "q12": q12_priority_by_flag,
