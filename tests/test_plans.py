@@ -226,6 +226,10 @@ def test_tpch_full_plans(spark):
     p9 = _plan(T.q9_product_profit(spark, SF))
     assert p9.count("BroadcastHashJoin") >= 3  # part, supplier, nation
 
+    p16 = _plan(T.q16_supplier_part_counts(spark, SF))
+    assert "BroadcastHashJoin" in p16 and "LeftAnti" in p16
+    assert "TakeOrderedAndProject" in p16
+
     p18 = _plan(T.q18_large_volume_customers(spark, SF))
     assert "TakeOrderedAndProject" in p18
 
