@@ -225,6 +225,21 @@ _PII_SQL_TEXT = (
 )
 
 TEXT_ORACLES: dict[str, str] = {
+    "d_token_rarity": f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({TOKS_SQL}) AS token FROM documents
+        ),
+        freq AS (SELECT token, COUNT(*) AS _cf FROM tok GROUP BY token)
+        SELECT doc_id,
+               COUNT(*) AS n_tokens,
+               {round6_sql("quantile_cont(_cf, 0.5)")} AS median_corpus_freq,
+               MIN(_cf) AS min_corpus_freq,
+               SUM(CASE WHEN _cf = 1 THEN 1 ELSE 0 END) AS n_hapax,
+               (SUM(CASE WHEN _cf = 1 THEN 1 ELSE 0 END) * 5 > COUNT(*)
+                OR quantile_cont(_cf, 0.5) < 3) AS noisy
+        FROM tok JOIN freq USING (token)
+        GROUP BY doc_id
+    """,
     "x_udtf_windows": f"""
         WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
         w AS (
@@ -882,7 +897,47 @@ def grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-rarity statistics against the corpus unigram
+    table: median and minimum corpus frequency of the doc's tokens, hapax
+    count (tokens occurring exactly once corpus-wide), and a noise flag —
+    the perplexity-proxy quality family (docs dominated by rare tokens are
+    OCR garbage / mojibake candidates) computed with INTEGER corpus
+    frequencies only, so both engines agree bit-for-bit where a float
+    log-prob would drift in the last ulp.
+
+    Plan: one token explode feeds the corpus frequency aggregate and the
+    join back; the frequency table is token-keyed (shuffle bounded by
+    vocabulary, not corpus) and AQE broadcasts it while small.
+    """
+    par = spark.sparkContext.defaultParallelism
+    tok = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(par, "doc_id")
+        .select("doc_id", F.explode(tokens_col()).alias("token"))
+        .localCheckpoint(eager=True)  # feeds freq agg AND the join back
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("_cf"))
+    return (
+        tok.join(freq, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            round6(F.percentile("_cf", 0.5)).alias("median_corpus_freq"),
+            F.min("_cf").alias("min_corpus_freq"),
+            F.sum(F.when(F.col("_cf") == 1, 1).otherwise(0)).alias("n_hapax"),
+        )
+        .withColumn(
+            "noisy",
+            (F.col("n_hapax") * 5 > F.col("n_tokens"))
+            | (F.col("median_corpus_freq") < 3),
+        )
+    )
+
+
 TEXT_QUERIES = {
+    "d_token_rarity": token_rarity,
     "x_udtf_windows": sentence_udtf_chunks,
     "x_udaf_median": grouped_agg_median,
     "d_pii_scrub": pii_scrub,
