@@ -239,7 +239,7 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         import os
         import tempfile
 
-        from kafka_journal_spark.streaming.head_state import head_info_stream
+        from kafka_journal_spark.streaming.head_state import head_info_stream_auto
 
         acts = journal_actions(spark, sf_dir)
         d = tempfile.mkdtemp(prefix="kjs-headstream-")
@@ -255,7 +255,7 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         stream = spark.readStream.schema(ddl).parquet(f"{d}/src")
         name = "heads_" + os.path.basename(d).replace("-", "_")
         q = (
-            head_info_stream(stream)
+            head_info_stream_auto(stream)
             .writeStream.format("memory")
             .queryName(name)
             .outputMode("update")
@@ -264,6 +264,11 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .start()
         )
         q.awaitTermination()
+        # results live in the memory sink; the parquet source + checkpoint
+        # are scratch — drop them so repeated invocations don't accumulate
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
         return spark.sql(
             f"SELECT topic, id, kind, offset, seq_nr, delete_to FROM {name}"
         )
@@ -285,6 +290,8 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.readStream.schema(ddl).parquet(f"{d}/src"), d
 
     def _run_stream(df, d, name):
+        import shutil
+
         q = (
             df.writeStream.format("memory")
             .queryName(name)
@@ -294,6 +301,8 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .start()
         )
         q.awaitTermination()
+        # memory sink holds the rows; source/checkpoint dirs are scratch
+        shutil.rmtree(d, ignore_errors=True)
 
     def x_window_stream(spark, sf_dir):
         # Structured Streaming watermarked tumbling-window aggregation over
@@ -362,8 +371,14 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_id long, ts timestamp, user_id long, event_type string, "
             "value double"
         )
+        # pin single-batch processing: if the source split the redelivered
+        # files across micro-batches, first occurrences behind an advanced
+        # watermark would be dropped as late and diverge from the DISTINCT
+        # oracle — maxFilesPerTrigger far above the file count guarantees
+        # one batch (asserted below via the progress history)
         stream = (
             spark.readStream.schema(ddl)
+            .option("maxFilesPerTrigger", 1_000_000)
             .parquet(f"{d}/src")
             .withWatermark("ts", "1 hour")
             .dropDuplicatesWithinWatermark(["event_id"])
@@ -378,6 +393,16 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .start()
         )
         q.awaitTermination()
+        n_data_batches = sum(
+            1 for p in q.recentProgress if p["numInputRows"] > 0
+        )
+        assert n_data_batches <= 1, (
+            f"dedup stream split input across {n_data_batches} batches; "
+            "the DISTINCT oracle assumes single-batch delivery"
+        )
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
         return spark.sql(
             f"SELECT event_id, ts, user_id, event_type, value FROM {name}"
         )
@@ -436,6 +461,9 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .start()
         )
         q.awaitTermination()
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
         return spark.sql(
             f"SELECT user_id, view_id, purchase_id, gap_secs FROM {name}"
         )

@@ -289,54 +289,57 @@ def minhash_lsh_pairs_incremental(
     ).localCheckpoint(eager=True)
     results = []
     wrote_any = False
-    for b in range(n_batches):
-        batch = _band_relation(sigs.filter(F.col("_batch") == b).drop("_batch"))
-        batch = batch.localCheckpoint(eager=True)
-        if batch.isEmpty():
-            # an empty increment writes nothing — an all-empty-so-far index
-            # dir would otherwise fail schema inference on the probe read
-            continue
-        # within-batch pairs
-        a, bb = batch.alias("a"), batch.alias("b")
-        within = a.join(
-            bb,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        cands = within
-        if wrote_any:
-            idx = spark.read.parquet(index_dir)
-            probe = batch.alias("n").join(
-                idx.alias("o"),
-                (F.col("n.band") == F.col("o.band"))
-                & (F.col("n.band_hash") == F.col("o.band_hash")),
+    try:
+        for b in range(n_batches):
+            batch = _band_relation(sigs.filter(F.col("_batch") == b).drop("_batch"))
+            batch = batch.localCheckpoint(eager=True)
+            if batch.isEmpty():
+                # an empty increment writes nothing — an all-empty-so-far index
+                # dir would otherwise fail schema inference on the probe read
+                continue
+            # within-batch pairs
+            a, bb = batch.alias("a"), batch.alias("b")
+            within = a.join(
+                bb,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
             ).select(
-                F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_a"),
-                F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_b"),
-                F.when(F.col("n.doc_id") < F.col("o.doc_id"), F.col("n.sig"))
-                .otherwise(F.col("o.sig"))
-                .alias("sig_a"),
-                F.when(F.col("n.doc_id") < F.col("o.doc_id"), F.col("o.sig"))
-                .otherwise(F.col("n.sig"))
-                .alias("sig_b"),
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.sig").alias("sig_a"),
+                F.col("b.sig").alias("sig_b"),
             )
-            cands = cands.unionByName(probe)
-        found = cands.dropDuplicates(["doc_a", "doc_b"]).select(
-            "doc_a", "doc_b", round6(_est_jaccard(F.col("sig_a"), F.col("sig_b"))).alias("est_jaccard")
-        )
-        results.append(found.localCheckpoint(eager=True))
-        batch.write.mode("append").parquet(index_dir)
-        wrote_any = True
-    # per-batch results are checkpointed, so nothing downstream reads the
-    # index files — drop them (in production the index is the durable
-    # artifact; here it is scratch per invocation)
-    shutil.rmtree(index_root, ignore_errors=True)
+            cands = within
+            if wrote_any:
+                idx = spark.read.parquet(index_dir)
+                probe = batch.alias("n").join(
+                    idx.alias("o"),
+                    (F.col("n.band") == F.col("o.band"))
+                    & (F.col("n.band_hash") == F.col("o.band_hash")),
+                ).select(
+                    F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_a"),
+                    F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_b"),
+                    F.when(F.col("n.doc_id") < F.col("o.doc_id"), F.col("n.sig"))
+                    .otherwise(F.col("o.sig"))
+                    .alias("sig_a"),
+                    F.when(F.col("n.doc_id") < F.col("o.doc_id"), F.col("o.sig"))
+                    .otherwise(F.col("n.sig"))
+                    .alias("sig_b"),
+                )
+                cands = cands.unionByName(probe)
+            found = cands.dropDuplicates(["doc_a", "doc_b"]).select(
+                "doc_a", "doc_b", round6(_est_jaccard(F.col("sig_a"), F.col("sig_b"))).alias("est_jaccard")
+            )
+            results.append(found.localCheckpoint(eager=True))
+            batch.write.mode("append").parquet(index_dir)
+            wrote_any = True
+    finally:
+        # per-batch results are checkpointed, so nothing downstream reads
+        # the index files — drop them even when a Spark action throws
+        # mid-build (in production the index is the durable artifact; here
+        # it is scratch per invocation)
+        shutil.rmtree(index_root, ignore_errors=True)
     if not results:
         return spark.createDataFrame(
             [], "doc_a long, doc_b long, est_jaccard double"
@@ -419,7 +422,12 @@ def _cc_star(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int, bool]:
     ``localCheckpoint`` cuts lineage per round.  Convergence is detected by
     an order-independent (count, hash-sum) checksum staying fixed across a
     full large+small cycle — one tiny aggregate per round instead of a
-    set-difference join.  Returns (labels(node, label), rounds, converged).
+    set-difference join — and then CONFIRMED with one exact set-equality
+    join on the round the checksum first repeats, so an xxhash64-sum
+    collision cannot silently return partial labels (the 'never return
+    partial labels' contract is certain, not probabilistic; the exact
+    check runs at most once per call on equal-count inputs).  Returns
+    (labels(node, label), rounds, converged).
     """
     # canonical undirected form: (a, b) with a > b
     edges_c = (
@@ -459,11 +467,15 @@ def _cc_star(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int, bool]:
             .distinct()
             .localCheckpoint(eager=True)
         )
-        edges_c = ss
+        prev_edges, edges_c = edges_c, ss
         cur = _edge_checksum(edges_c)
         if cur == prev:
-            converged = True
-            break
+            # the cheap probe matched — confirm the fixed point exactly:
+            # counts already agree (part of the checksum) and both sides
+            # are distinct, so one empty set-difference proves equality
+            if prev_edges.exceptAll(edges_c).isEmpty():
+                converged = True
+                break
         prev = cur
     # at the fixed point the edge set is a union of stars rooted at each
     # component's min node: label = root for spokes, self for roots
@@ -568,10 +580,18 @@ def dedup_clusters(
 DECON_NGRAM = 5
 
 
-def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def decontaminate(
+    spark: SparkSession, sf_dir: str, benchmark: DataFrame | None = None
+) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
-    ``DECON_NGRAM``-gram with the benchmark/eval set (here the
-    deterministic ``doc_id % 97 == 0`` slice stands in for an eval suite).
+    ``DECON_NGRAM``-gram with the benchmark/eval set.
+
+    ``benchmark`` is an INDEPENDENT DataFrame with (doc_id, text) — a real
+    eval suite plugs in here without touching the corpus scan.  The default
+    (used by the gate oracle) is the deterministic ``doc_id % 97 == 0``
+    corpus slice standing in for an eval suite; both paths run the same
+    plan.  ``is_benchmark`` marks corpus documents that are themselves
+    members of the benchmark (by doc_id).
 
     Plan (the 100 TB shape): the benchmark shingle set is tiny (an eval
     suite, not the corpus) — distinct it and BROADCAST it; the corpus side
@@ -580,31 +600,40 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     viable where the full self-join of near-dup detection is not needed.
     """
     toks = tokens_col()
+    docs = _docs(spark, sf_dir)
+    if benchmark is None:
+        benchmark = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    bench_sh = (
+        benchmark.select(
+            F.explode(shingles_col(toks, DECON_NGRAM)).alias("shingle")
+        ).distinct()
+    )
+    bench_ids = benchmark.select("doc_id").distinct().withColumn(
+        "_isb", F.lit(True)
+    )
     # the shingle expression is CPU-dense per row: spread it before it runs
     # (a single small parquet file = one partition = one core otherwise)
     par = spark.sparkContext.defaultParallelism
     sh = (
-        _docs(spark, sf_dir)
+        docs
         .select("doc_id", "text")
         .repartition(par, "doc_id")
         .select("doc_id", F.explode(shingles_col(toks, DECON_NGRAM)).alias("shingle"))
     )
-    bench = (
-        sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
-    )
     overlap = (
-        sh.join(F.broadcast(bench), "shingle")
+        sh.join(F.broadcast(bench_sh), "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
     return (
-        _docs(spark, sf_dir)
+        docs
         .select("doc_id")
         .join(overlap, "doc_id", "left")
+        .join(F.broadcast(bench_ids), "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
-            (F.col("doc_id") % 97 == 0).alias("is_benchmark"),
+            F.coalesce("_isb", F.lit(False)).alias("is_benchmark"),
             (
                 F.coalesce("n_overlap", F.lit(0)) > 0
             ).alias("contaminated"),

@@ -539,37 +539,42 @@ def ann_incremental_topk(
 
     index_root = tempfile.mkdtemp(prefix="kjs-annidx-")
     index_dir = index_root + "/index"
-    emb = _emb(spark, sf_dir).withColumn(
-        "bucket", sign_bucket(F.col("vec")).cast("int")
-    )
-    for b in range(n_batches):
-        (
-            emb.filter(F.pmod(F.col("vec_id"), F.lit(n_batches)) == b)
-            .write.mode("append")
-            .partitionBy("bucket")
-            .parquet(index_dir)
+    try:
+        emb = _emb(spark, sf_dir).withColumn(
+            "bucket", sign_bucket(F.col("vec")).cast("int")
         )
-    idx = spark.read.parquet(index_dir)
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("vec").alias("q_vec"),
-        F.col("bucket").alias("q_bucket"),
-    )
-    pairs = idx.join(
-        F.broadcast(q),
-        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
-    )
-    scored = pairs.select(
-        "q_id",
-        "vec_id",
-        F.round(cosine(F.col("q_vec"), F.col("vec")), 6).alias("score"),
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id"))
-    out = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("q_id", "vec_id", "score", "rk")
-    )
+        for b in range(n_batches):
+            (
+                emb.filter(F.pmod(F.col("vec_id"), F.lit(n_batches)) == b)
+                .write.mode("append")
+                .partitionBy("bucket")
+                .parquet(index_dir)
+            )
+        idx = spark.read.parquet(index_dir)
+        q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("vec").alias("q_vec"),
+            F.col("bucket").alias("q_bucket"),
+        )
+        pairs = idx.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        scored = pairs.select(
+            "q_id",
+            "vec_id",
+            F.round(cosine(F.col("q_vec"), F.col("vec")), 6).alias("score"),
+        )
+        w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+        out = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("q_id", "vec_id", "score", "rk")
+        )
+    except BaseException:
+        # a Spark action failing mid-build must not leak the scratch index
+        shutil.rmtree(index_root, ignore_errors=True)
+        raise
     if materialize:
         # materialize (small: k rows per query) so the scratch index can be
         # deleted — the returned frame must not lazily read removed files.

@@ -73,6 +73,35 @@ def _fold_group(
     )
 
 
+def tws_available() -> bool:
+    """True when ``transformWithStateInPandas`` can actually run here: its
+    Python worker speaks a protobuf protocol to the JVM state server, so
+    ``google.protobuf`` must import.  Detection, not configuration — the
+    auto selector below makes the Spark-4-native path the default wherever
+    the dependency exists."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def head_info_stream_auto(
+    action_stream: DataFrame, prefer_tws: bool | None = None
+) -> DataFrame:
+    """The default head-state entry point: selects the Spark-4-native
+    ``transformWithStateInPandas`` fold when its runtime dependency is
+    present, else the ``applyInPandasWithState`` fold — both run the same
+    pure ``head_info_step`` and produce identical state/output (pinned by
+    the paired tests in ``test_head_state_and_plans.py``; the TWS side is
+    env-gated on protobuf).  ``prefer_tws`` forces a branch for tests."""
+    use_tws = tws_available() if prefer_tws is None else prefer_tws
+    if use_tws:
+        return head_info_stream_tws(action_stream)
+    return head_info_stream(action_stream)
+
+
 def head_info_stream_tws(action_stream: DataFrame) -> DataFrame:
     """The same HeadInfo stream on Spark 4's ``transformWithStateInPandas``
     — the successor API to applyInPandasWithState, with typed value state

@@ -163,3 +163,45 @@ def test_read_with_plan_end_to_end(spark, tmp_path):
     # purge head -> empty
     out2 = read_with_plan(store, tail, "journal", "a", HeadInfo(kind="purge"))
     assert out2.count() == 0
+
+
+def test_head_info_stream_auto_selects_by_dependency(spark, tmp_path):
+    """head_info_stream_auto picks TWS exactly when google.protobuf is
+    importable (or when forced), and the fallback branch is the tested
+    applyInPandasWithState fold — same output either way."""
+    from kafka_journal_spark.streaming.head_state import (
+        head_info_stream_auto,
+        tws_available,
+    )
+
+    src = tmp_path / "autosrc"
+    make_actions(spark, [append("a", 1), delete("a", 1)]).write.parquet(str(src))
+    stream = spark.readStream.schema(ACTIONS_DDL).parquet(str(src))
+
+    # forced fallback must be plannable and run regardless of environment
+    q = (
+        head_info_stream_auto(stream, prefer_tws=False)
+        .writeStream.format("memory")
+        .queryName("auto_heads")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "auto_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.id: (r.kind, r.seq_nr, r.delete_to)
+        for r in spark.sql("SELECT * FROM auto_heads").collect()
+    }
+    # delete-after-append keeps the Append kind (only the watermark moves)
+    assert got == {"a": ("append", 1, 1)}
+
+    # default selection matches the detected dependency; the TWS branch
+    # must at least BUILD (plan) when the dependency is present
+    if tws_available():
+        df = head_info_stream_auto(stream)
+        assert df.schema.simpleString().startswith("struct<topic:string,id:string")
+    else:
+        # auto == fallback here: building the default must not require protobuf
+        df = head_info_stream_auto(stream)
+        assert df.schema.simpleString().startswith("struct<topic:string,id:string")

@@ -278,3 +278,28 @@ def test_cc_property_random_graphs_hypothesis(spark):
             assert got == want, (algo, sorted(pairs))
 
     run()
+
+
+def test_decontaminate_accepts_independent_benchmark_frame(spark):
+    """A real eval suite plugs in as its own DataFrame: contamination is
+    judged against ITS shingles, and is_benchmark tracks doc_id membership
+    in that frame — independent notions (a benchmark whose ids are foreign
+    to the corpus still contaminates matching texts)."""
+    from kafka_journal_spark.functions.dedup import decontaminate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # benchmark = texts of corpus docs 1 and 2, under FOREIGN ids
+    bench = docs.filter(F.col("doc_id").isin([1, 2])).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "text"
+    )
+    out = decontaminate(spark, SF, benchmark=bench)
+    rows = {r.doc_id: r for r in out.collect()}
+    # docs 1/2 share ALL their shingles with the benchmark -> contaminated
+    assert rows[1].contaminated and rows[2].contaminated
+    assert rows[1].n_overlap > 0
+    # no corpus doc carries a benchmark id -> is_benchmark False everywhere
+    assert not any(r.is_benchmark for r in rows.values())
+    # default path unchanged: %97 slice members are flagged as benchmark
+    dflt = {r.doc_id: r for r in decontaminate(spark, SF).collect()}
+    assert dflt[0].is_benchmark and dflt[0].contaminated
+    assert not dflt[1].is_benchmark
