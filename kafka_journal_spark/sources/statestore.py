@@ -116,6 +116,21 @@ def _repair_dir(final: str) -> None:
             shutil.rmtree(b, ignore_errors=True)
 
 
+def _repair_partition_baks(root: str) -> None:
+    """Per-partition swap recovery: the incremental ``compact()`` swaps
+    individual ``topic=X`` directories with the same rename-aside protocol
+    as whole-table swaps (bak name ``topic=X.<ns>.bak``), so a crash
+    mid-swap is repaired dir-by-dir on the next open.  ``rsplit`` from the
+    right keeps topics containing dots safe."""
+    import glob
+
+    finals = {
+        b.rsplit(".", 2)[0] for b in glob.glob(os.path.join(root, "*=*.*.bak"))
+    }
+    for final in finals:
+        _repair_dir(final)
+
+
 def safe_dir_swap(
     spark: SparkSession,
     final: str,
@@ -223,6 +238,7 @@ class JournalStore:
     def _read(self, name: str, ddl: str) -> DataFrame:
         p = self._path(name)
         _repair_dir(p)
+        _repair_partition_baks(p)
         if os.path.exists(p) and any(
             f.endswith(".parquet") for _, _, fs in os.walk(p) for f in fs
         ):
@@ -453,13 +469,46 @@ class JournalStore:
         )
         return rows[0].seq_nr if rows else None
 
+    def _journal_file_stats(self) -> list[tuple]:
+        """Per-topic (n_files, total_bytes) from a filesystem walk of the
+        journal's ``topic=`` partition directories — O(#files) METADATA,
+        zero data read (the object-store listing a real deployment already
+        pays; at 100 TB this is the cheap signal that schedules
+        compaction, vs. the row-level debt which needs a scan)."""
+        from urllib.parse import unquote
+
+        root = self._path("journal")
+        out = []
+        if os.path.isdir(root):
+            for entry in sorted(os.listdir(root)):
+                if not entry.startswith("topic=") or entry.endswith(
+                    (".bak", ".tmp")
+                ):
+                    continue
+                n, total = 0, 0
+                for r, _, fs in os.walk(os.path.join(root, entry)):
+                    for f in fs:
+                        if f.endswith(".parquet"):
+                            n += 1
+                            total += os.path.getsize(os.path.join(r, f))
+                out.append((unquote(entry[len("topic="):]), n, total))
+        return out
+
     def health(self) -> DataFrame:
         """Per-topic store observability: physical journal rows vs rows a
         read can see (the gap = purge orphans + delete-hidden rows —
-        COMPACTION DEBT), live keys, tombstone watermark mass, and the
-        replicated offset.  The numbers that size/schedule ``compact()``
-        and alert on debt at scale; every input is one aggregate over a
-        table the store already maintains."""
+        COMPACTION DEBT), live keys, tombstone watermark mass, the
+        replicated offset, plus the small-file signal (``n_files`` /
+        ``avg_file_mb`` per topic — a standing replicator appends files
+        every trigger, and the file count is what tells the maintenance
+        job to size-tier-merge long before row debt accumulates).  The
+        numbers that size/schedule ``compact()`` and alert on debt at
+        scale; every input is one aggregate over a table the store
+        already maintains or one filesystem listing."""
+        files = self.spark.createDataFrame(
+            self._journal_file_stats() or [],
+            "topic string, n_files long, total_bytes long",
+        )
         phys = self.journal().groupBy("topic").agg(
             F.count(F.lit(1)).alias("n_physical_rows"),
             F.max("offset").alias("max_journal_offset"),
@@ -478,6 +527,7 @@ class JournalStore:
             phys.join(vis, "topic", "left")
             .join(keys, "topic", "left")
             .join(ptr, "topic", "left")
+            .join(F.broadcast(files), "topic", "left")
             .select(
                 "topic",
                 "n_physical_rows",
@@ -489,19 +539,78 @@ class JournalStore:
                 F.coalesce("tombstone_debt", F.lit(0)).alias("tombstone_debt"),
                 "max_journal_offset",
                 "replicated_offset",
+                F.coalesce("n_files", F.lit(0)).alias("n_files"),
+                F.round(
+                    F.coalesce("total_bytes", F.lit(0))
+                    / F.greatest(F.coalesce("n_files", F.lit(0)), F.lit(1))
+                    / F.lit(1048576.0),
+                    6,
+                ).alias("avg_file_mb"),
             )
         )
 
-    def compact(self) -> None:
+    def compact(
+        self,
+        topics: list[str] | None = None,
+        *,
+        min_debt: int | None = None,
+        min_files: int | None = None,
+    ) -> list[str]:
         """Physically drop orphaned and deleted rows (the deferred cleanup
-        behind the tombstone design): keep only rows visible to read().
+        behind the tombstone design) and merge small files: keep only rows
+        visible to read(), rewriting ONLY the selected topics' partition
+        directories — the incremental shape of the reference's per-key
+        point deletes (``JournalStatements.scala:252-320`` never rewrite
+        the table to delete one journal).
 
-        Output files are bounded by record count and clustered by
-        (topic, id, seq_nr) so post-compaction scans get min-max skipping on
-        both the key and the seq range — the 100 TB layout where one journal
-        read touches a handful of row groups, not the whole topic.
+        Topic selection:
+        - ``topics=[...]``    — compact exactly these topics.
+        - ``min_debt`` / ``min_files`` — consult :meth:`health` and compact
+          topics whose ``compaction_debt >= min_debt`` OR
+          ``n_files >= min_files`` (the health-driven maintenance loop: a
+          scheduler calls ``compact(min_debt=1, min_files=64)`` and the
+          cost is O(topics-with-debt), not O(table)).
+        - no arguments       — all topics (full compaction, the previous
+          behavior; initial materialization / catalog publication point).
+
+        Each selected ``topic=`` directory is swapped with the same
+        rename-aside/bak protocol as whole-table swaps; a crash mid-swap is
+        repaired per-directory on the next open (``_repair_partition_baks``).
+        Unselected topics' directories and files are untouched (pinned by
+        ``test_store_recovery.py``).  Output files are bounded by record
+        count and clustered by (topic, id, seq_nr) so post-compaction scans
+        get min-max skipping on both the key and the seq range — the 100 TB
+        layout where one journal read touches a handful of row groups, not
+        the whole topic.  Returns the topics actually compacted.
         """
-        visible = self.read()
+        import glob
+        import time
+        from urllib.parse import unquote
+
+        final = self._path("journal")
+        _repair_dir(final)
+        _repair_partition_baks(final)
+        # a crashed earlier compaction may have left an orphan staging dir
+        for t in glob.glob(self._path("_journal.*.tmp")):
+            shutil.rmtree(t, ignore_errors=True)
+        if topics is None:
+            if min_debt is None and min_files is None:
+                topics = [
+                    r.topic
+                    for r in self.journal().select("topic").distinct().collect()
+                ]
+            else:
+                topics = [
+                    r.topic
+                    for r in self.health().collect()
+                    if (min_debt is not None and r.compaction_debt >= min_debt)
+                    or (min_files is not None and r.n_files >= min_files)
+                ]
+        topics = sorted(set(topics))
+        if not topics:
+            return []
+        # the isin filter prunes the scan to the selected partition dirs
+        visible = self.read().filter(F.col("topic").isin(topics))
         tmp = self._path(f"_journal.{uuid.uuid4().hex[:8]}.tmp")
         (
             visible.repartitionByRange("topic", "id", "seq_nr")
@@ -511,16 +620,37 @@ class JournalStore:
             .partitionBy("topic")
             .parquet(tmp)
         )
-        import time
-
-        final = self._path("journal")
-        bak = f"{final}.{time.time_ns():020d}.bak"  # matches _repair_dir's glob
-        if os.path.exists(final):
-            os.replace(final, bak)  # rename aside, never rmtree the live dir
-        os.replace(tmp, final)
-        if os.path.exists(bak):
-            shutil.rmtree(bak)
+        # swap per topic directory: names come from Spark's own partition
+        # path escaping on the tmp write; a selected topic with ZERO
+        # visible rows has no tmp dir and its live dir is simply retired
+        fresh_dirs = {
+            os.path.basename(p) for p in glob.glob(os.path.join(tmp, "topic=*"))
+        }
+        live_dirs = {
+            os.path.basename(p)
+            for p in glob.glob(os.path.join(final, "topic=*"))
+            if not p.endswith(".bak")
+        }
+        sel = set(topics)
+        targets = fresh_dirs | {
+            d for d in live_dirs if unquote(d[len("topic="):]) in sel
+        }
+        os.makedirs(final, exist_ok=True)
+        for dname in sorted(targets):
+            live = os.path.join(final, dname)
+            fresh = os.path.join(tmp, dname)
+            bak = f"{live}.{time.time_ns():020d}.bak"
+            if os.path.exists(live):
+                os.replace(live, bak)  # rename aside, never rmtree live
+            if os.path.exists(fresh):
+                os.replace(fresh, live)
+            if os.path.exists(bak):
+                shutil.rmtree(bak)
+        shutil.rmtree(tmp, ignore_errors=True)
         # compaction is the natural publication point for the bucketed
-        # co-located layout — refresh it so read() planning stays catalog-first
+        # co-located layout — refresh it so read() planning stays
+        # catalog-first (the catalog is a SNAPSHOT by contract; stores that
+        # want O(touched) maintenance run without one)
         if self.catalog:
             self.publish_catalog()
+        return topics

@@ -156,3 +156,71 @@ def test_health_measures_compaction_debt(spark, tmp_path):
     assert after.compaction_debt == 0
     assert after.n_visible == before.n_visible
     assert {(r.id, r.seq_nr) for r in store.read().collect()} == visible_before
+
+
+def test_incremental_compact_rewrites_only_debt_topics(spark, tmp_path):
+    """compact() must be partition-scoped: with debt in one of two topics,
+    the health-driven call rewrites ONLY that topic's directories — the
+    other topic's files keep their identity and mtimes (the reference
+    never rewrites the table to delete one journal,
+    JournalStatements.scala:252-320)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "inc")
+    store = JournalStore(spark, root)
+    t1 = make_actions(spark, [append("a", 1), append("a", 2), append("b", 1)])
+    t2 = make_actions(spark, [append("x", 1), append("x", 2)]).withColumn(
+        "topic", F.lit("other")
+    )
+    replicate_batch(t1, store)
+    replicate_batch(t2, store)
+    # debt lands only in topic 'journal' (cross-batch delete hides a1/a2)
+    replicate_batch(make_actions(spark, [delete("a", 2)], offset_base=10), store)
+
+    def files(topic):
+        d = os.path.join(root, "journal", f"topic={topic}")
+        return {
+            (p, os.path.getmtime(p))
+            for p in glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+        }
+
+    before_vis = {(r.topic, r.id, r.seq_nr) for r in store.read().collect()}
+    other_before = files("other")
+    h = {r.topic: r for r in store.health().collect()}
+    assert h["journal"].compaction_debt > 0
+    assert h["other"].compaction_debt == 0
+    # the new small-file observability columns
+    assert h["other"].n_files >= 1 and h["other"].avg_file_mb > 0
+
+    done = store.compact(min_debt=1)
+    assert done == ["journal"]
+    # 'other' untouched: identical file paths AND mtimes
+    assert files("other") == other_before
+    # reads identical, debt cleared
+    assert {(r.topic, r.id, r.seq_nr) for r in store.read().collect()} == before_vis
+    h2 = {r.topic: r for r in store.health().collect()}
+    assert h2["journal"].compaction_debt == 0
+
+    # thresholds nothing exceeds -> no-op; explicit selection still works
+    assert store.compact(min_debt=1, min_files=10_000) == []
+    assert store.compact(topics=["other"]) == ["other"]
+    assert {(r.topic, r.id, r.seq_nr) for r in store.read().collect()} == before_vis
+
+
+def test_partition_bak_repair_restores_crashed_topic_swap(spark, tmp_path):
+    """A crash between rename-aside and promote of ONE topic directory is
+    repaired on the next open, exactly like whole-table swaps."""
+    root = str(tmp_path / "pbak")
+    store = JournalStore(spark, root)
+    replicate_batch(make_actions(spark, [append("a", 1), append("b", 1)]), store)
+    before = {(r.id, r.seq_nr) for r in store.read().collect()}
+    live = os.path.join(root, "journal", "topic=journal")
+    # simulate the crash: live dir renamed aside, promote never happened
+    os.replace(live, f"{live}.00000000000000000042.bak")
+    reopened = JournalStore(spark, root)
+    assert {(r.id, r.seq_nr) for r in reopened.read().collect()} == before
+    assert not any(
+        p.endswith(".bak") for p in os.listdir(os.path.join(root, "journal"))
+    )
