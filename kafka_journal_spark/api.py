@@ -36,7 +36,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_journal_spark.folds import ActionRec, head_info
+from kafka_journal_spark.folds import ActionRec, HeadInfo, head_info
 from kafka_journal_spark.plans.recovery import read_with_plan
 from kafka_journal_spark.sources.statestore import JournalStore
 from kafka_journal_spark.streaming.replicator import replicate_batch
@@ -52,12 +52,40 @@ ACTIONS_LOG_DDL = (
 )
 
 
+#: per-key HeadInfo snapshot row (head_info_batch output)
+HEAD_SNAPSHOT_DDL = (
+    "topic string, id string, kind string, offset long, seq_nr long, delete_to long"
+)
+
+
 class JournalClient:
-    def __init__(self, spark: SparkSession, root: str, origin: str = "client"):
+    """``head_mode`` selects how recovery reads obtain the R2 HeadInfo:
+
+    - ``'fold'`` (default): fold the key's un-replicated tail per call —
+      always correct, O(tail) driver work per read.
+    - ``'snapshot'``: consult the maintained head snapshot
+      (:meth:`refresh_head_snapshot`) — the reference's actual C1
+      consumption path (``Journals.scala:157-170``: recovery asks HeadCache
+      before touching Kafka).  The snapshot carries a validity fingerprint
+      (log end offset + replicated pointers); any append/replicate since
+      the refresh makes it stale and the read silently falls back to the
+      fold, so a stale cache can never mis-plan a read.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        origin: str = "client",
+        head_mode: str = "fold",
+    ):
+        assert head_mode in ("fold", "snapshot"), head_mode
         self.spark = spark
         self.root = root
         self.origin = origin
+        self.head_mode = head_mode
         self.log_path = os.path.join(root, "actions-log")
+        self.head_snapshot_path = os.path.join(root, "head-snapshot")
         self.store = JournalStore(spark, os.path.join(root, "store"))
         os.makedirs(root, exist_ok=True)
 
@@ -93,6 +121,90 @@ class JournalClient:
         ]
         return head_info(recs)
 
+    # -- maintained head snapshot (C1 consumption path) --------------------
+
+    def _unreplicated_tail(self) -> DataFrame:
+        """ALL un-replicated actions (every key), fenced per partition by
+        the replicated pointer — the relation the standing head stream
+        consumes."""
+        ptr = self.store.pointers().select(
+            "topic", "partition", F.col("offset").alias("_ptr_off")
+        )
+        return (
+            self._log()
+            .join(F.broadcast(ptr), ["topic", "partition"], "left")
+            .filter(F.col("offset") > F.coalesce(F.col("_ptr_off"), F.lit(-1)))
+            .drop("_ptr_off")
+        )
+
+    def _log_fingerprint(self) -> str:
+        """Validity token for the head snapshot: the log end offset plus
+        the replicated pointers.  Appends move the former, replication the
+        latter — either invalidates the snapshot."""
+        import hashlib
+        import json
+
+        end = self._log().agg(F.max("offset").alias("m")).collect()[0].m
+        ptrs = sorted(
+            (r.topic, r.partition, r.offset) for r in self.store.pointers().collect()
+        )
+        return hashlib.md5(json.dumps([end, ptrs]).encode()).hexdigest()
+
+    def refresh_head_snapshot(self) -> None:
+        """Materialize the per-key HeadInfo of the un-replicated tail with
+        ONE distributed fold (``head_info_batch`` — the same summary the
+        standing ``head_info_stream`` maintains incrementally), stamped
+        with the current log fingerprint.  After this, ``head_mode=
+        'snapshot'`` reads plan R2 from a point lookup instead of a
+        per-call driver fold — the reference's HeadCache-backed recovery
+        (``Journals.scala:157-170``, ``HeadCache.scala:39-200``)."""
+        from kafka_journal_spark.operators.head import head_info_batch
+        from kafka_journal_spark.sources.statestore import safe_dir_swap
+
+        fp = self._log_fingerprint()
+        heads = head_info_batch(self._unreplicated_tail()).select(
+            "topic", "id", "kind", "offset", "seq_nr", "delete_to"
+        )
+        # size-aware write: range-partitioned by (topic, id) — AQE coalesces
+        # a small tail to a handful of files, a large one spreads out, and
+        # the point lookup prunes on the sort order either way
+        safe_dir_swap(
+            self.spark, self.head_snapshot_path, heads, sort_cols=["topic", "id"]
+        )
+        with open(self.head_snapshot_path + ".token", "w") as f:
+            f.write(fp)
+
+    def _snapshot_head(self, topic: str, key: str) -> Optional[HeadInfo]:
+        """HeadInfo from the maintained snapshot, or None when the snapshot
+        is absent/stale (caller falls back to the fold)."""
+        tok_path = self.head_snapshot_path + ".token"
+        if not (os.path.exists(self.head_snapshot_path) and os.path.exists(tok_path)):
+            return None
+        with open(tok_path) as f:
+            if f.read().strip() != self._log_fingerprint():
+                return None
+        rows = (
+            self.spark.read.schema(HEAD_SNAPSHOT_DDL)
+            .parquet(self.head_snapshot_path)
+            .filter((F.col("topic") == topic) & (F.col("id") == key))
+            .collect()
+        )
+        if not rows:
+            return HeadInfo()  # no un-replicated tail for this key
+        r = rows[0]
+        return HeadInfo(
+            kind=r.kind, offset=r.offset, seq_nr=r.seq_nr or 0, delete_to=r.delete_to
+        )
+
+    def _head(self, topic: str, key: str):
+        """The R2 HeadInfo for one key, via the configured mode (snapshot
+        with silent fold fallback on staleness, or fold directly)."""
+        if self.head_mode == "snapshot":
+            h = self._snapshot_head(topic, key)
+            if h is not None:
+                return h
+        return self._tail_head(topic, key)
+
     @staticmethod
     def _partition(key: str) -> int:
         import hashlib
@@ -108,7 +220,7 @@ class JournalClient:
 
     def pointer(self, topic: str, key: str) -> Optional[int]:
         """Last seq_nr, consulting the un-replicated tail first (R6)."""
-        h = self._tail_head(topic, key)
+        h = self._head(topic, key)
         if h.kind == "append":
             return h.seq_nr
         if h.kind == "purge":
@@ -223,7 +335,7 @@ class JournalClient:
     def read(self, topic: str, key: str, from_seq_nr: int = 1) -> list[tuple[int, str]]:
         """Recovery read: (seq_nr, payload) pairs — replicated prefix
         stitched with the un-replicated tail per the R2 plan."""
-        head = self._tail_head(topic, key)
+        head = self._head(topic, key)
         tail = self._tail(topic, key)
         df = read_with_plan(self.store, tail, topic, key, head, from_seq_nr)
         out = []
