@@ -162,3 +162,76 @@ def test_decode_quarantine_mode_isolates_corrupt_blobs(spark):
 
     with _pytest.raises(Exception, match="struct.error|ValueError|PythonException"):
         decode_bmp_features(mixed).collect()  # strict mode fails the job
+
+
+def test_png_decode_real_filters_and_crc(spark):
+    """The PNG kernel inflates real DEFLATE streams and reverses every
+    filter type (the corpus cycles them per row); features match the pixel
+    closed form computed scalar-side; a flipped bit breaks a chunk CRC and
+    must raise (or quarantine), never silently skew stats."""
+    import zlib
+
+    import pytest
+
+    from kafka_journal_spark.functions.multimodal import (
+        PNG_SIG,
+        _png_dims,
+        _png_pixel,
+        decode_png_features,
+        synth_png_media,
+    )
+
+    media = synth_png_media(spark, SF, n=12)
+    rows = {r.media_id: bytes(r.blob) for r in media.collect()}
+    assert all(b[:8] == PNG_SIG for b in rows.values())
+    # every filter type 0..4 appears in the corpus (heights reach >= 5)
+    assert any(_png_dims(m)[1] >= 5 for m in rows)
+
+    got = {r.media_id: r for r in decode_png_features(media).collect()}
+    for mid in range(12):
+        w, h = _png_dims(mid)
+        px = [_png_pixel(mid, x, y) for y in range(h) for x in range(w)]
+        want_ck = sum(
+            (3 * r + 5 * g + 7 * b) * (i + 1) for i, (r, g, b) in enumerate(px)
+        )
+        r = got[mid]
+        assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
+        assert r.checksum == want_ck
+        assert abs(r.mean_g - sum(p[1] for p in px) / len(px)) < 1e-9
+
+    # flip one byte inside the IDAT payload -> CRC mismatch must surface
+    blob = bytearray(rows[2])
+    idat_at = blob.find(b"IDAT")
+    blob[idat_at + 6] ^= 0xFF
+    bad = spark.createDataFrame(
+        [(2, "image/png", bytes(blob)), (3, "image/png", rows[3])],
+        "media_id long, mime string, blob binary",
+    )
+    with pytest.raises(Exception, match="CRC"):
+        decode_png_features(bad).collect()
+    q = {r.media_id: r for r in decode_png_features(bad, on_error="quarantine").collect()}
+    assert q[2].decode_error and "CRC" in q[2].decode_error
+    assert q[2].checksum is None and q[3].decode_error is None
+
+    # a truncated DEFLATE stream (valid CRC, short data) must also surface:
+    # rebuild the IDAT chunk with a clipped-but-recompressed payload
+    import struct
+
+    w, h = _png_dims(5)
+    src = rows[5]
+    at = src.find(b"IDAT") - 4
+    (ln,) = struct.unpack_from(">I", src, at)
+    full = zlib.decompress(src[at + 8 : at + 8 + ln])
+    clipped = zlib.compress(full[: len(full) - (1 + 3 * w)])  # drop last row
+    chunk = (
+        struct.pack(">I", len(clipped))
+        + b"IDAT"
+        + clipped
+        + struct.pack(">I", zlib.crc32(b"IDAT" + clipped) & 0xFFFFFFFF)
+    )
+    trunc = src[:at] + chunk + src[at + 12 + ln :]
+    bad2 = spark.createDataFrame(
+        [(5, "image/png", trunc)], "media_id long, mime string, blob binary"
+    )
+    q2 = decode_png_features(bad2, on_error="quarantine").collect()[0]
+    assert q2.decode_error and "size" in q2.decode_error
