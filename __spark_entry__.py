@@ -28,7 +28,7 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     from kafka_journal_spark.operators import read as R
     from kafka_journal_spark.operators.actions import journal_actions
-    from kafka_journal_spark.sql_surface import q_sql_surface
+    from kafka_journal_spark.sql_surface import q_read_journal_sql, q_sql_surface
     from kafka_journal_spark.operators.replicate import (
         materialize_journal,
         materialize_metajournal,
@@ -628,6 +628,7 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_read_by_tag_idx": j_read_by_tag_idx,
         "j_store_health": j_store_health,
         "q_sql_surface": q_sql_surface,
+        "q_read_journal_sql": q_read_journal_sql,
     }
 
 

@@ -472,3 +472,6 @@ ORACLES: dict[str, str] = {
            FROM __journal WHERE seq_nr >= 1"""
     ),
 }
+
+# the SQL-TVF read must agree with the DataFrame read path: same oracle
+ORACLES["q_read_journal_sql"] = ORACLES["j_read_from"]

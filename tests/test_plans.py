@@ -299,3 +299,32 @@ def test_ann_incremental_probe_gets_dynamic_partition_pruning(spark):
 
     p = _plan(ann_incremental_topk(spark, SF, materialize=False))
     assert "dynamicpruningexpression(bucket" in p, p
+
+
+def test_read_journal_tvf_plans_like_store_read(spark, tmp_path):
+    """The SQL table function body is inlined, so a call with literal
+    topic/id/from must produce the SAME pruned scan the DataFrame path
+    gets: id equality + seq_nr bound pushed into the parquet scan, topic
+    pruned as a partition directory (the test_store_read assertions)."""
+    from conftest import append, make_actions
+    from kafka_journal_spark.sources.statestore import JournalStore
+    from kafka_journal_spark.sql_surface import register_store_read_tvf
+    from kafka_journal_spark.streaming.replicator import replicate_batch
+
+    store = JournalStore(spark, str(tmp_path / "tvf"))
+    replicate_batch(make_actions(spark, [append("a", 1), append("a", 2)]), store)
+    register_store_read_tvf(spark, store)
+    p = _plan(spark.sql("SELECT * FROM read_journal('journal', 'a', 2)"))
+    assert "GreaterThanOrEqual(seq_nr,2)" in p
+    assert "EqualTo(id,a)" in p
+    assert "PartitionFilters" in p
+    # results agree with the DataFrame path on the same store
+    got = {
+        (r.id, r.seq_nr)
+        for r in spark.sql("SELECT * FROM read_journal('journal', 'a', 2)").collect()
+    }
+    want = {
+        (r.id, r.seq_nr)
+        for r in store.read(topic="journal", key="a", from_seq_nr=2).collect()
+    }
+    assert got == want == {("a", 2)}
