@@ -58,6 +58,9 @@ HEADLINE = [
     "d_decontaminate",
     "m_bmp_decode",
     "d_pipeline_e2e",
+    # round-6 additions (additive: r5-vs-r6 comparisons use the shared prefix)
+    "m_png_decode",
+    "d_span_dedup",
 ]
 
 

@@ -1075,7 +1075,153 @@ DEDUP_ORACLES["d_simhash_multiprobe"] = f"""
       AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
 
+# ---------------------------------------------------------------------------
+# exact duplicate-SPAN detection (substring-level dedup): find maximal runs
+# of tokens that occur verbatim more than once anywhere in the corpus —
+# the repeated-passage removal of Lee et al. 2021 ("Deduplicating Training
+# Data Makes Language Models Better"), whose doc-level cousins (MinHash,
+# SimHash) cannot see a boilerplate paragraph pasted into otherwise-unique
+# documents.
+# ---------------------------------------------------------------------------
+
+#: duplicated-span gram width: a span is reported when >= SPAN_L
+#: consecutive tokens recur verbatim (Lee et al. use 50 BPE tokens at web
+#: scale; the synthetic docs are ~60 tokens, so 8 keeps the signal rich)
+SPAN_L = 8
+
+
+def _pos_grams(toks: Column, n: int) -> Column:
+    """ORDERED token n-grams (element i = gram starting at token i) — the
+    positional, non-distinct sibling of :func:`shingles_col`, same
+    O(n*len) zip_with fold (nulls only pad the tail, so filtering them
+    preserves positions)."""
+    sh = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
+        sh = F.zip_with(
+            sh,
+            shifted,
+            lambda a, b: F.when(
+                a.isNotNull() & b.isNotNull(), F.concat(a, F.lit(" "), b)
+            ),
+        )
+    return F.when(
+        F.size(toks) >= n, F.filter(sh, lambda x: x.isNotNull())
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def duplicate_spans(
+    spark: SparkSession, sf_dir: str, l: int = SPAN_L
+) -> DataFrame:
+    """Maximal duplicated token spans per document: every occurrence of a
+    token run >= ``l`` long that appears verbatim more than once in the
+    corpus (any document, including the same one), merged into maximal
+    [span_start, span_end) intervals.
+
+    Plan (the 100 TB shape):
+    1. one scan -> positional gram explode -> 60-bit gram hash (the
+       shuffle carries longs, never gram strings);
+    2. ONE hash-aggregate counts corpus frequency per gram (map-side
+       partials absorb the heavy hitters);
+    3. positions join the duplicated-gram relation on the hash — a plain
+       count-and-flag, so a gram shared by k documents costs k rows,
+       never the O(k^2) pairing of similarity joins;
+    4. one per-doc window merges overlapping/adjacent gram intervals into
+       maximal spans (gap-island: new island when pos > running max end).
+    Dedup POLICY (which copy to keep) is the caller's: canonical practice
+    keeps the first occurrence by (doc_id, span_start).  The 60-bit hash
+    admits a ~2^-61-per-pair false duplicate; swap in a 128-bit hash for
+    adversarial corpora.
+    """
+    par = spark.sparkContext.defaultParallelism
+    grams = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(par, "doc_id")
+        .select(
+            "doc_id", F.posexplode(_pos_grams(tokens_col(), l)).alias("pos", "gram")
+        )
+        .select("doc_id", "pos", hash60(F.col("gram")).alias("gh"))
+        # feeds BOTH the frequency aggregate and the position join — without
+        # a checkpoint the tokenize+gram+md5 pipeline runs twice
+        .localCheckpoint(eager=True)
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("gh")
+    )
+    hits = grams.join(dup, "gh").select("doc_id", "pos")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(l)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.withColumn(
+        "_new", F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    ).withColumn("_island", F.sum("_new").over(w))
+    return (
+        islands.groupBy("doc_id", "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(l)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start")).cast("long").alias("span_tokens"),
+            "n_dup_grams",
+        )
+    )
+
+
+SPAN_DEDUP_ORACLE = f"""
+    WITH __toks AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, u.i - 1 AS pos,
+             {HASH60_SQL.format(x="u.gram")} AS gh
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) - {SPAN_L} + 2),
+                      i -> {{'i': i,
+                            'gram': array_to_string(toks[i:i+{SPAN_L - 1}], ' ')}})) AS u
+        FROM __toks WHERE len(toks) >= {SPAN_L}
+      )
+    ),
+    dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+    hits AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(MAX(pos + {SPAN_L}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -1) THEN 1 ELSE 0 END AS _new
+      FROM hits
+    ),
+    num AS (
+      SELECT doc_id, pos,
+             SUM(_new) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS _island
+      FROM isl
+    )
+    SELECT doc_id,
+           MIN(pos) AS span_start,
+           CAST(MAX(pos) + {SPAN_L} AS BIGINT) AS span_end,
+           CAST(MAX(pos) + {SPAN_L} - MIN(pos) AS BIGINT) AS span_tokens,
+           COUNT(*) AS n_dup_grams
+    FROM num GROUP BY doc_id, _island
+"""
+
+DEDUP_ORACLES["d_span_dedup"] = SPAN_DEDUP_ORACLE
+
+
 DEDUP_QUERIES = {
+    "d_span_dedup": duplicate_spans,
     "d_simhash_multiprobe": simhash_multiprobe_pairs,
     "d_lsh_incremental": minhash_lsh_pairs_incremental,
     "d_pipeline_e2e": pipeline_e2e,

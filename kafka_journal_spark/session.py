@@ -28,6 +28,19 @@ def get_spark(app_name: str = "kafka-journal-spark", cpus: int | None = None) ->
         # superset of the bucket key (journal ⋈ metajournal on (topic, id)
         # over id-buckets) — the zero-Exchange co-located read path
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        # split small-but-CPU-dense inputs across the cluster: a map-only
+        # operator (e.g. PII scrub — deliberately zero-Exchange) is
+        # otherwise serialized onto ONE core when the whole input is a
+        # single file under maxPartitionBytes (the sf1 bench caught this:
+        # 12.6x at 10x data).  At real scale inputs dwarf maxPartitionBytes
+        # and this floor is a no-op; it only bites exactly when needed.
+        # (Splitting still lands on row-group boundaries — writers must not
+        # produce monolithic row groups; see tools/gen_scale.py.)
+        .config("spark.sql.files.minPartitionNum", str(cpus))
+        # the 4 MB default openCostInBytes floors split size, so a 6 MB
+        # CPU-dense file still lands on 2 cores; 128 KB keeps small-file
+        # packing sane while letting minPartitionNum actually take effect
+        .config("spark.sql.files.openCostInBytes", str(128 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

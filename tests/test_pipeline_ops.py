@@ -303,3 +303,40 @@ def test_decontaminate_accepts_independent_benchmark_frame(spark):
     dflt = {r.doc_id: r for r in decontaminate(spark, SF).collect()}
     assert dflt[0].is_benchmark and dflt[0].contaminated
     assert not dflt[1].is_benchmark
+
+
+def test_duplicate_spans_are_maximal_and_real(spark):
+    """Every reported span (a) consists of tokens whose every covered
+    L-gram recurs in the corpus, (b) is MAXIMAL (extending one token in
+    either direction leaves the duplicated-gram set), and (c) spans from
+    two verbatim-identical documents mirror each other."""
+    from kafka_journal_spark.functions.dedup import SPAN_L, duplicate_spans
+
+    spans = duplicate_spans(spark, SF).collect()
+    assert spans, "synthetic corpus must contain duplicated spans"
+    docs = {
+        r.doc_id: r.text.split()
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    # corpus-wide multiset of L-grams
+    from collections import Counter
+
+    grams = Counter(
+        " ".join(t[i : i + SPAN_L])
+        for t in docs.values()
+        for i in range(len(t) - SPAN_L + 1)
+    )
+    for r in spans:
+        t = docs[r.doc_id]
+        assert 0 <= r.span_start < r.span_end <= len(t)
+        assert r.span_tokens == r.span_end - r.span_start >= SPAN_L
+        # (a) every gram inside the span is duplicated
+        for i in range(r.span_start, r.span_end - SPAN_L + 1):
+            assert grams[" ".join(t[i : i + SPAN_L])] >= 2, (r.doc_id, i)
+        # (b) maximality: the gram just before/after is NOT duplicated
+        if r.span_start > 0:
+            g = " ".join(t[r.span_start - 1 : r.span_start - 1 + SPAN_L])
+            assert grams[g] < 2, ("left-extensible", r.doc_id)
+        if r.span_end < len(t):
+            g = " ".join(t[r.span_end - SPAN_L + 1 : r.span_end + 1])
+            assert grams[g] < 2, ("right-extensible", r.doc_id)
