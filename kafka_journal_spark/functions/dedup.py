@@ -1179,6 +1179,103 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    spark: SparkSession, sf_dir: str, l: int = SPAN_L
+) -> DataFrame:
+    """The removal POLICY over :func:`duplicate_spans` (strict mode: every
+    occurrence of a duplicated span is excised — the conservative policy
+    when a boilerplate passage must not appear even once; Lee et al.'s
+    keep-one variant is this plus a canonical-owner exemption).
+
+    Per document: original/removed token counts and the md5 of the cleaned
+    text — the hash makes the oracle compare entire reconstructed
+    documents in O(1) row width.  Docs with no duplicated spans pass
+    through verbatim (hash of the space-joined token stream, so
+    whitespace normalization is part of the contract).
+
+    Plan: spans explode to covered positions (narrow), tokens left-anti
+    join covered positions per (doc_id, pos), then one per-doc sort_array
+    + concat_ws rebuild — everything after span detection is keyed by
+    doc_id only.
+    """
+    par = spark.sparkContext.defaultParallelism
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(par, "doc_id")
+        .select("doc_id", F.posexplode(tokens_col()).alias("pos", "tok"))
+    )
+    covered = (
+        duplicate_spans(spark, sf_dir, l)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("span_start"), F.col("span_end") - 1)
+            ).alias("pos"),
+        )
+        .select("doc_id", F.col("pos").cast("int").alias("pos"))
+    )
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.tok,
+            ),
+        ).alias("_clean"),
+    )
+    totals = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.md5(F.coalesce("_clean", F.lit(""))).alias("clean_md5"),
+        )
+    )
+
+
+SPAN_CLEAN_ORACLE = f"""
+    WITH spans AS ({{span_oracle}}),
+    __toks AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    tok AS (
+      SELECT doc_id, u.i - 1 AS pos, u.tok
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) + 1),
+                      i -> {{{{'i': i, 'tok': toks[i]}}}})) AS u
+        FROM __toks
+      )
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, unnest(range(span_start, span_end)) AS pos
+      FROM spans
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM tok t LEFT JOIN covered c
+        ON t.doc_id = c.doc_id AND t.pos = c.pos
+      WHERE c.pos IS NULL
+    ),
+    rebuilt AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS _clean
+      FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, len(toks) AS n_tokens FROM __toks)
+    SELECT t.doc_id,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(t.n_tokens - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           md5(COALESCE(r._clean, '')) AS clean_md5
+    FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+"""
+
+
 SPAN_DEDUP_ORACLE = f"""
     WITH __toks AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
     g AS (
@@ -1218,10 +1315,14 @@ SPAN_DEDUP_ORACLE = f"""
 """
 
 DEDUP_ORACLES["d_span_dedup"] = SPAN_DEDUP_ORACLE
+DEDUP_ORACLES["d_span_clean"] = SPAN_CLEAN_ORACLE.format(
+    span_oracle=SPAN_DEDUP_ORACLE
+)
 
 
 DEDUP_QUERIES = {
     "d_span_dedup": duplicate_spans,
+    "d_span_clean": remove_duplicate_spans,
     "d_simhash_multiprobe": simhash_multiprobe_pairs,
     "d_lsh_incremental": minhash_lsh_pairs_incremental,
     "d_pipeline_e2e": pipeline_e2e,

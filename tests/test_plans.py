@@ -328,3 +328,17 @@ def test_read_journal_tvf_plans_like_store_read(spark, tmp_path):
         for r in store.read(topic="journal", key="a", from_seq_nr=2).collect()
     }
     assert got == want == {("a", 2)}
+
+
+def test_duplicate_spans_plan_is_count_and_flag(spark):
+    """Span detection must stay a count-and-flag shape: the duplicated-gram
+    relation joins back as a BROADCAST (it is the filtered minority), and
+    the whole pipeline after the checkpointed gram relation is a bounded
+    number of exchanges (gram-hash aggregate, per-doc window, final island
+    aggregate) — never a gram-keyed pair join."""
+    from kafka_journal_spark.functions.dedup import duplicate_spans
+
+    p = _plan(duplicate_spans(spark, SF))
+    assert p.count("BroadcastHashJoin") >= 1  # dup-gram flag join
+    assert "SortMergeJoin" not in p  # no pairing joins anywhere
+    assert p.count("Exchange") - p.count("BroadcastExchange") <= 3, p
