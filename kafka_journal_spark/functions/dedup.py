@@ -1180,12 +1180,18 @@ def duplicate_spans(
 
 
 def remove_duplicate_spans(
-    spark: SparkSession, sf_dir: str, l: int = SPAN_L
+    spark: SparkSession, sf_dir: str, l: int = SPAN_L, policy: str = "strict"
 ) -> DataFrame:
-    """The removal POLICY over :func:`duplicate_spans` (strict mode: every
-    occurrence of a duplicated span is excised — the conservative policy
-    when a boilerplate passage must not appear even once; Lee et al.'s
-    keep-one variant is this plus a canonical-owner exemption).
+    """The removal POLICY over :func:`duplicate_spans`:
+
+    - ``'strict'``: every occurrence of a duplicated span is excised — the
+      conservative policy when a boilerplate passage must not appear even
+      once.
+    - ``'keep_first'``: Lee et al.'s keep-one variant — each duplicated
+      gram's CANONICAL occurrence (first by (doc_id, pos) corpus-wide) is
+      exempt: a token position is removed iff some duplicated gram covers
+      it and NO canonical gram does, so exactly one contiguous copy of
+      every duplicated passage survives.
 
     Per document: original/removed token counts and the md5 of the cleaned
     text — the hash makes the oracle compare entire reconstructed
@@ -1193,11 +1199,13 @@ def remove_duplicate_spans(
     through verbatim (hash of the space-joined token stream, so
     whitespace normalization is part of the contract).
 
-    Plan: spans explode to covered positions (narrow), tokens left-anti
-    join covered positions per (doc_id, pos), then one per-doc sort_array
-    + concat_ws rebuild — everything after span detection is keyed by
-    doc_id only.
+    Plan: duplicated-gram occurrences explode to covered positions (xL,
+    dup hits only), tokens left-anti join removable positions per
+    (doc_id, pos), then one per-doc sort_array + concat_ws rebuild —
+    everything after span detection is keyed by doc_id only; the
+    keep_first canonical rank is one window over the dup-hit relation.
     """
+    assert policy in ("strict", "keep_first"), policy
     par = spark.sparkContext.defaultParallelism
     toks = (
         _docs(spark, sf_dir)
@@ -1205,16 +1213,57 @@ def remove_duplicate_spans(
         .repartition(par, "doc_id")
         .select("doc_id", F.posexplode(tokens_col()).alias("pos", "tok"))
     )
-    covered = (
-        duplicate_spans(spark, sf_dir, l)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("span_start"), F.col("span_end") - 1)
-            ).alias("pos"),
+    if policy == "strict":
+        covered = (
+            duplicate_spans(spark, sf_dir, l)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.sequence(F.col("span_start"), F.col("span_end") - 1)
+                ).alias("pos"),
+            )
+            .select("doc_id", F.col("pos").cast("int").alias("pos"))
         )
-        .select("doc_id", F.col("pos").cast("int").alias("pos"))
-    )
+    else:
+        from pyspark.sql import Window
+
+        grams = (
+            _docs(spark, sf_dir)
+            .select("doc_id", "text")
+            .repartition(par, "doc_id")
+            .select(
+                "doc_id",
+                F.posexplode(_pos_grams(tokens_col(), l)).alias("pos", "gram"),
+            )
+            .select("doc_id", "pos", hash60(F.col("gram")).alias("gh"))
+            .localCheckpoint(eager=True)
+        )
+        dup = (
+            grams.groupBy("gh")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") >= 2)
+            .select("gh")
+        )
+        hits = grams.join(dup, "gh").withColumn(
+            "_canon",
+            F.row_number().over(
+                Window.partitionBy("gh").orderBy("doc_id", "pos")
+            )
+            == 1,
+        )
+        cover = hits.select(
+            "doc_id",
+            "_canon",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + l - 1)).alias(
+                "pos"
+            ),
+        )
+        covered = (
+            cover.groupBy("doc_id", "pos")
+            .agg(F.max("_canon").alias("_any_canon"))
+            .filter(~F.col("_any_canon"))
+            .select("doc_id", F.col("pos").cast("int").alias("pos"))
+        )
     kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_kept"),
@@ -1255,6 +1304,69 @@ SPAN_CLEAN_ORACLE = f"""
     covered AS (
       SELECT DISTINCT doc_id, unnest(range(span_start, span_end)) AS pos
       FROM spans
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM tok t LEFT JOIN covered c
+        ON t.doc_id = c.doc_id AND t.pos = c.pos
+      WHERE c.pos IS NULL
+    ),
+    rebuilt AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS _clean
+      FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, len(toks) AS n_tokens FROM __toks)
+    SELECT t.doc_id,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(t.n_tokens - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           md5(COALESCE(r._clean, '')) AS clean_md5
+    FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+"""
+
+
+def span_clean_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate wrapper: :func:`remove_duplicate_spans` under the keep-one
+    policy (canonical copy survives)."""
+    return remove_duplicate_spans(spark, sf_dir, policy="keep_first")
+
+
+SPAN_CLEAN_KEEP1_ORACLE = f"""
+    WITH __toks AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, u.i - 1 AS pos,
+             {HASH60_SQL.format(x="u.gram")} AS gh
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) - {SPAN_L} + 2),
+                      i -> {{'i': i,
+                            'gram': array_to_string(toks[i:i+{SPAN_L - 1}], ' ')}})) AS u
+        FROM __toks WHERE len(toks) >= {SPAN_L}
+      )
+    ),
+    dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+    hits AS (
+      SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY gh ORDER BY doc_id, pos) = 1
+               AS _canon
+      FROM g JOIN dup USING (gh)
+    ),
+    cover AS (
+      SELECT doc_id, _canon, unnest(range(pos, pos + {SPAN_L})) AS cpos
+      FROM hits
+    ),
+    covered AS (
+      SELECT doc_id, cpos AS pos
+      FROM cover GROUP BY doc_id, cpos HAVING NOT bool_or(_canon)
+    ),
+    tok AS (
+      SELECT doc_id, u.i - 1 AS pos, u.tok
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) + 1),
+                      i -> {{'i': i, 'tok': toks[i]}})) AS u
+        FROM __toks
+      )
     ),
     kept AS (
       SELECT t.doc_id, t.pos, t.tok
@@ -1318,11 +1430,13 @@ DEDUP_ORACLES["d_span_dedup"] = SPAN_DEDUP_ORACLE
 DEDUP_ORACLES["d_span_clean"] = SPAN_CLEAN_ORACLE.format(
     span_oracle=SPAN_DEDUP_ORACLE
 )
+DEDUP_ORACLES["d_span_clean_keep1"] = SPAN_CLEAN_KEEP1_ORACLE
 
 
 DEDUP_QUERIES = {
     "d_span_dedup": duplicate_spans,
     "d_span_clean": remove_duplicate_spans,
+    "d_span_clean_keep1": span_clean_keep_first,
     "d_simhash_multiprobe": simhash_multiprobe_pairs,
     "d_lsh_incremental": minhash_lsh_pairs_incremental,
     "d_pipeline_e2e": pipeline_e2e,

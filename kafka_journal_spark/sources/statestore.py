@@ -650,7 +650,11 @@ class JournalStore:
         # compaction is the natural publication point for the bucketed
         # co-located layout — refresh it so read() planning stays
         # catalog-first (the catalog is a SNAPSHOT by contract; stores that
-        # want O(touched) maintenance run without one)
-        if self.catalog:
+        # want O(touched) maintenance run without one).  When the catalog
+        # is ALREADY live, skip: compaction never changes visible rows, so
+        # the published snapshot still equals the store and republishing
+        # would be a pure O(table) rewrite for nothing (pinned by
+        # test_store_recovery.py::test_compact_skips_live_catalog_republish).
+        if self.catalog and not self._catalog_live:
             self.publish_catalog()
         return topics

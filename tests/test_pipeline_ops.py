@@ -340,3 +340,74 @@ def test_duplicate_spans_are_maximal_and_real(spark):
         if r.span_end < len(t):
             g = " ".join(t[r.span_end - SPAN_L + 1 : r.span_end + 1])
             assert grams[g] < 2, ("right-extensible", r.doc_id)
+
+
+def test_span_removal_policies(spark):
+    """strict removes every covered position; keep_first preserves exactly
+    one contiguous copy of each duplicated passage (the canonical gram's
+    positions are all kept, so the gram survives as a substring of its
+    canonical document's cleaned text)."""
+    from collections import Counter
+
+    from kafka_journal_spark.functions.dedup import (
+        SPAN_L,
+        remove_duplicate_spans,
+    )
+
+    docs = {
+        r.doc_id: r.text.split()
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    grams = Counter(
+        " ".join(t[i : i + SPAN_L])
+        for t in docs.values()
+        for i in range(len(t) - SPAN_L + 1)
+    )
+    dup_grams = {g for g, c in grams.items() if c >= 2}
+    assert dup_grams
+
+    strict = {r.doc_id: r for r in remove_duplicate_spans(spark, SF).collect()}
+    keep1 = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(spark, SF, policy="keep_first").collect()
+    }
+    # keep_first removes strictly less (some copies survive)
+    assert sum(r.n_removed for r in keep1.values()) < sum(
+        r.n_removed for r in strict.values()
+    )
+    # rebuild keep_first cleaned texts independently (canonical = global
+    # first occurrence by (doc_id, pos) per gram) and match the md5s
+    canon: dict = {}
+    for d in sorted(docs):
+        t = docs[d]
+        for i in range(len(t) - SPAN_L + 1):
+            g = " ".join(t[i : i + SPAN_L])
+            if g in dup_grams and g not in canon:
+                canon[g] = (d, i)
+    import hashlib
+
+    survivors = 0
+    for d in sorted(docs):
+        t = docs[d]
+        removable = [False] * len(t)
+        protected = [False] * len(t)
+        for i in range(len(t) - SPAN_L + 1):
+            g = " ".join(t[i : i + SPAN_L])
+            if g in dup_grams:
+                tgt = protected if canon[g] == (d, i) else removable
+                for p in range(i, i + SPAN_L):
+                    tgt[p] = True
+        kept = [
+            tok
+            for p, tok in enumerate(t)
+            if not (removable[p] and not protected[p])
+        ]
+        want_md5 = hashlib.md5(" ".join(kept).encode()).hexdigest()
+        assert keep1[d].clean_md5 == want_md5, d
+        # every canonical gram survives contiguously in its document
+        clean_text = " ".join(kept)
+        for g, (cd, _i) in canon.items():
+            if cd == d:
+                assert g in clean_text
+                survivors += 1
+    assert survivors == len(dup_grams)

@@ -224,3 +224,35 @@ def test_partition_bak_repair_restores_crashed_topic_swap(spark, tmp_path):
     assert not any(
         p.endswith(".bak") for p in os.listdir(os.path.join(root, "journal"))
     )
+
+
+def test_compact_skips_live_catalog_republish(spark, tmp_path):
+    """Compaction never changes visible rows, so a LIVE catalog snapshot
+    stays valid across it — compact() must not rewrite the catalog tables
+    (file identity check), while a stale catalog still gets republished."""
+    import glob
+
+    store = JournalStore(
+        spark, str(tmp_path / "cat2"), catalog="t_skip_cat", buckets=4
+    )
+    try:
+        replicate_batch(
+            make_actions(spark, [append("a", 1), append("a", 2), delete("a", 1)]),
+            store,
+        )
+        store.compact()  # stale -> publishes
+        assert store._catalog_live
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        cat_files = lambda: {  # noqa: E731
+            (p, os.path.getmtime(p))
+            for p in glob.glob(os.path.join(wh, "t_skip_cat_*", "**", "*"), recursive=True)
+        }
+        before = cat_files()
+        want = {(r.id, r.seq_nr) for r in store.read().collect()}
+        store.compact()  # live -> must NOT republish
+        assert store._catalog_live
+        assert cat_files() == before
+        assert {(r.id, r.seq_nr) for r in store.read().collect()} == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_skip_cat_journal")
+        spark.sql("DROP TABLE IF EXISTS t_skip_cat_metajournal")
