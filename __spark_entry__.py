@@ -642,7 +642,9 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: coarser projection), q3/q10/q14 ⊂ the kept join+agg gates,
 #: q_cube ⊂ q_rollup, q_distinct ⊂ q_setops (set ops are distinct-based),
 #: d_minhash_sigs ⊂ d_minhash_lsh (the LSH oracle recomputes the
-#: signatures), e_lsh_buckets/e_ann_bucketed ⊂ e_ann_multiprobe,
+#: signatures), d_tokens ⊂ d_tokens_bpe + d_quality (both compute token
+#: statistics over the same tokenizer family; swapped out in round 6 for
+#: the new substring-dedup gate d_span_dedup), e_lsh_buckets/e_ann_bucketed ⊂ e_ann_multiprobe,
 #: e_cosine_pandas ⊂ e_cosine_topk (identical result, Arrow kernel path
 #: gate-covered by m_wav_decode), e_label_stats ⊂ e_centroids,
 #: x_expiry_candidates ⊂ x_meta_expiry,
@@ -680,7 +682,6 @@ GATE_ORDER = [
     "q_funnel",
     "x_window_tumbling",
     # training-data text ops
-    "d_tokens",
     "d_tokens_bpe",
     "d_quality",
     "d_lang_id",
@@ -690,6 +691,7 @@ GATE_ORDER = [
     # training-data packing
     "d_pack_chunks",
     # dedup family
+    "d_span_dedup",
     "d_dedup_exact",
     "d_ngram_jaccard",
     "d_minhash_lsh",

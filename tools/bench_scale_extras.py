@@ -1,0 +1,76 @@
+"""One-shot scale probe for NON-headline operators: run each listed query
+once (cold) at the given sf dir and print one JSON line.  The headline
+bench (`bench.py`) covers the steady-state medians; this tool exists to
+catch scaling cliffs in the heavier ops the headline set leaves out
+(pairwise candidate generation, streaming state, replication, policy
+removal) at the sf1 scale point.
+
+Usage: python tools/bench_scale_extras.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+#: heavier-representative extras: candidate-pair generation, clustering
+#: policies, incremental indexes, streaming state, store replication
+DEFAULT_EXTRAS = [
+    "d_ngram_jaccard",
+    "d_span_clean",
+    "d_span_clean_keep1",
+    "d_lsh_incremental",
+    "d_simhash_multiprobe",
+    "d_embedding_neardup",
+    "e_ann_multiprobe",
+    "e_ivf_topk",
+    "e_ann_incremental",
+    "d_bm25_topk",
+    "d_token_rarity",
+    "j_stream_replicate",
+    "x_head_stream",
+    "x_dedup_stream",
+    "x_window_stream",
+    "q_sessionize",
+    "q_funnel",
+]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf1"
+    names = sys.argv[2:] or DEFAULT_EXTRAS
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    import __spark_entry__ as E
+    from kafka_journal_spark.session import get_spark
+
+    spark = get_spark("bench-scale-extras", cpus=cpus)
+    qs = {**E.queries(), **E.extra_queries()}
+    timings = {}
+    for name in names:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "scale_extras_single_pass",
+                "unit": "sec",
+                "sf_dir": sf_dir,
+                "queries": timings,
+                "value": round(sum(timings.values()), 4),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
