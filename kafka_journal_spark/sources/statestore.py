@@ -10,13 +10,17 @@ Layout (mirrors SURVEY.md §1.3, designed for 100 TB):
   ``EventualCassandra.scala:132-168``) and a compaction pass physically drops
   later.  No in-place mutation of bulk data, ever — at scale, deletes are
   metadata operations (tombstones in metajournal), not rewrites.
-- ``metajournal/`` — per-key heads (O(#keys)), physically partitioned by
-  ``segment`` (the Java-hashCode-compatible bucket, ``SegmentNr.scala:
-  146-150``).  Writes are INCREMENTAL: a micro-batch rewrites only the
-  segment partitions its keys hash into (dynamic partition overwrite) —
-  the Spark shape of the reference's point upserts
-  (``MetaJournalStatements.scala:315-634``).  At 10^9 keys a 1-key batch
-  touches 1 of 10,000 partitions, not the whole table.
+- ``metajournal/`` — per-key heads (O(#keys)).  The LOGICAL bucket stays
+  the Java-hashCode-compatible ``segment`` (``SegmentNr.scala:146-150``);
+  the PHYSICAL partition is ``seg_band = segment % meta_bands`` (default
+  256) because parquet directories, unlike Cassandra partition keys, cost
+  a filesystem op each — a wide batch fanning into ~10k segment dirs
+  measured 51 s of pure directory churn at sf1.  Writes are INCREMENTAL:
+  a micro-batch rewrites only the band partitions its keys hash into
+  (dynamic partition overwrite) — the Spark shape of the reference's
+  point upserts (``MetaJournalStatements.scala:315-634``) at band
+  granularity; raise ``meta_bands`` toward the segment count for
+  huge-key-count, small-batch deployments.
 - ``pointers/``    — per-(topic,partition) replicated offsets, partitioned
   by ``topic``, ditto (a batch rewrites only its topics' partitions).
 
@@ -194,12 +198,29 @@ class JournalStore:
         root: str,
         catalog: str | None = None,
         buckets: int = 16,
+        meta_bands: int = 256,
     ):
+        """``meta_bands`` sets the metajournal's PHYSICAL directory count:
+        the head table is partitioned by ``seg_band = segment % meta_bands``
+        while ``segment`` stays a logical data column (the reference's
+        10,000 SegmentNr buckets are Cassandra partition KEYS — free; as
+        parquet DIRECTORIES they cost a filesystem op each, and an sf1
+        measurement showed a wide batch touching ~7k of 10k segment dirs
+        spending 51 s on directory/file churn alone).  The trade-off knob:
+        few bands make wide batches cheap (<= meta_bands dirs per trigger)
+        but a 1-key batch rewrites 1/meta_bands of the keys' rows; at 10^9
+        keys raise meta_bands toward the segment count.  256 keeps a 1-key
+        batch's rewrite small while capping wide-batch fan-out 40x below
+        the segment count."""
         self.spark = spark
         self.root = root
         self.catalog = catalog
         self.buckets = buckets
+        self.meta_bands = meta_bands
         os.makedirs(root, exist_ok=True)
+
+    def _seg_band(self):
+        return F.pmod(F.col("segment"), F.lit(self.meta_bands))
 
     def _path(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -248,8 +269,12 @@ class JournalStore:
     def journal(self) -> DataFrame:
         return self._read("journal", JOURNAL_SCHEMA_DDL)
 
+    def _metajournal_phys(self) -> DataFrame:
+        """Head table WITH its physical band partition column."""
+        return self._read("metajournal", META_SCHEMA_DDL + ", seg_band long")
+
     def metajournal(self) -> DataFrame:
-        return self._read("metajournal", META_SCHEMA_DDL)
+        return self._metajournal_phys().drop("seg_band")
 
     def pointers(self) -> DataFrame:
         return self._read("pointers", POINTERS_SCHEMA_DDL)
@@ -264,14 +289,14 @@ class JournalStore:
 
     def swap_metajournal(self, df: DataFrame) -> None:
         """Full head-table rewrite (initial materialization / compaction) —
-        same segment-partitioned layout as the incremental path."""
+        same band-partitioned layout as the incremental path."""
         self._mark_stale()
         safe_dir_swap(
             self.spark,
             self._path("metajournal"),
-            df,
-            sort_cols=["segment", "topic", "id"],
-            partition_by=["segment"],
+            df.withColumn("seg_band", self._seg_band()),
+            sort_cols=["seg_band", "segment", "topic", "id"],
+            partition_by=["seg_band"],
         )
 
     def swap_pointers(self, df: DataFrame) -> None:
@@ -285,46 +310,71 @@ class JournalStore:
 
     # -- incremental head-table writes (the 100 TB path) -------------------
 
+    def _bands_of(self, segments: list[int]) -> list[int]:
+        return sorted({int(s) % self.meta_bands for s in segments})
+
     def metajournal_segments(self, segments: list[int]) -> DataFrame:
-        """Head rows of the given segments only — the ``segment.isin``
-        filter prunes to those partition directories (check the scan's
-        PartitionFilters), so a batch's merge reads O(touched), never
-        O(#keys)."""
-        return self.metajournal().filter(
-            F.col("segment").isin([int(s) for s in segments])
+        """Head rows of the given segments only — the band filter prunes
+        the scan to those partition directories (check the scan's
+        PartitionFilters) and the ``segment.isin`` narrows within them, so
+        a batch's merge reads O(touched bands), never O(#keys)."""
+        return (
+            self._metajournal_phys()
+            .filter(F.col("seg_band").isin(self._bands_of(segments)))
+            .filter(F.col("segment").isin([int(s) for s in segments]))
+            .drop("seg_band")
+        )
+
+    def metajournal_bands(self, segments: list[int]) -> DataFrame:
+        """ALL head rows of the bands the given segments hash into — the
+        unit an incremental upsert must carry complete (a band directory
+        is rewritten whole)."""
+        return (
+            self._metajournal_phys()
+            .filter(F.col("seg_band").isin(self._bands_of(segments)))
+            .drop("seg_band")
         )
 
     def upsert_metajournal(self, df: DataFrame, touched_segments: list[int]) -> None:
         """Incremental metajournal write: dynamic partition overwrite of
-        ONLY the segment partitions in ``df`` — the Spark shape of the
-        reference's per-key point upserts (``MetaJournalStatements.scala:
-        315-634``).  A micro-batch touching k keys rewrites at most k (of
-        10,000) partitions regardless of total key count.
+        ONLY the band partitions the touched segments hash into — the
+        Spark shape of the reference's per-key point upserts
+        (``MetaJournalStatements.scala:315-634``) at directory granularity
+        ``meta_bands``.  A micro-batch touching k keys rewrites at most
+        min(k, meta_bands) directories regardless of total key count, and
+        a WIDE batch (bulk load, backfill) is capped at ``meta_bands``
+        directories — the sf1 measurement that motivated banding: 15k keys
+        over 10k segment dirs cost 51 s of pure directory churn; over 256
+        band dirs the same write is a few seconds.
 
-        ``df`` must contain the COMPLETE new state of every touched segment
-        (batch keys merged with the segment's untouched keys).  A touched
-        segment left with zero live rows (its last head purged) cannot be
-        expressed by dynamic overwrite, so its directory is dropped
-        explicitly.  Crash mid-write affects only touched segments, which
-        the offset guard replays on restart; the metajournal is derived
-        state, re-materializable from the journal in the worst case.
+        ``df`` must contain the COMPLETE new state of every touched BAND
+        (batch keys merged with ALL rows of the bands they hash into —
+        ``metajournal_bands`` is the matching read).  A touched band left
+        with zero live rows cannot be expressed by dynamic overwrite, so
+        its directory is dropped explicitly.  Crash mid-write affects only
+        touched bands, which the offset guard replays on restart; the
+        metajournal is derived state, re-materializable from the journal
+        in the worst case.
         """
         path = self._path("metajournal")
         _repair_dir(path)
         self._mark_stale()
+        w = df.withColumn("seg_band", self._seg_band())
         (
-            df.repartitionByRange("segment", "topic", "id")
+            w.repartitionByRange("seg_band", "segment", "topic", "id")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .option("maxRecordsPerFile", 4_000_000)
-            .partitionBy("segment")
+            .partitionBy("seg_band")
             .parquet(path)
         )
-        remaining = {r.segment for r in df.select("segment").distinct().collect()}
-        for seg in set(int(s) for s in touched_segments) - remaining:
-            seg_dir = os.path.join(path, f"segment={seg}")
-            if os.path.exists(seg_dir):
-                shutil.rmtree(seg_dir)
+        remaining = {
+            r.seg_band for r in w.select("seg_band").distinct().collect()
+        }
+        for band in set(self._bands_of(touched_segments)) - remaining:
+            band_dir = os.path.join(path, f"seg_band={band}")
+            if os.path.exists(band_dir):
+                shutil.rmtree(band_dir)
 
     def upsert_pointers(self, df: DataFrame, touched_topics: list[str]) -> None:
         """Incremental pointers write: dynamic overwrite of the batch's

@@ -26,9 +26,11 @@ Per micro-batch (replicate_batch), against the JournalStore:
    repaired by the offset guard (replay skips) and the read-side dedup.
 
 Scale notes: the only bulk shuffle is the per-key fold (hash on
-(topic,id)).  The head-table merge reads and rewrites O(batch keys)
-segment partitions per trigger, NOT O(#keys) — a 1-key batch against a
-10^9-key metajournal touches 1 of 10,000 partitions.  At 1000 executors
+(topic,id)).  The head-table merge reads and rewrites O(touched band)
+partitions per trigger, NOT O(#keys) — a 1-key batch against the
+metajournal touches 1 of ``meta_bands`` directories (and a WIDE backfill
+batch is capped at ``meta_bands`` directories, the fix for the sf1
+wide-batch directory-churn cliff; see statestore.py).  At 1000 executors
 run one query per topic (or subscribePattern); Spark's checkpoint replaces
 the reference's pointer-commit loop, and cluster scheduling replaces
 DistributeJob (P9).
@@ -117,7 +119,10 @@ def replicate_batch(batch: DataFrame, store: JournalStore) -> None:
     touched_segments = sorted(
         r._seg for r in summ.select("_seg").distinct().collect()
     )
-    old_meta = store.metajournal_segments(touched_segments)
+    # band-complete read: the upsert rewrites whole band directories, so
+    # the merge must carry the touched bands' neighbor keys through (they
+    # pass the full-outer formulas as identity — batch side all-null)
+    old_meta = store.metajournal_bands(touched_segments)
     old = old_meta.select(
         "topic",
         "id",

@@ -77,10 +77,11 @@ def test_recovery_merge_has_no_tail_broadcast_hint(spark):
 
 def test_incremental_upsert_touches_only_batch_segments(spark, tmp_path):
     """The 100 TB head-table write path: a 1-key micro-batch must rewrite
-    ONLY the segment partition its key hashes into (dynamic partition
-    overwrite — the Spark shape of the reference's point upserts,
-    MetaJournalStatements.scala:315-634), never the whole table; and the
-    merge's read of existing heads must partition-prune to those segments.
+    ONLY the band partition its key's segment hashes into (dynamic
+    partition overwrite — the Spark shape of the reference's point
+    upserts, MetaJournalStatements.scala:315-634, at ``meta_bands``
+    directory granularity), never the whole table; and the merge's read
+    of existing heads must partition-prune to those bands.
     """
     import os
 
@@ -102,13 +103,13 @@ def test_incremental_upsert_touches_only_batch_segments(spark, tmp_path):
     def snapshot(path):
         out = {}
         for d in os.listdir(path):
-            if d.startswith("segment="):
+            if d.startswith("seg_band="):
                 full = os.path.join(path, d)
                 out[d] = sorted(os.listdir(full))
         return out
 
     before = snapshot(meta_path)
-    assert len(before) > 5  # 40 keys spread over many segment partitions
+    assert len(before) > 5  # 40 keys spread over many band partitions
 
     # 1-key follow-up batch (fresh offsets so the pointer guard admits it)
     replicate_batch(
@@ -122,17 +123,17 @@ def test_incremental_upsert_touches_only_batch_segments(spark, tmp_path):
         .collect()[0]
         .s
     )
-    touched = f"segment={seg}"
+    touched = f"seg_band={seg % store.meta_bands}"
     assert after[touched] != before[touched]
     untouched_changed = [
         d for d in before if d != touched and after.get(d) != before[d]
     ]
     assert untouched_changed == [], untouched_changed
 
-    # the merge's head read partition-prunes to the touched segments
+    # the merge's head read partition-prunes to the touched bands
     pruned = store.metajournal_segments([seg])
     physical = pruned._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in physical and "segment" in physical, physical
+    assert "PartitionFilters" in physical and "seg_band" in physical, physical
 
     # and the store still reads back the correct per-key state
     got = {

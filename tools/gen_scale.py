@@ -128,9 +128,20 @@ def generate(src: str, dst: str, factor: int = 10) -> None:
     )
 
     vk = _mx(con, src_p("embeddings"), "vec_id") + 1
+    # deterministic per-replica perturbation: verbatim embedding copies
+    # would give every vector 9 exact twins (cosine 1.0) and inflate
+    # near-dup candidate pairs quadratically — same reasoning as the
+    # document token suffixes (replica 0 untouched)
     copy(
         "embeddings",
-        f"""SELECT vec_id + i * {vk} AS vec_id, embedding, label
+        f"""SELECT vec_id + i * {vk} AS vec_id,
+                   CASE WHEN i = 0 THEN embedding ELSE
+                     list_transform(list_zip(embedding,
+                                             range(1, len(embedding) + 1)),
+                       z -> CAST(z[1] + 0.008 * i *
+                                 (((vec_id + z[2]) % 7) - 3) AS FLOAT))
+                   END AS embedding,
+                   label
             FROM '{src_p("embeddings")}', {rep}""",
     )
     con.close()
