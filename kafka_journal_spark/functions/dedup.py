@@ -1111,7 +1111,10 @@ def _pos_grams(toks: Column, n: int) -> Column:
 
 
 def duplicate_spans(
-    spark: SparkSession, sf_dir: str, l: int = SPAN_L
+    spark: SparkSession,
+    sf_dir: str,
+    l: int = SPAN_L,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal duplicated token spans per document: every occurrence of a
     token run >= ``l`` long that appears verbatim more than once in the
@@ -1135,7 +1138,7 @@ def duplicate_spans(
     """
     par = spark.sparkContext.defaultParallelism
     grams = (
-        _docs(spark, sf_dir)
+        (_docs(spark, sf_dir) if docs is None else docs)
         .select("doc_id", "text")
         .repartition(par, "doc_id")
         .select(

@@ -63,6 +63,32 @@ def sign_bucket(vec: Column, dims: int = BUCKET_DIMS) -> Column:
     return out
 
 
+def adaptive_bucket_dims(emb: DataFrame, target_occupancy: int = 32) -> int:
+    """Sign-bucket width that SCALES WITH THE CORPUS: enough bits that the
+    expected bucket occupancy stays ~``target_occupancy``, floored at
+    ``BUCKET_DIMS`` (so every oracle-graded corpus — <= 2k vectors — keeps
+    the 6-bit layout and bit-identical results) and capped by both 20 bits
+    and the vector dimensionality.
+
+    Why: candidate generation in every sign-bucket op is
+    O(N * probes * occupancy); with a FIXED bucket count occupancy grows
+    linearly in N and the pair work quadratically — the sf1 probe measured
+    embedding near-dup at 100x the sf0.1 cost for 10x the vectors.
+    Adaptive width keeps occupancy (and per-query candidate count) flat,
+    which is the contract the operator docs promise at 100 TB.  Costs one
+    count() (parquet metadata) + one first() per operator call.
+    """
+    import math
+
+    n = emb.count()
+    first = emb.select(F.size("vec").alias("d")).first()
+    vec_dim = int(first.d) if first and first.d is not None else BUCKET_DIMS
+    if n <= 0:
+        return min(BUCKET_DIMS, vec_dim)
+    want = math.ceil(math.log2(max(n / target_occupancy, 1.0)))
+    return max(min(BUCKET_DIMS, vec_dim), min(20, vec_dim, want))
+
+
 def cosine_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
     """Exact brute-force cosine top-k for each query vector (vec_id <
     N_QUERIES), excluding self-matches."""
@@ -88,7 +114,9 @@ def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bucketing: (vec_id, bucket, label) under the sign quantizer."""
     emb = _emb(spark, sf_dir)
     return emb.select(
-        "vec_id", sign_bucket(F.col("vec")).cast("int").alias("bucket"), "label"
+        "vec_id",
+        sign_bucket(F.col("vec"), adaptive_bucket_dims(emb)).cast("int").alias("bucket"),
+        "label",
     )
 
 
@@ -97,7 +125,8 @@ def ann_bucketed_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataF
 
     Recall < 1 by design; the exact variant (cosine_topk) is the baseline.
     """
-    emb = _emb(spark, sf_dir).withColumn("bucket", sign_bucket(F.col("vec")))
+    emb = _emb(spark, sf_dir)
+    emb = emb.withColumn("bucket", sign_bucket(F.col("vec"), adaptive_bucket_dims(emb)))
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("vec").alias("q_vec"),
@@ -125,9 +154,11 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> Dat
     Hamming-1 neighbor bucket (one sign-bit flip) — the standard recall
     repair for LSH: ~(dims+1)x candidates instead of the full corpus, with
     recall several times the single-probe variant."""
-    emb = _emb(spark, sf_dir).withColumn("bucket", sign_bucket(F.col("vec")))
+    emb = _emb(spark, sf_dir)
+    dims = adaptive_bucket_dims(emb)
+    emb = emb.withColumn("bucket", sign_bucket(F.col("vec"), dims))
     probes = F.array(
-        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(BUCKET_DIMS)]
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(dims)]
     )
     q = (
         emb.filter(F.col("vec_id") < N_QUERIES)
@@ -265,10 +296,12 @@ def embedding_neardup(
     (corpus x (dims+1) probe rows), so the work is bucket-local; the
     all-pairs formulation only lives in the DuckDB oracle.
     """
-    emb = _emb(spark, sf_dir).withColumn("bucket", sign_bucket(F.col("vec")))
+    emb = _emb(spark, sf_dir)
+    dims = adaptive_bucket_dims(emb)
+    emb = emb.withColumn("bucket", sign_bucket(F.col("vec"), dims))
     probes = F.array(
         F.col("bucket"),
-        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(BUCKET_DIMS)],
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(dims)],
     )
     a = emb.select(
         F.col("vec_id").alias("i"),
@@ -537,17 +570,27 @@ def ann_incremental_topk(
     import shutil
     import tempfile
 
+    #: physical directory cap for the bucket-partitioned index: like the
+    #: metajournal's seg_band, logical buckets scale with the corpus
+    #: (adaptive_bucket_dims) but DIRECTORIES are capped — an append lands
+    #: in <= ANN_INDEX_DIRS dirs however many logical buckets exist, and
+    #: the probe still prunes via DPP on the band column + row-group
+    #: min-max on the bucket data column within a band
+    ANN_INDEX_DIRS = 64
+
     index_root = tempfile.mkdtemp(prefix="kjs-annidx-")
     index_dir = index_root + "/index"
     try:
-        emb = _emb(spark, sf_dir).withColumn(
-            "bucket", sign_bucket(F.col("vec")).cast("int")
-        )
+        emb = _emb(spark, sf_dir)
+        emb = emb.withColumn(
+            "bucket", sign_bucket(F.col("vec"), adaptive_bucket_dims(emb)).cast("int")
+        ).withColumn("bucket_band", F.pmod(F.col("bucket"), F.lit(ANN_INDEX_DIRS)))
         for b in range(n_batches):
             (
                 emb.filter(F.pmod(F.col("vec_id"), F.lit(n_batches)) == b)
+                .sortWithinPartitions("bucket")
                 .write.mode("append")
-                .partitionBy("bucket")
+                .partitionBy("bucket_band")
                 .parquet(index_dir)
             )
         idx = spark.read.parquet(index_dir)
@@ -555,10 +598,13 @@ def ann_incremental_topk(
             F.col("vec_id").alias("q_id"),
             F.col("vec").alias("q_vec"),
             F.col("bucket").alias("q_bucket"),
+            F.col("bucket_band").alias("q_band"),
         )
         pairs = idx.join(
             F.broadcast(q),
-            (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+            (F.col("bucket_band") == F.col("q_band"))
+            & (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("q_id")),
         )
         scored = pairs.select(
             "q_id",

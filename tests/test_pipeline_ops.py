@@ -411,3 +411,63 @@ def test_span_removal_policies(spark):
                 assert g in clean_text
                 survivors += 1
     assert survivors == len(dup_grams)
+
+
+def test_duplicate_spans_property_random_corpora(spark):
+    """Hypothesis: duplicate_spans equals a brute-force scalar model on
+    arbitrary tiny corpora — within-doc repeats, docs shorter than L,
+    identical docs, single-token alphabets (whole-doc islands)."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from kafka_journal_spark.functions.dedup import duplicate_spans
+
+    corpus_strategy = st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=5,
+    )
+    L = 3
+
+    def model(corpus):
+        from collections import Counter
+
+        grams = Counter(
+            tuple(t[i : i + L])
+            for t in corpus
+            for i in range(len(t) - L + 1)
+        )
+        spans = set()
+        for d, t in enumerate(corpus):
+            dup_pos = [
+                i
+                for i in range(len(t) - L + 1)
+                if grams[tuple(t[i : i + L])] >= 2
+            ]
+            island = []
+            for p in dup_pos:
+                if island and p <= island[-1][1]:
+                    island[-1] = (island[-1][0], max(island[-1][1], p + L), island[-1][2] + 1)
+                else:
+                    island.append((p, p + L, 1))
+            for s, e, n in island:
+                spans.add((d, s, e, e - s, n))
+        return spans
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(corpus_strategy)
+    def run(corpus):
+        docs = spark.createDataFrame(
+            [(i, " ".join(t)) for i, t in enumerate(corpus)],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_dup_grams)
+            for r in duplicate_spans(spark, "", l=L, docs=docs).collect()
+        }
+        assert got == model(corpus), corpus
+
+    run()

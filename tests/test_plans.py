@@ -298,7 +298,7 @@ def test_ann_incremental_probe_gets_dynamic_partition_pruning(spark):
     from kafka_journal_spark.functions.similarity import ann_incremental_topk
 
     p = _plan(ann_incremental_topk(spark, SF, materialize=False))
-    assert "dynamicpruningexpression(bucket" in p, p
+    assert "dynamicpruningexpression(bucket_band" in p, p
 
 
 def test_read_journal_tvf_plans_like_store_read(spark, tmp_path):
