@@ -1007,11 +1007,22 @@ def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dec = decontaminate(spark, sf_dir).select("doc_id", "contaminated", "is_benchmark")
     s = sample_sources(spark, sf_dir).select("doc_id", F.col("keep").alias("_sampled"))
+    # span-boilerplate gate (round 6): drop documents more than half
+    # covered by corpus-duplicated passages — the substring-level verdict
+    # doc-level near-dup cannot see
+    sp = remove_duplicate_spans(spark, sf_dir).select(
+        "doc_id",
+        (
+            (F.col("n_removed") * 2 < F.col("n_tokens"))
+            | (F.col("n_tokens") == 0)
+        ).alias("_span_ok"),
+    )
     out = (
         q.join(l, "doc_id")
         .join(c, "doc_id")
         .join(dec, "doc_id")
         .join(s, "doc_id")
+        .join(sp, "doc_id")
         .select(
             "doc_id",
             (F.col("quality_score") >= 0.5).alias("quality_ok"),
@@ -1019,6 +1030,7 @@ def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_canon").alias("canonical"),
             (~F.col("contaminated") & ~F.col("is_benchmark")).alias("clean"),
             F.col("_sampled").alias("sampled"),
+            F.col("_span_ok").alias("span_ok"),
         )
     )
     return out.withColumn(
@@ -1027,7 +1039,8 @@ def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("lang_ok")
         & F.col("canonical")
         & F.col("clean")
-        & F.col("sampled"),
+        & F.col("sampled")
+        & F.col("span_ok"),
     )
 
 
@@ -1434,6 +1447,36 @@ DEDUP_ORACLES["d_span_clean"] = SPAN_CLEAN_ORACLE.format(
     span_oracle=SPAN_DEDUP_ORACLE
 )
 DEDUP_ORACLES["d_span_clean_keep1"] = SPAN_CLEAN_KEEP1_ORACLE
+
+# round 6: the flagship gains the span-boilerplate gate — REDEFINED here
+# (after the span oracles exist) with the sixth independently-derived
+# per-stage oracle joined in
+DEDUP_ORACLES["d_pipeline_e2e"] = f"""
+    WITH __q AS ({_TEXT_ORACLES["d_quality"]}),
+         __l AS ({_TEXT_ORACLES["d_lang_id"]}),
+         __c AS (SELECT * FROM ({DEDUP_ORACLES["d_dedup_clusters"]})),
+         __dec AS (SELECT * FROM ({DEDUP_ORACLES["d_decontaminate"]})),
+         __s AS ({_TEXT_ORACLES["d_sample_sources"]}),
+         __sp AS (SELECT * FROM ({DEDUP_ORACLES["d_span_clean"]}))
+    SELECT __q.doc_id,
+           (__q.quality_score >= 0.5) AS quality_ok,
+           __l.is_match AS lang_ok,
+           __c.keep AS canonical,
+           (NOT __dec.contaminated AND NOT __dec.is_benchmark) AS clean,
+           __s.keep AS sampled,
+           (__sp.n_removed * 2 < __sp.n_tokens OR __sp.n_tokens = 0) AS span_ok,
+           ((__q.quality_score >= 0.5) AND __l.is_match AND __c.keep
+            AND NOT __dec.contaminated AND NOT __dec.is_benchmark
+            AND __s.keep
+            AND (__sp.n_removed * 2 < __sp.n_tokens OR __sp.n_tokens = 0))
+             AS keep
+    FROM __q
+    JOIN __l ON __q.doc_id = __l.doc_id
+    JOIN __c ON __q.doc_id = __c.doc_id
+    JOIN __dec ON __q.doc_id = __dec.doc_id
+    JOIN __s ON __q.doc_id = __s.doc_id
+    JOIN __sp ON __q.doc_id = __sp.doc_id
+"""
 
 
 DEDUP_QUERIES = {
