@@ -381,6 +381,55 @@ class JournalClient:
         )
         return stitch_tail(eventual, tail, from_seq_nr)
 
+    def pointer_many(self, topic: str, keys: list[str] | None = None) -> DataFrame:
+        """Bulk R6: last seq_nr per key as ONE DataFrame plan — the
+        distributed sibling of :meth:`pointer` (which is per-entity,
+        driver-side, like the reference's ``Journal`` trait).  Folds the
+        whole un-replicated tail with ``head_info_batch`` (one shuffle),
+        merges with the replicated heads by the same kind rules the scalar
+        path applies, and returns (topic, id, seq_nr) for every LIVE key
+        (purged keys are absent, matching ``pointer() is None``).
+
+        ``keys=None`` means every key of the topic; with a key list both
+        scans are pruned by ``isin`` pushdown.
+        """
+        from kafka_journal_spark.operators.head import head_info_batch
+
+        tail = self._unreplicated_tail().filter(F.col("topic") == topic)
+        stored = self.store.metajournal().filter(F.col("topic") == topic).select(
+            "topic", "id", F.col("seq_nr").alias("_stored")
+        )
+        if keys is not None:
+            key_set = list(dict.fromkeys(keys))
+            tail = tail.filter(F.col("id").isin(key_set))
+            stored = stored.filter(F.col("id").isin(key_set))
+        heads = head_info_batch(tail).select(
+            "topic", "id", F.col("kind").alias("_k"),
+            F.col("seq_nr").alias("_h_seq"), F.col("delete_to").alias("_h_dt"),
+        )
+        merged = stored.join(heads, ["topic", "id"], "full_outer")
+        # scalar-path rules: append head wins outright; purge head erases;
+        # delete head raises the floor to its watermark; empty head -> store
+        ptr = (
+            F.when(F.col("_k") == "append", F.col("_h_seq"))
+            .when(F.col("_k") == "purge", F.lit(None).cast("long"))
+            .when(
+                F.col("_k") == "delete",
+                F.nullif(
+                    F.greatest(
+                        F.coalesce("_stored", F.lit(0)),
+                        F.coalesce("_h_dt", F.lit(0)),
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .otherwise(F.col("_stored"))
+        )
+        return (
+            merged.select("topic", "id", ptr.cast("long").alias("seq_nr"))
+            .filter(F.col("seq_nr").isNotNull())
+        )
+
     def ttl_purge(self, now_ts: str) -> int:
         """The P8 TTL job (``PurgeExpired.scala:23-71``): purge every
         journal due at ``now_ts``.  Each due key gets a Purge action

@@ -122,3 +122,30 @@ def test_read_many_matches_single_reads(spark, tmp_path):
         .toString()
     )
     assert "In(id, [" in plan, plan
+
+
+def test_pointer_many_matches_scalar_pointers(spark, tmp_path):
+    """The bulk pointer plan must agree with the per-entity pointer() on
+    every head kind: plain append, un-replicated append tail, delete-only,
+    delete-raised floor, purged (absent), and never-seen keys."""
+    c = JournalClient(spark, str(tmp_path / "pm"))
+    c.append("t", "a", ["a1", "a2"])
+    c.append("t", "b", ["b1"])
+    c.append("t", "d", ["d1"])
+    c.replicate()
+    c.append("t", "a", ["a3"])          # un-replicated append
+    c.delete_to("t", "b", 1)            # un-replicated delete (floor stays 1)
+    c.purge("t", "d")                   # un-replicated purge
+    c.append("t", "e", ["e1", "e2"])    # never replicated at all
+
+    got = {r.id: r.seq_nr for r in c.pointer_many("t").collect()}
+    want = {
+        k: c.pointer("t", k)
+        for k in ("a", "b", "d", "e", "zz")
+        if c.pointer("t", k) is not None
+    }
+    assert got == want == {"a": 3, "b": 1, "e": 2}
+
+    # key-pruned variant returns exactly the requested live keys
+    got2 = {r.id: r.seq_nr for r in c.pointer_many("t", ["a", "d", "zz"]).collect()}
+    assert got2 == {"a": 3}
