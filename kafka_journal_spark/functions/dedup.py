@@ -1009,13 +1009,29 @@ def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = sample_sources(spark, sf_dir).select("doc_id", F.col("keep").alias("_sampled"))
     # span-boilerplate gate (round 6): drop documents more than half
     # covered by corpus-duplicated passages — the substring-level verdict
-    # doc-level near-dup cannot see
-    sp = remove_duplicate_spans(spark, sf_dir).select(
-        "doc_id",
-        (
-            (F.col("n_removed") * 2 < F.col("n_tokens"))
-            | (F.col("n_tokens") == 0)
-        ).alias("_span_ok"),
+    # doc-level near-dup cannot see.  Strict-policy removed-token count ==
+    # sum of maximal span widths, so the gate derives from
+    # duplicate_spans + one token-count column and skips the full text
+    # rebuild (anti-join + collect_list + md5) remove_duplicate_spans pays.
+    span_rm = (
+        duplicate_spans(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.sum("span_tokens").alias("_rm"))
+    )
+    sp = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.coalesce(F.size(tokens_col()), F.lit(0)).alias("_nt"),
+        )
+        .join(span_rm, "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                (F.coalesce("_rm", F.lit(0)) * 2 < F.col("_nt"))
+                | (F.col("_nt") == 0)
+            ).alias("_span_ok"),
+        )
     )
     out = (
         q.join(l, "doc_id")
@@ -1123,6 +1139,39 @@ def _pos_grams(toks: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _dup_gram_hits(
+    spark: SparkSession,
+    sf_dir: str,
+    l: int,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, pos, gh) for every occurrence of a corpus-duplicated gram
+    — the SINGLE implementation of the count-and-flag relation behind
+    span detection AND the keep_first removal policy (a second copy here
+    once let the two silently disagree about what counts as duplicated).
+    The gram relation is checkpointed: it feeds both the frequency
+    aggregate and the position join, and without the checkpoint the
+    tokenize+gram+md5 pipeline runs twice."""
+    par = spark.sparkContext.defaultParallelism
+    grams = (
+        (_docs(spark, sf_dir) if docs is None else docs)
+        .select("doc_id", "text")
+        .repartition(par, "doc_id")
+        .select(
+            "doc_id", F.posexplode(_pos_grams(tokens_col(), l)).alias("pos", "gram")
+        )
+        .select("doc_id", "pos", hash60(F.col("gram")).alias("gh"))
+        .localCheckpoint(eager=True)
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("gh")
+    )
+    return grams.join(dup, "gh")
+
+
 def duplicate_spans(
     spark: SparkSession,
     sf_dir: str,
@@ -1149,26 +1198,7 @@ def duplicate_spans(
     admits a ~2^-61-per-pair false duplicate; swap in a 128-bit hash for
     adversarial corpora.
     """
-    par = spark.sparkContext.defaultParallelism
-    grams = (
-        (_docs(spark, sf_dir) if docs is None else docs)
-        .select("doc_id", "text")
-        .repartition(par, "doc_id")
-        .select(
-            "doc_id", F.posexplode(_pos_grams(tokens_col(), l)).alias("pos", "gram")
-        )
-        .select("doc_id", "pos", hash60(F.col("gram")).alias("gh"))
-        # feeds BOTH the frequency aggregate and the position join — without
-        # a checkpoint the tokenize+gram+md5 pipeline runs twice
-        .localCheckpoint(eager=True)
-    )
-    dup = (
-        grams.groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= 2)
-        .select("gh")
-    )
-    hits = grams.join(dup, "gh").select("doc_id", "pos")
+    hits = _dup_gram_hits(spark, sf_dir, l, docs).select("doc_id", "pos")
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy("pos")
@@ -1196,7 +1226,11 @@ def duplicate_spans(
 
 
 def remove_duplicate_spans(
-    spark: SparkSession, sf_dir: str, l: int = SPAN_L, policy: str = "strict"
+    spark: SparkSession,
+    sf_dir: str,
+    l: int = SPAN_L,
+    policy: str = "strict",
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """The removal POLICY over :func:`duplicate_spans`:
 
@@ -1222,16 +1256,17 @@ def remove_duplicate_spans(
     keep_first canonical rank is one window over the dup-hit relation.
     """
     assert policy in ("strict", "keep_first"), policy
+    base = _docs(spark, sf_dir) if docs is None else docs
     par = spark.sparkContext.defaultParallelism
     toks = (
-        _docs(spark, sf_dir)
+        base
         .select("doc_id", "text")
         .repartition(par, "doc_id")
         .select("doc_id", F.posexplode(tokens_col()).alias("pos", "tok"))
     )
     if policy == "strict":
         covered = (
-            duplicate_spans(spark, sf_dir, l)
+            duplicate_spans(spark, sf_dir, l, docs=docs)
             .select(
                 "doc_id",
                 F.explode(
@@ -1243,24 +1278,7 @@ def remove_duplicate_spans(
     else:
         from pyspark.sql import Window
 
-        grams = (
-            _docs(spark, sf_dir)
-            .select("doc_id", "text")
-            .repartition(par, "doc_id")
-            .select(
-                "doc_id",
-                F.posexplode(_pos_grams(tokens_col(), l)).alias("pos", "gram"),
-            )
-            .select("doc_id", "pos", hash60(F.col("gram")).alias("gh"))
-            .localCheckpoint(eager=True)
-        )
-        dup = (
-            grams.groupBy("gh")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") >= 2)
-            .select("gh")
-        )
-        hits = grams.join(dup, "gh").withColumn(
+        hits = _dup_gram_hits(spark, sf_dir, l, docs).withColumn(
             "_canon",
             F.row_number().over(
                 Window.partitionBy("gh").orderBy("doc_id", "pos")
@@ -1291,7 +1309,13 @@ def remove_duplicate_spans(
             ),
         ).alias("_clean"),
     )
-    totals = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    # totals come from the DOCUMENTS frame, not the exploded tokens: a
+    # zero-token document has no token rows and would silently vanish,
+    # while both span-clean oracles emit (0, 0, md5('')) for it
+    totals = base.select(
+        "doc_id",
+        F.coalesce(F.size(tokens_col()), F.lit(0)).cast("long").alias("n_tokens"),
+    )
     return (
         totals.join(rebuilt, "doc_id", "left")
         .select(

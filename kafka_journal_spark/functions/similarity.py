@@ -29,6 +29,11 @@ from kafka_journal_spark.functions.numeric import round6
 N_QUERIES = 8  # queries = vec_id < N_QUERIES
 TOP_K = 5
 BUCKET_DIMS = 6  # sign bits of the first 6 dims -> 64 buckets
+#: expected vectors per bucket that adaptive_bucket_dims aims for; the five
+#: sign-bucket oracles hardcode BUCKET_DIMS, so every ORACLE-GRADED corpus
+#: must stay under TARGET_BUCKET_OCCUPANCY * 2**BUCKET_DIMS vectors (2048)
+#: for the floor to hold — pinned by test_driver_contract.py
+TARGET_BUCKET_OCCUPANCY = 32
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,7 +68,7 @@ def sign_bucket(vec: Column, dims: int = BUCKET_DIMS) -> Column:
     return out
 
 
-def adaptive_bucket_dims(emb: DataFrame, target_occupancy: int = 32) -> int:
+def adaptive_bucket_dims(emb: DataFrame, target_occupancy: int = TARGET_BUCKET_OCCUPANCY) -> int:
     """Sign-bucket width that SCALES WITH THE CORPUS: enough bits that the
     expected bucket occupancy stays ~``target_occupancy``, floored at
     ``BUCKET_DIMS`` (so every oracle-graded corpus — <= 2k vectors — keeps

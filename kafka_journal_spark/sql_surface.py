@@ -86,14 +86,23 @@ def q_read_journal_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_journal_spark.sources.statestore import JournalStore
     from kafka_journal_spark.streaming.replicator import replicate_batch
 
+    import shutil
+
     acts = journal_actions(spark, sf_dir)
-    store = JournalStore(spark, tempfile.mkdtemp(prefix="kjs-sqltvf-"))
+    root = tempfile.mkdtemp(prefix="kjs-sqltvf-")
+    store = JournalStore(spark, root)
     replicate_batch(acts, store)
     register_store_read_tvf(spark, store)
-    return spark.sql(
+    out = spark.sql(
         "SELECT id, topic, seq_nr, partition, offset, timestamp, origin, "
         "version, payload_type, payload_txt FROM read_journal(NULL, NULL, 20)"
     )
+    # materialize so the scratch store can be dropped (the lazy plan would
+    # otherwise read removed files — same pattern as ann_incremental_topk);
+    # repeated grading/bench invocations must not accumulate store copies
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -30,3 +30,27 @@ def test_gate_and_extras_do_not_overlap():
     gate, extras = set(E.queries()), set(E.extra_queries())
     assert not (gate & extras)
     assert len(gate | extras) >= 123  # the round-6 surface floor
+
+
+def test_sign_bucket_oracle_floor_holds_at_graded_scales():
+    """The five sign-bucket oracles hardcode BUCKET_DIMS-bit buckets;
+    adaptive_bucket_dims only matches them while every graded corpus stays
+    under TARGET_BUCKET_OCCUPANCY * 2**BUCKET_DIMS vectors.  A larger
+    fixture must fail HERE, loudly, not as five silent hash mismatches."""
+    import duckdb
+
+    from kafka_journal_spark.functions.similarity import (
+        BUCKET_DIMS,
+        TARGET_BUCKET_OCCUPANCY,
+    )
+
+    cap = TARGET_BUCKET_OCCUPANCY * (1 << BUCKET_DIMS)
+    for sf in ("sf0.001", "sf0.01"):
+        n = duckdb.sql(
+            f"SELECT count(*) FROM '/root/testdata/{sf}/embeddings.parquet'"
+        ).fetchone()[0]
+        assert n <= cap, (
+            f"{sf} has {n} embeddings > {cap}: adaptive_bucket_dims will "
+            "exceed the BUCKET_DIMS floor and diverge from the static "
+            "sign-bucket oracles — regenerate the oracles or raise the floor"
+        )

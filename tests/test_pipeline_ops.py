@@ -471,3 +471,46 @@ def test_duplicate_spans_property_random_corpora(spark):
         assert got == model(corpus), corpus
 
     run()
+
+
+def test_span_clean_emits_rows_for_zero_token_documents(spark):
+    """A document whose text tokenizes to nothing must still appear in the
+    span-clean output as (0, 0, md5('')) under BOTH policies — matching
+    the oracles' per-document totals (it used to vanish because totals
+    came from the exploded token relation)."""
+    import hashlib
+
+    from kafka_journal_spark.functions.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (0, ""),
+            (1, "   \t  "),
+            (2, "x y z x y z x y z"),  # within-doc duplicated 3-gram run
+        ],
+        "doc_id long, text string",
+    )
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    for policy in ("strict", "keep_first"):
+        got = {
+            r.doc_id: (r.n_tokens, r.n_removed, r.clean_md5)
+            for r in remove_duplicate_spans(
+                spark, "", l=3, policy=policy, docs=docs
+            ).collect()
+        }
+        assert set(got) == {0, 1, 2}, policy
+        assert got[0] == (0, 0, empty_md5), policy
+        assert got[1] == (0, 0, empty_md5), policy
+        assert got[2][0] == 9, policy
+    # strict removes the whole duplicated run; keep_first keeps one copy
+    strict = {
+        r.doc_id: r.n_removed
+        for r in remove_duplicate_spans(spark, "", l=3, policy="strict", docs=docs).collect()
+    }
+    keep1 = {
+        r.doc_id: r.n_removed
+        for r in remove_duplicate_spans(
+            spark, "", l=3, policy="keep_first", docs=docs
+        ).collect()
+    }
+    assert strict[2] == 9 and keep1[2] < 9
