@@ -334,13 +334,42 @@ def replicate_batch(batch: DataFrame, store: JournalStore) -> None:
 
 
 def run_parquet_replicator(
-    spark, source_dir: str, store: JournalStore, schema_ddl: str
+    spark,
+    source_dir: str,
+    store: JournalStore,
+    schema_ddl: str,
+    maintain_every: int | None = None,
+    min_files: int = 64,
+    min_debt: int | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> None:
     """File-source replicator: stream actions parquet from ``source_dir``
-    into the store with exactly-once checkpointing (Trigger.AvailableNow)."""
-    stream = spark.readStream.schema(schema_ddl).parquet(source_dir)
+    into the store with exactly-once checkpointing (Trigger.AvailableNow).
+
+    ``maintain_every=k`` makes the pipeline SELF-MAINTAINING: after every
+    k-th micro-batch it runs the health-driven incremental compaction
+    (``store.compact(min_files=..., min_debt=...)``), so a standing
+    replicator's per-trigger file appends are size-tier-merged before
+    they accumulate (a 5 s trigger produces ~17k files/day/topic
+    otherwise) — and only topics whose file count or row debt crossed
+    the thresholds pay anything.  Compaction between batches is safe by
+    construction: it only rewrites rows invisible to no reader (visible
+    set unchanged) and the offset guard makes a crash replay idempotent.
+    """
+    reader = spark.readStream.schema(schema_ddl)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    n_batches = {"n": 0}
+
+    def _apply(df, _bid):
+        replicate_batch(df, store)
+        n_batches["n"] += 1
+        if maintain_every and n_batches["n"] % maintain_every == 0:
+            store.compact(min_files=min_files, min_debt=min_debt)
+
     q = (
-        stream.writeStream.foreachBatch(lambda df, _bid: replicate_batch(df, store))
+        stream.writeStream.foreachBatch(_apply)
         .option("checkpointLocation", f"{store.root}/_checkpoint")
         .trigger(availableNow=True)
         .start()

@@ -172,3 +172,45 @@ def test_streaming_file_source(spark, tmp_path):
     make_actions(spark, acts[5:], offset_base=5).write.mode("append").parquet(str(src))
     run_parquet_replicator(spark, str(src), store, ACTIONS_DDL)
     assert _got(store) == _expected(spark, acts)
+
+
+def test_self_maintaining_replicator_bounds_file_count(spark, tmp_path):
+    """A standing replicator with maintain_every merges its per-trigger
+    file appends via the health-driven incremental compaction: after many
+    single-file micro-batches the journal's file count stays bounded and
+    reads equal a one-shot replication of the same stream."""
+    import glob
+
+    from conftest import append, make_actions
+
+    src = tmp_path / "src"
+    # 8 micro-batches of one file each (maxFilesPerTrigger=1 below)
+    for i in range(8):
+        make_actions(
+            spark, [append(f"k{i}", 1), append(f"k{i}", 2)], offset_base=i * 10
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    store = JournalStore(spark, str(tmp_path / "st"))
+    run_parquet_replicator(
+        spark,
+        str(src),
+        store,
+        ACTIONS_DDL,
+        maintain_every=2,
+        min_files=2,
+        max_files_per_trigger=1,
+    )
+
+    files = glob.glob(str(tmp_path / "st" / "journal" / "**" / "*.parquet"),
+                      recursive=True)
+    # 8 appends uncompacted would leave >= 8 files; the in-loop compaction
+    # merged them (the last 2 batches may still be un-merged)
+    assert len(files) <= 4, files
+
+    # reads equal a one-shot replication of the same actions
+    one = JournalStore(spark, str(tmp_path / "one"))
+    replicate_batch(spark.read.schema(ACTIONS_DDL).parquet(str(src)), one)
+    assert (
+        {(r.id, r.seq_nr, r.offset) for r in store.read().collect()}
+        == {(r.id, r.seq_nr, r.offset) for r in one.read().collect()}
+    )
