@@ -287,20 +287,10 @@ def ivf_topk(
     )
 
 
-def embedding_neardup(
-    spark: SparkSession, sf_dir: str, tau: float = 0.35
-) -> DataFrame:
-    """Embedding-cosine near-duplicate detection (the dedup-family member
-    over vectors): candidate pairs come from the multiprobe sign-bucket
-    join (same bucket or one sign-bit apart — NO all-pairs scan), survive a
-    cosine >= tau check, and each vector gets a one-step canonical
-    assignment ``least(own id, min matching id)`` like the exact-dedup
-    keep-decision.
-
-    Scale: candidate generation is an equi-join on the probe bucket
-    (corpus x (dims+1) probe rows), so the work is bucket-local; the
-    all-pairs formulation only lives in the DuckDB oracle.
-    """
+def _neardup_pairs(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
+    """Candidate near-dup pairs (i < j) surviving ``cosine >= tau``:
+    multiprobe sign-bucket join (same bucket or one sign-bit apart — never
+    an all-pairs scan; bucket width corpus-adaptive)."""
     emb = _emb(spark, sf_dir)
     dims = adaptive_bucket_dims(emb)
     emb = emb.withColumn("bucket", sign_bucket(F.col("vec"), dims))
@@ -316,7 +306,7 @@ def embedding_neardup(
     b = emb.select(
         F.col("vec_id").alias("j"), F.col("vec").alias("vb"), F.col("bucket").alias("pb")
     )
-    pairs = (
+    return (
         a.join(b, "pb")
         .filter(F.col("i") < F.col("j"))
         .dropDuplicates(["i", "j"])
@@ -324,6 +314,59 @@ def embedding_neardup(
         .filter(F.col("s") >= F.lit(tau))
         .select("i", "j")
     )
+
+
+def embedding_clusters(
+    spark: SparkSession,
+    sf_dir: str,
+    tau: float = 0.35,
+    algorithm: str = "label",
+    max_iter: int = 20,
+) -> DataFrame:
+    """SemDeDup-style TRANSITIVE semantic dedup: connected components over
+    the embedding near-dup pair graph (the vector sibling of
+    ``dedup_clusters`` — :func:`embedding_neardup`'s one-step canonical
+    assignment cannot collapse chains a -> b -> c to one representative).
+    Every vector gets its component's min vec_id as ``cluster_id`` and the
+    canonical ``keep`` decision; both component engines and the
+    raise-on-non-convergence contract come from ``connected_components``.
+    """
+    from kafka_journal_spark.functions.dedup import connected_components
+
+    pairs = _neardup_pairs(spark, sf_dir, tau).localCheckpoint(eager=True)
+    labels = connected_components(
+        pairs.select(F.col("i").alias("s"), F.col("j").alias("d")),
+        algorithm=algorithm,
+        max_iter=max_iter,
+    )
+    return (
+        _emb(spark, sf_dir)
+        .select("vec_id")
+        .join(labels.withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("label", F.col("vec_id")).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("cluster_id") == F.col("vec_id"))
+    )
+
+
+def embedding_neardup(
+    spark: SparkSession, sf_dir: str, tau: float = 0.35
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (the dedup-family member
+    over vectors): candidate pairs come from the multiprobe sign-bucket
+    join (same bucket or one sign-bit apart — NO all-pairs scan), survive a
+    cosine >= tau check, and each vector gets a one-step canonical
+    assignment ``least(own id, min matching id)`` like the exact-dedup
+    keep-decision.
+
+    Scale: candidate generation is an equi-join on the probe bucket
+    (corpus x (dims+1) probe rows), so the work is bucket-local; the
+    all-pairs formulation only lives in the DuckDB oracle.
+    """
+    pairs = _neardup_pairs(spark, sf_dir, tau)
+    emb = _emb(spark, sf_dir)
     matches = (
         pairs.select(F.col("i").alias("vec_id"), F.col("j").alias("partner"))
         .unionByName(
@@ -649,6 +692,7 @@ SIM_QUERIES = {
     "e_centroids": label_centroids,
     "e_ivf_topk": ivf_topk,
     "d_embedding_neardup": embedding_neardup,
+    "e_embedding_clusters": embedding_clusters,
 }
 
 # the pandas kernel reproduces the exact brute-force result
@@ -723,6 +767,46 @@ SIM_ORACLES["d_embedding_neardup"] = f"""
            LEAST(e.vec_id, COALESCE(m.mp, e.vec_id)) AS canonical_id,
            CAST(COALESCE(m.n_matches, 0) AS BIGINT) AS n_matches
     FROM e LEFT JOIN m ON e.vec_id = m.vec_id
+"""
+
+# transitive closure over the SAME pair definition d_embedding_neardup's
+# oracle uses (all-pairs + probe condition live only here, never in the
+# engine) — the vector twin of the d_dedup_clusters oracle
+SIM_ORACLES["e_embedding_clusters"] = f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ),
+    bk AS (
+      SELECT vec_id, vec,
+             (SELECT SUM(CASE WHEN vec[i] >= 0 THEN 1 << (i - 1) ELSE 0 END)
+              FROM range(1, {BUCKET_DIMS} + 1) AS t(i)) AS bucket
+      FROM e
+    ),
+    __pairs AS (
+      SELECT a.vec_id AS i, b.vec_id AS j
+      FROM bk a JOIN bk b
+        ON a.vec_id < b.vec_id
+       AND bit_count(xor(a.bucket, b.bucket)) <= 1
+       AND list_dot_product(a.vec, b.vec)
+             / (sqrt(list_dot_product(a.vec, a.vec))
+                * sqrt(list_dot_product(b.vec, b.vec))) >= 0.35
+    ),
+    edges AS (
+      SELECT i AS s, j AS d FROM __pairs
+      UNION ALL
+      SELECT j AS s, i AS d FROM __pairs
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s
+    ),
+    comp AS (SELECT s, LEAST(s, MIN(d)) AS cid FROM reach GROUP BY s)
+    SELECT e.vec_id,
+           COALESCE(c.cid, e.vec_id) AS cluster_id,
+           (COALESCE(c.cid, e.vec_id) = e.vec_id) AS keep
+    FROM e LEFT JOIN comp c ON e.vec_id = c.s
 """
 
 SIM_ORACLES["e_ivf_topk"] = f"""

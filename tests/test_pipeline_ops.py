@@ -514,3 +514,28 @@ def test_span_clean_emits_rows_for_zero_token_documents(spark):
         ).collect()
     }
     assert strict[2] == 9 and keep1[2] < 9
+
+
+def test_embedding_clusters_are_transitive_over_neardup_pairs(spark):
+    """Every near-dup match pair lands in ONE cluster (the transitivity
+    embedding_neardup's one-step canonical cannot give), representatives
+    keep themselves, and both component engines agree."""
+    from kafka_journal_spark.functions.similarity import (
+        _neardup_pairs,
+        embedding_clusters,
+    )
+
+    labels = {
+        r.vec_id: r.cluster_id for r in embedding_clusters(spark, SF).collect()
+    }
+    pairs = [(r.i, r.j) for r in _neardup_pairs(spark, SF, 0.35).collect()]
+    assert pairs, "synthetic embeddings must contain near-dup pairs"
+    for i, j in pairs:
+        assert labels[i] == labels[j], (i, j)
+    for v, c in labels.items():
+        assert c <= v and labels[c] == c
+    star = {
+        r.vec_id: r.cluster_id
+        for r in embedding_clusters(spark, SF, algorithm="star").collect()
+    }
+    assert star == labels
