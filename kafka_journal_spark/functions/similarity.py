@@ -320,7 +320,7 @@ def embedding_clusters(
     spark: SparkSession,
     sf_dir: str,
     tau: float = 0.35,
-    algorithm: str = "label",
+    algorithm: str = "star",
     max_iter: int = 20,
 ) -> DataFrame:
     """SemDeDup-style TRANSITIVE semantic dedup: connected components over
@@ -330,6 +330,12 @@ def embedding_clusters(
     Every vector gets its component's min vec_id as ``cluster_id`` and the
     canonical ``keep`` decision; both component engines and the
     raise-on-non-convergence contract come from ``connected_components``.
+
+    Default engine is STAR CONTRACTION (O(log^2 n) rounds on any graph),
+    not label propagation: semantic near-dup graphs at moderate tau are
+    exactly the chain-y case — the sf0.1 corpus (2k vectors, tau 0.35)
+    has a component of diameter > 20, where label propagation hits its
+    round cap and raises while star converges in a handful of rounds.
     """
     from kafka_journal_spark.functions.dedup import connected_components
 

@@ -26,6 +26,7 @@ DEFAULT_EXTRAS = [
     "d_lsh_incremental",
     "d_simhash_multiprobe",
     "d_embedding_neardup",
+    "e_embedding_clusters",
     "e_ann_multiprobe",
     "e_ivf_topk",
     "e_ann_incremental",
