@@ -158,3 +158,33 @@ def test_hot_key_fold_completes_and_is_correct(spark, hot_key_actions):
     candidates = range(expected_delete_to, 200_000)
     expected = sum(1 for off in candidates if off % 10_000 != 9_999)
     assert n_rows == expected
+
+
+def test_span_dedup_survives_giant_single_document(spark):
+    """Hot-key class for the span family: ONE 60k-token document whose
+    content repeats (worst case: every gram duplicated, the per-doc
+    gap-island window is a single task over the whole doc).  Must complete
+    quickly and merge to ONE whole-document span; the strict clean then
+    removes everything."""
+    from kafka_journal_spark.functions.dedup import (
+        SPAN_L,
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    n_rep = 20_000
+    giant = " ".join(["alpha beta gamma"] * n_rep)  # 60k tokens, period 3
+    docs = spark.createDataFrame(
+        [(0, giant), (1, "totally unique words only here")],
+        "doc_id long, text string",
+    )
+    spans = duplicate_spans(spark, "", l=SPAN_L, docs=docs).collect()
+    assert len(spans) == 1  # one maximal whole-document span, doc 1 clean
+    s = spans[0]
+    assert (s.doc_id, s.span_start, s.span_end) == (0, 0, 3 * n_rep)
+    cleaned = {
+        r.doc_id: (r.n_tokens, r.n_removed)
+        for r in remove_duplicate_spans(spark, "", l=SPAN_L, docs=docs).collect()
+    }
+    assert cleaned[0] == (3 * n_rep, 3 * n_rep)
+    assert cleaned[1] == (5, 0)
