@@ -697,9 +697,11 @@ GATE_ORDER = [
     "d_minhash_lsh",
     "d_dedup_clusters",
     "d_simhash_sigs",
-    # embedding similarity
+    # embedding similarity (e_ann_recall's oracle recomputes BOTH the
+    # exact and the multiprobe definitions and grades their division, so
+    # it subsumes e_ann_multiprobe in the gate window)
     "e_cosine_topk",
-    "e_ann_multiprobe",
+    "e_ann_recall",
     "e_quantize_int8",
     "e_centroids",
     # multimodal: real WAV decode through the mapInPandas fan-out

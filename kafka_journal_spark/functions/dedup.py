@@ -1172,6 +1172,29 @@ def _dup_gram_hits(
     return grams.join(dup, "gh")
 
 
+def _gap_islands(hits: DataFrame, l: int) -> DataFrame:
+    """Merge per-document gram-hit positions (each covering ``[pos,
+    pos+l)``) into maximal ``[span_start, span_end)`` intervals — new
+    island when a hit starts past the running max end (gap-island window).
+    The interval set covers EXACTLY the union of the hits' positions, so
+    downstream position explodes cost O(covered tokens), never
+    O(hits * l)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(l)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.withColumn(
+        "_new", F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    ).withColumn("_island", F.sum("_new").over(w))
+    return islands.groupBy("doc_id", "_island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(l)).alias("span_end"),
+        F.count(F.lit(1)).alias("n_dup_grams"),
+    )
+
+
 def duplicate_spans(
     spark: SparkSession,
     sf_dir: str,
@@ -1199,22 +1222,8 @@ def duplicate_spans(
     adversarial corpora.
     """
     hits = _dup_gram_hits(spark, sf_dir, l, docs).select("doc_id", "pos")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    prev_end = F.max(F.col("pos") + F.lit(l)).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    islands = hits.withColumn(
-        "_new", F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
-    ).withColumn("_island", F.sum("_new").over(w))
     return (
-        islands.groupBy("doc_id", "_island")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + F.lit(l)).alias("span_end"),
-            F.count(F.lit(1)).alias("n_dup_grams"),
-        )
+        _gap_islands(hits, l)
         .select(
             "doc_id",
             F.col("span_start").cast("long").alias("span_start"),
@@ -1285,12 +1294,26 @@ def remove_duplicate_spans(
             )
             == 1,
         )
-        cover = hits.select(
-            "doc_id",
-            "_canon",
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + l - 1)).alias(
-                "pos"
-            ),
+        # merge hits into maximal intervals BEFORE exploding to positions:
+        # a boilerplate-heavy doc has ~every gram duplicated, and exploding
+        # per HIT costs hits*l rows — per merged INTERVAL it costs exactly
+        # the covered token count.  Canonical coverage merges separately
+        # (its union of positions is what exempts a token), then ONE
+        # explode over both interval sets feeds the same (doc, pos) vote.
+        iv = _gap_islands(hits, l).select("doc_id", "span_start", "span_end")
+        iv_canon = _gap_islands(hits.filter(F.col("_canon")), l).select(
+            "doc_id", "span_start", "span_end"
+        )
+        cover = (
+            iv.withColumn("_canon", F.lit(False))
+            .unionByName(iv_canon.withColumn("_canon", F.lit(True)))
+            .select(
+                "doc_id",
+                "_canon",
+                F.explode(
+                    F.sequence(F.col("span_start"), F.col("span_end") - 1)
+                ).alias("pos"),
+            )
         )
         covered = (
             cover.groupBy("doc_id", "pos")

@@ -603,6 +603,97 @@ def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: physical directory cap for the bucket-partitioned ANN index: like the
+#: metajournal's seg_band, logical buckets scale with the corpus
+#: (adaptive_bucket_dims) but DIRECTORIES are capped — an append lands
+#: in <= ANN_INDEX_DIRS dirs however many logical buckets exist, and the
+#: probe still prunes via DPP on the band column + row-group min-max on
+#: the bucket data column within a band
+ANN_INDEX_DIRS = 64
+
+
+def ann_index_create(
+    emb: DataFrame, index_dir: str, *, index_dirs: int = ANN_INDEX_DIRS
+) -> int:
+    """Initialize a persistent bucket-banded ANN index: derive the
+    corpus-adaptive sign-bucket width ONCE (the only place that pays
+    ``adaptive_bucket_dims``' count()+first() driver round-trips) and
+    persist it in the index metadata, so every later append and probe
+    reads the width from the index instead of re-counting the corpus —
+    an incremental maintenance loop calling per batch pays zero extra
+    driver actions.  The ``_``-prefixed metadata file is invisible to
+    Spark's parquet file index."""
+    import json
+
+    os.makedirs(index_dir, exist_ok=True)
+    dims = adaptive_bucket_dims(emb)
+    with open(os.path.join(index_dir, "_ann_meta.json"), "w") as f:
+        json.dump({"bucket_dims": dims, "index_dirs": index_dirs}, f)
+    return dims
+
+
+def ann_index_meta(index_dir: str) -> dict:
+    """The index's persisted layout contract (bucket width, band count)."""
+    import json
+
+    with open(os.path.join(index_dir, "_ann_meta.json")) as f:
+        return json.load(f)
+
+
+def _ann_bucketed(df: DataFrame, vec_col: str, meta: dict) -> DataFrame:
+    return df.withColumn(
+        "bucket", sign_bucket(F.col(vec_col), meta["bucket_dims"]).cast("int")
+    ).withColumn("bucket_band", F.pmod(F.col("bucket"), F.lit(meta["index_dirs"])))
+
+
+def ann_index_append(batch: DataFrame, index_dir: str) -> None:
+    """Append a batch of vectors under the index's persisted bucket
+    layout — new data lands in its band directories (<= index_dirs
+    filesystem ops per batch), existing files are never rewritten."""
+    (
+        _ann_bucketed(batch, "vec", ann_index_meta(index_dir))
+        .sortWithinPartitions("bucket")
+        .write.mode("append")
+        .partitionBy("bucket_band")
+        .parquet(index_dir)
+    )
+
+
+def ann_index_probe(
+    spark: SparkSession, queries: DataFrame, index_dir: str, k: int = TOP_K
+) -> DataFrame:
+    """Top-k search against a persisted index: queries are bucketed with
+    the index's OWN stored width (no corpus re-count), and the join on the
+    band partition column prunes the scan to the probed band directories
+    (broadcast DPP) — a query touches O(bucket) files out of the whole
+    corpus."""
+    meta = ann_index_meta(index_dir)
+    idx = spark.read.parquet(index_dir)
+    q = _ann_bucketed(queries, "q_vec", meta).select(
+        "q_id",
+        "q_vec",
+        F.col("bucket").alias("q_bucket"),
+        F.col("bucket_band").alias("q_band"),
+    )
+    pairs = idx.join(
+        F.broadcast(q),
+        (F.col("bucket_band") == F.col("q_band"))
+        & (F.col("bucket") == F.col("q_bucket"))
+        & (F.col("vec_id") != F.col("q_id")),
+    )
+    scored = pairs.select(
+        "q_id",
+        "vec_id",
+        F.round(cosine(F.col("q_vec"), F.col("vec")), 6).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "vec_id", "score", "rk")
+    )
+
+
 def ann_incremental_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -611,11 +702,10 @@ def ann_incremental_topk(
     materialize: bool = True,
 ) -> DataFrame:
     """INCREMENTAL ANN index maintenance: vectors arrive in batches, each
-    appended to a bucket-PARTITIONED parquet index (``partitionBy(bucket)``
-    — new data lands in its bucket directories, existing buckets are never
-    rewritten).  The query probe joins on the partition column, so at scale
-    the scan prunes to the probed bucket directories (broadcast DPP) — a
-    query touches O(bucket) files out of the whole corpus.
+    appended to a bucket-PARTITIONED parquet index via
+    :func:`ann_index_append` (the width comes from the index metadata
+    written once by :func:`ann_index_create` — the corpus is counted at
+    build time only), then queried with :func:`ann_index_probe`.
 
     Invariant under test (the ANN ConsistencySpec): querying the
     incrementally-built index equals the one-shot
@@ -624,53 +714,20 @@ def ann_incremental_topk(
     import shutil
     import tempfile
 
-    #: physical directory cap for the bucket-partitioned index: like the
-    #: metajournal's seg_band, logical buckets scale with the corpus
-    #: (adaptive_bucket_dims) but DIRECTORIES are capped — an append lands
-    #: in <= ANN_INDEX_DIRS dirs however many logical buckets exist, and
-    #: the probe still prunes via DPP on the band column + row-group
-    #: min-max on the bucket data column within a band
-    ANN_INDEX_DIRS = 64
-
     index_root = tempfile.mkdtemp(prefix="kjs-annidx-")
     index_dir = index_root + "/index"
     try:
         emb = _emb(spark, sf_dir)
-        emb = emb.withColumn(
-            "bucket", sign_bucket(F.col("vec"), adaptive_bucket_dims(emb)).cast("int")
-        ).withColumn("bucket_band", F.pmod(F.col("bucket"), F.lit(ANN_INDEX_DIRS)))
+        ann_index_create(emb, index_dir)
         for b in range(n_batches):
-            (
-                emb.filter(F.pmod(F.col("vec_id"), F.lit(n_batches)) == b)
-                .sortWithinPartitions("bucket")
-                .write.mode("append")
-                .partitionBy("bucket_band")
-                .parquet(index_dir)
+            ann_index_append(
+                emb.filter(F.pmod(F.col("vec_id"), F.lit(n_batches)) == b),
+                index_dir,
             )
-        idx = spark.read.parquet(index_dir)
         q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("q_id"),
-            F.col("vec").alias("q_vec"),
-            F.col("bucket").alias("q_bucket"),
-            F.col("bucket_band").alias("q_band"),
+            F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
         )
-        pairs = idx.join(
-            F.broadcast(q),
-            (F.col("bucket_band") == F.col("q_band"))
-            & (F.col("bucket") == F.col("q_bucket"))
-            & (F.col("vec_id") != F.col("q_id")),
-        )
-        scored = pairs.select(
-            "q_id",
-            "vec_id",
-            F.round(cosine(F.col("q_vec"), F.col("vec")), 6).alias("score"),
-        )
-        w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id"))
-        out = (
-            scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= k)
-            .select("q_id", "vec_id", "score", "rk")
-        )
+        out = ann_index_probe(spark, q, index_dir, k)
     except BaseException:
         # a Spark action failing mid-build must not leak the scratch index
         shutil.rmtree(index_root, ignore_errors=True)
@@ -686,8 +743,41 @@ def ann_incremental_topk(
     return out
 
 
+def ann_recall(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """Recall@k of the multiprobe ANN against the exact brute-force top-k,
+    per query — the approximate family's QUALITY metric (the oracle checks
+    prove determinism; this makes the accuracy/cost trade a graded
+    number and regression-guards probe changes: a bucket-width or probe
+    edit that silently tanks recall now fails a floor assertion).
+
+    Scale: both sides are k rows per query (TakeOrdered outputs), so the
+    join and the per-query aggregate are O(queries * k) — negligible next
+    to the searches themselves."""
+    exact = cosine_topk(spark, sf_dir, k).select("q_id", "vec_id")
+    approx = (
+        ann_multiprobe_topk(spark, sf_dir, k)
+        .select("q_id", "vec_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("_h"),
+        )
+        .select(
+            "q_id",
+            F.col("_n").cast("long").alias("n_exact"),
+            F.col("_h").cast("long").alias("n_hit"),
+            round6(F.col("_h") / F.col("_n")).alias("recall"),
+        )
+    )
+
+
 SIM_QUERIES = {
     "e_ann_incremental": ann_incremental_topk,
+    "e_ann_recall": ann_recall,
     "e_cosine_topk": cosine_topk,
     "e_quantize_int8": quantize_int8,
     "e_lsh_buckets": lsh_buckets,
@@ -706,6 +796,22 @@ SIM_ORACLES["e_cosine_pandas"] = SIM_ORACLES["e_cosine_topk"]
 
 # incremental index build == one-shot bucketed search (same oracle)
 SIM_ORACLES["e_ann_incremental"] = SIM_ORACLES["e_ann_bucketed"]
+
+# recall@k: the same division over the two already-verified result
+# definitions (exact top-k as the denominator, multiprobe hits on it as
+# the numerator)
+SIM_ORACLES["e_ann_recall"] = f"""
+    WITH exact AS ({SIM_ORACLES["e_cosine_topk"]}),
+    approx AS ({SIM_ORACLES["e_ann_multiprobe"]})
+    SELECT e.q_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+           FLOOR((COUNT(a.vec_id)::DOUBLE / COUNT(*)) * 1000000.0 + 0.5)
+             / 1000000.0 AS recall
+    FROM exact e LEFT JOIN approx a
+      ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+    GROUP BY e.q_id
+"""
 
 SIM_ORACLES["e_quantize_int8"] = """
     WITH v AS (

@@ -236,8 +236,12 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
-    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
-    rev_pair = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    # NATION_20/NATION_11 rather than TPC-H's FRANCE/GERMANY analogue:
+    # the synthetic sf0.001 corpus has zero (NATION_1, NATION_2) trade
+    # rows in the window, and a gate that can green on an empty result
+    # is vacuous (tools/check_correctness.py now fails those)
+    pair = (F.col("supp_nation") == "NATION_20") & (F.col("cust_nation") == "NATION_11")
+    rev_pair = (F.col("supp_nation") == "NATION_11") & (F.col("cust_nation") == "NATION_20")
     return (
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -593,8 +597,8 @@ ANALYTICS_ORACLES: dict[str, str] = {
           JOIN customer ON o_custkey = c_custkey
           JOIN nation n1 ON s_nationkey = n1.n_nationkey
           JOIN nation n2 ON c_nationkey = n2.n_nationkey
-          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          WHERE ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+                 OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20'))
             AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
             AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         )

@@ -33,9 +33,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: fixed "now" for reproducible queries — mid-day on purpose, so sub-day
-#: TTLs due the same morning are candidates while afternoon ones are not
-EXPIRY_CUTOFF_TS = "2024-02-01 12:00:00"
+#: fixed "now" for reproducible queries — an off-midnight instant so the
+#: coarse DATE predicate and the exact timestamp refine stay distinct
+#: operations, chosen so EVERY graded SF yields a non-empty candidate set
+#: (sf0.001's single expiring head is due 17:43 on this date; a gate that
+#: can pass on zero rows is a vacuous gate) while sf0.01 keeps candidates
+#: on both sides of the cutoff (9 due, 2 not).  Sub-day TTL precision
+#: itself is pinned by test_expiry_loop's 12 h-TTL afternoon-due case.
+EXPIRY_CUTOFF_TS = "2024-02-01 20:00:00"
 
 
 def actions_with_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:

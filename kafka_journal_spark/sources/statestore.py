@@ -15,12 +15,19 @@ Layout (mirrors SURVEY.md §1.3, designed for 100 TB):
   the PHYSICAL partition is ``seg_band = segment % meta_bands`` (default
   256) because parquet directories, unlike Cassandra partition keys, cost
   a filesystem op each — a wide batch fanning into ~10k segment dirs
-  measured 51 s of pure directory churn at sf1.  Writes are INCREMENTAL:
-  a micro-batch rewrites only the band partitions its keys hash into
-  (dynamic partition overwrite) — the Spark shape of the reference's
-  point upserts (``MetaJournalStatements.scala:315-634``) at band
-  granularity; raise ``meta_bands`` toward the segment count for
-  huge-key-count, small-batch deployments.
+  measured 51 s of pure directory churn at sf1.  Writes are MERGE-ON-READ
+  DELTAS: a micro-batch APPENDS one small file per touched band holding
+  the merged head rows of ITS keys only (``delta_seq`` stamps the write
+  order, ``deleted`` tombstones purged keys), so a 1-key trigger costs
+  O(1) files no matter how many keys the band holds — the economics of
+  the reference's per-key point upserts
+  (``MetaJournalStatements.scala:315-634``) on parquet.  ``metajournal()``
+  resolves last-write-wins per (topic, segment, id) with ONE window over
+  the DIRTY bands only (clean bands stream through untouched; a fully
+  folded store pays nothing), and the maintenance pass
+  (``fold_metajournal``, run by the replicator's ``maintain_every``)
+  size-tiers deltas back into the band base with the same per-directory
+  rename-aside swap compaction uses.
 - ``pointers/``    — per-(topic,partition) replicated offsets, partitioned
   by ``topic``, ditto (a batch rewrites only its topics' partitions).
 
@@ -248,8 +255,78 @@ class JournalStore:
             f.write(value)
         os.replace(tmp, self._path(name))
 
-    def _mark_stale(self) -> None:
+    def _mark_stale(self, topics: list[str] | None = None) -> None:
+        """Stamp a fresh store epoch AND record which topics the write
+        touched (``topics=None`` = unknown scope → the whole catalog is
+        dirty).  The dirty-topic set is what lets ``publish_catalog``
+        republish O(written topics) instead of O(table); it is written
+        BEFORE the data lands, so a crash between the two leaves a topic
+        flagged dirty with nothing new — a wasted partition rewrite on the
+        next publication, never a stale catalog."""
+        import json
+
+        cur = self._read_token("_catalog_dirty")
+        if topics is None:
+            val = "*"
+        elif cur == "*":
+            val = "*"
+        else:
+            try:
+                known = set(json.loads(cur)) if cur else set()
+            except ValueError:
+                known = None
+            val = "*" if known is None else json.dumps(sorted(known | set(topics)))
+        self._write_token("_catalog_dirty", val)
         self._write_token("_store_epoch", uuid.uuid4().hex)
+
+    def _dirty_catalog_topics(self) -> list[str] | None:
+        """Topics written since the last catalog publication, or ``None``
+        when the scope is unknown (full republish required)."""
+        import json
+
+        tok = self._read_token("_catalog_dirty")
+        if not tok or tok == "*":
+            return None
+        try:
+            return sorted(set(json.loads(tok)))
+        except ValueError:
+            return None
+
+    def _clear_dirty_catalog_topics(self, published: list[str]) -> None:
+        import json
+
+        cur = self._dirty_catalog_topics()
+        if cur is None:
+            self._write_token("_catalog_dirty", json.dumps([]))
+        else:
+            self._write_token(
+                "_catalog_dirty", json.dumps(sorted(set(cur) - set(published)))
+            )
+
+    # -- metajournal delta bookkeeping ------------------------------------
+    #
+    # Two tiny root tokens drive merge-on-read: ``_meta_dirty`` lists the
+    # bands holding un-folded delta files (bounded by meta_bands entries),
+    # ``_meta_delta_seq`` is the strictly-monotone write stamp.  The dirty
+    # set is marked BEFORE the delta append lands: a crash between the two
+    # leaves a band flagged dirty with no deltas — the resolver's window is
+    # then an identity pass, merely slower, never wrong.  The reverse order
+    # would let a crash hide live deltas behind the clean fast path.
+
+    def _dirty_bands(self) -> list[int]:
+        tok = self._read_token("_meta_dirty")
+        return sorted(int(b) for b in tok.split(",") if b) if tok else []
+
+    def _set_dirty_bands(self, bands: set[int]) -> None:
+        self._write_token("_meta_dirty", ",".join(str(b) for b in sorted(bands)))
+
+    def _next_delta_seq(self) -> int:
+        import time
+
+        last = int(self._read_token("_meta_delta_seq") or 0)
+        seq = max(time.time_ns(), last + 1)
+        self._write_token("_meta_delta_seq", str(seq))
+        return seq
 
     @property
     def _catalog_live(self) -> bool:
@@ -270,21 +347,65 @@ class JournalStore:
         return self._read("journal", JOURNAL_SCHEMA_DDL)
 
     def _metajournal_phys(self) -> DataFrame:
-        """Head table WITH its physical band partition column."""
-        return self._read("metajournal", META_SCHEMA_DDL + ", seg_band long")
+        """Head table WITH its physical band partition column and the
+        delta bookkeeping columns.  Base (folded) files do not carry
+        ``delta_seq``/``deleted`` physically — the explicit read schema
+        surfaces them as NULL, which the resolver orders last / treats as
+        live, so pre-delta stores read unchanged."""
+        return self._read(
+            "metajournal",
+            META_SCHEMA_DDL + ", seg_band long, delta_seq long, deleted boolean",
+        )
+
+    def _resolved_meta(
+        self,
+        bands: list[int] | None = None,
+        segments: list[int] | None = None,
+    ) -> DataFrame:
+        """Last-write-wins resolution of base + delta head rows, windowed
+        over the DIRTY bands only: clean bands (no un-folded deltas) have
+        exactly one row per key by construction and bypass the window, so
+        the merge-on-read tax is O(dirty-band rows), never O(#keys) — and
+        zero on a fully folded store.  Keeps ``seg_band``."""
+        df = self._metajournal_phys()
+        if bands is not None:
+            df = df.filter(F.col("seg_band").isin(bands))
+        if segments is not None:
+            df = df.filter(F.col("segment").isin([int(s) for s in segments]))
+        dirty = self._dirty_bands()
+        if bands is not None:
+            dirty = sorted(set(dirty) & set(bands))
+        helper = ["delta_seq", "deleted"]
+        if not dirty:
+            return df.drop(*helper)
+        clean = df.filter(~F.col("seg_band").isin(dirty)).drop(*helper)
+        w = (
+            Window.partitionBy("topic", "segment", "id")
+            .orderBy(F.desc_nulls_last("delta_seq"))
+        )
+        resolved = (
+            df.filter(F.col("seg_band").isin(dirty))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .filter(~F.coalesce(F.col("deleted"), F.lit(False)))
+            .drop("_rn", *helper)
+        )
+        return clean.unionByName(resolved)
 
     def metajournal(self) -> DataFrame:
-        return self._metajournal_phys().drop("seg_band")
+        return self._resolved_meta().drop("seg_band")
 
     def pointers(self) -> DataFrame:
         return self._read("pointers", POINTERS_SCHEMA_DDL)
 
     # -- writers -----------------------------------------------------------
 
-    def append_journal(self, rows: DataFrame) -> None:
+    def append_journal(self, rows: DataFrame, topics: list[str] | None = None) -> None:
         """Append event rows (partitioned by topic — partition pruning on
-        every topic-scoped read)."""
-        self._mark_stale()  # new tail not yet in the bucketed tables
+        every topic-scoped read).  ``topics`` scopes the catalog
+        staleness to the written topics (the replicator knows them); left
+        None, the whole catalog is marked dirty."""
+        self._mark_stale(topics)  # new tail not yet in the bucketed tables
         rows.write.mode("append").partitionBy("topic").parquet(self._path("journal"))
 
     def swap_metajournal(self, df: DataFrame) -> None:
@@ -298,6 +419,10 @@ class JournalStore:
             sort_cols=["seg_band", "segment", "topic", "id"],
             partition_by=["seg_band"],
         )
+        # the swap replaced every band with pure base; stale dirty flags
+        # would only cost identity windows, but clear them (crash before
+        # this line is the safe direction)
+        self._set_dirty_bands(set())
 
     def swap_pointers(self, df: DataFrame) -> None:
         safe_dir_swap(
@@ -314,67 +439,120 @@ class JournalStore:
         return sorted({int(s) % self.meta_bands for s in segments})
 
     def metajournal_segments(self, segments: list[int]) -> DataFrame:
-        """Head rows of the given segments only — the band filter prunes
-        the scan to those partition directories (check the scan's
+        """Resolved head rows of the given segments only — the band filter
+        prunes the scan to those partition directories (check the scan's
         PartitionFilters) and the ``segment.isin`` narrows within them, so
-        a batch's merge reads O(touched bands), never O(#keys)."""
-        return (
-            self._metajournal_phys()
-            .filter(F.col("seg_band").isin(self._bands_of(segments)))
-            .filter(F.col("segment").isin([int(s) for s in segments]))
-            .drop("seg_band")
-        )
+        a batch's merge reads O(touched segments), never O(#keys)."""
+        return self._resolved_meta(
+            bands=self._bands_of(segments), segments=segments
+        ).drop("seg_band")
 
     def metajournal_bands(self, segments: list[int]) -> DataFrame:
-        """ALL head rows of the bands the given segments hash into — the
-        unit an incremental upsert must carry complete (a band directory
-        is rewritten whole)."""
-        return (
-            self._metajournal_phys()
-            .filter(F.col("seg_band").isin(self._bands_of(segments)))
-            .drop("seg_band")
-        )
+        """ALL resolved head rows of the bands the given segments hash
+        into (the granularity a fold rewrites)."""
+        return self._resolved_meta(bands=self._bands_of(segments)).drop("seg_band")
 
-    def upsert_metajournal(self, df: DataFrame, touched_segments: list[int]) -> None:
-        """Incremental metajournal write: dynamic partition overwrite of
-        ONLY the band partitions the touched segments hash into — the
-        Spark shape of the reference's per-key point upserts
-        (``MetaJournalStatements.scala:315-634``) at directory granularity
-        ``meta_bands``.  A micro-batch touching k keys rewrites at most
-        min(k, meta_bands) directories regardless of total key count, and
-        a WIDE batch (bulk load, backfill) is capped at ``meta_bands``
-        directories — the sf1 measurement that motivated banding: 15k keys
-        over 10k segment dirs cost 51 s of pure directory churn; over 256
-        band dirs the same write is a few seconds.
+    def upsert_metajournal(
+        self,
+        df: DataFrame,
+        touched_segments: list[int],
+        topics: list[str] | None = None,
+    ) -> None:
+        """Incremental metajournal write, merge-on-read shape: APPEND one
+        small delta file per touched band holding the merged head rows of
+        the batch's keys ONLY — never a rewrite of anything.  A 1-key
+        trigger costs O(1) files and zero rewritten rows regardless of
+        total key count (the previous dynamic-partition-overwrite design
+        re-wrote ~1/meta_bands of ALL keys per trigger: ~4M rows per 1-key
+        upsert at 10^9 keys); the reference's per-key point-upsert
+        economics (``MetaJournalStatements.scala:315-634``) on parquet.
 
-        ``df`` must contain the COMPLETE new state of every touched BAND
-        (batch keys merged with ALL rows of the bands they hash into —
-        ``metajournal_bands`` is the matching read).  A touched band left
-        with zero live rows cannot be expressed by dynamic overwrite, so
-        its directory is dropped explicitly.  Crash mid-write affects only
-        touched bands, which the offset guard replays on restart; the
-        metajournal is derived state, re-materializable from the journal
-        in the worst case.
-        """
+        ``df`` carries the full new head row per batch key; an optional
+        ``deleted`` boolean tombstones keys whose head row is gone (purge
+        with nothing after — the reference's metajournal row delete).  The
+        rows are stamped with a strictly-monotone ``delta_seq`` and the
+        resolver keeps the newest row per (topic, segment, id);
+        ``fold_metajournal`` later rewrites dirty bands to pure base.
+
+        Crash safety: the dirty-band token is written first (see the
+        bookkeeping comment above), and a partially-landed append is
+        simply re-merged by the replayed batch under a HIGHER delta_seq —
+        the partial rows lose the window, so replay is idempotent."""
         path = self._path("metajournal")
         _repair_dir(path)
-        self._mark_stale()
-        w = df.withColumn("seg_band", self._seg_band())
+        _repair_partition_baks(path)
+        self._mark_stale(topics)
+        bands = self._bands_of(touched_segments)
+        self._set_dirty_bands(set(self._dirty_bands()) | set(bands))
+        w = df.withColumn("seg_band", self._seg_band()).withColumn(
+            "delta_seq", F.lit(self._next_delta_seq())
+        )
+        if "deleted" not in df.columns:
+            w = w.withColumn("deleted", F.lit(False))
         (
-            w.repartitionByRange("seg_band", "segment", "topic", "id")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
+            w.repartition("seg_band")  # one output file per touched band
+            .write.mode("append")
             .option("maxRecordsPerFile", 4_000_000)
             .partitionBy("seg_band")
             .parquet(path)
         )
-        remaining = {
-            r.seg_band for r in w.select("seg_band").distinct().collect()
-        }
-        for band in set(self._bands_of(touched_segments)) - remaining:
-            band_dir = os.path.join(path, f"seg_band={band}")
-            if os.path.exists(band_dir):
-                shutil.rmtree(band_dir)
+
+    def fold_metajournal(self, *, min_files: int | None = None) -> list[int]:
+        """Size-tiered maintenance fold: rewrite dirty bands' base + delta
+        files into pure base (resolved rows, tombstones physically
+        dropped), using the same per-directory rename-aside swap protocol
+        as journal compaction — a crash mid-fold is repaired dir-by-dir on
+        the next open (``_repair_partition_baks``).  ``min_files`` folds
+        only bands whose file count reached the threshold (the standing
+        replicator's size-tier trigger); bands below it stay dirty and
+        keep resolving on read.  Cost is O(rows in folded bands); clean
+        bands are untouched (file identity pinned in tests).  Returns the
+        bands folded."""
+        import glob
+        import time
+
+        path = self._path("metajournal")
+        _repair_dir(path)
+        _repair_partition_baks(path)
+        dirty = self._dirty_bands()
+        if min_files is not None:
+            def _nfiles(b: int) -> int:
+                d = os.path.join(path, f"seg_band={b}")
+                return sum(
+                    1
+                    for _, _, fs in os.walk(d)
+                    for f in fs
+                    if f.endswith(".parquet")
+                )
+
+            dirty = [b for b in dirty if _nfiles(b) >= min_files]
+        if not dirty:
+            return []
+        for t in glob.glob(f"{path}.*.tmp"):
+            shutil.rmtree(t, ignore_errors=True)
+        resolved = self._resolved_meta(bands=dirty)
+        tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+        (
+            resolved.repartitionByRange("seg_band", "segment", "topic", "id")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", 4_000_000)
+            .partitionBy("seg_band")
+            .parquet(tmp)
+        )
+        for band in dirty:
+            dname = f"seg_band={band}"
+            live = os.path.join(path, dname)
+            fresh = os.path.join(tmp, dname)
+            bak = f"{live}.{time.time_ns():020d}.bak"
+            if os.path.exists(live):
+                os.replace(live, bak)  # rename aside, never rmtree live
+            if os.path.exists(fresh):
+                os.replace(fresh, live)  # band resolved to zero rows: gone
+            if os.path.exists(bak):
+                shutil.rmtree(bak)
+        shutil.rmtree(tmp, ignore_errors=True)
+        self._set_dirty_bands(set(self._dirty_bands()) - set(dirty))
+        return sorted(dirty)
 
     def upsert_pointers(self, df: DataFrame, touched_topics: list[str]) -> None:
         """Incremental pointers write: dynamic overwrite of the batch's
@@ -393,13 +571,37 @@ class JournalStore:
 
     # -- bucketed catalog publication (sources/layout.py as the default) ---
 
+    def _catalog_partial_ready(self) -> bool:
+        """Partial republication requires both catalog tables to exist
+        AND be topic-partitioned (pre-incremental publications left the
+        metajournal table unpartitioned — detected and upgraded by a full
+        republish)."""
+        for suffix in ("journal", "metajournal"):
+            t = f"{self.catalog}_{suffix}"
+            if not self.spark.catalog.tableExists(t):
+                return False
+            if not any(
+                c.isPartition and c.name == "topic"
+                for c in self.spark.catalog.listColumns(t)
+            ):
+                return False
+        return True
+
     def publish_catalog(self) -> None:
-        """Publish the store as id-bucketed, sorted catalog tables — the
-        co-located layout of ``sources/layout.py`` — making the
-        zero-Exchange journal⋈metajournal join the default ``read()`` plan.
-        Aligned bucket counts on both sides are what buy the shuffle-free
-        join; the sort by (id, seq_nr) buys min-max row-group skipping
-        inside each bucket file."""
+        """Publish the store as id-bucketed, sorted, topic-partitioned
+        catalog tables — the co-located layout of ``sources/layout.py`` —
+        making the zero-Exchange journal⋈metajournal join the default
+        ``read()`` plan.  Aligned bucket counts on both sides are what buy
+        the shuffle-free join; the sort by (id, seq_nr) buys min-max
+        row-group skipping inside each bucket file.
+
+        Publication is INCREMENTAL when it can be: every store write
+        records its topics (``_mark_stale``), and a republication
+        dynamic-partition-overwrites ONLY the dirty topics' partitions of
+        both tables (dirty topics that resolved to zero rows get their
+        partitions dropped) — O(written topics), not O(table), per
+        publication.  The full ``saveAsTable`` path remains for the first
+        publication and for writes of unknown scope."""
         assert self.catalog, "construct the store with catalog=<prefix>"
         # capture the epoch BEFORE snapshotting: a write landing while the
         # catalog tables are being built bumps _store_epoch past this token,
@@ -410,24 +612,66 @@ class JournalStore:
         if not tok:
             self._mark_stale()
             tok = self._read_token("_store_epoch")
-        (
-            self.journal()
-            .write.mode("overwrite")
-            .partitionBy("topic")
-            .bucketBy(self.buckets, "id")
-            .sortBy("id", "seq_nr")
-            .format("parquet")
-            .saveAsTable(f"{self.catalog}_journal")
-        )
-        (
-            self.metajournal()
-            .write.mode("overwrite")
-            .bucketBy(self.buckets, "id")
-            .sortBy("id")
-            .format("parquet")
-            .saveAsTable(f"{self.catalog}_metajournal")
-        )
+        dirty = self._dirty_catalog_topics()
+        if dirty is not None and self._catalog_partial_ready():
+            self._publish_catalog_topics(dirty)
+        else:
+            (
+                self.journal()
+                .write.mode("overwrite")
+                .partitionBy("topic")
+                .bucketBy(self.buckets, "id")
+                .sortBy("id", "seq_nr")
+                .format("parquet")
+                .saveAsTable(f"{self.catalog}_journal")
+            )
+            (
+                self.metajournal()
+                .write.mode("overwrite")
+                .partitionBy("topic")
+                .bucketBy(self.buckets, "id")
+                .sortBy("id")
+                .format("parquet")
+                .saveAsTable(f"{self.catalog}_metajournal")
+            )
+        self._clear_dirty_catalog_topics(dirty or [])
         self._write_token("_catalog_epoch", tok)
+
+    def _publish_catalog_topics(self, topics: list[str]) -> None:
+        """Dynamic-partition overwrite of the given topics' catalog
+        partitions (``insertInto`` preserves the tables' bucket/sort spec;
+        verified by the co-located-plan pin in ``test_plans.py``)."""
+        if not topics:
+            return
+        for suffix, df in (
+            ("journal", self.journal()),
+            ("metajournal", self.metajournal()),
+        ):
+            t = f"{self.catalog}_{suffix}"
+            cols = self.spark.table(t).columns  # insertInto is positional
+            fresh = df.filter(F.col("topic").isin(topics)).localCheckpoint(
+                eager=True
+            )
+            # ``insertInto`` reads the overwrite mode from the SESSION conf
+            # (the writer-level option only applies to path-based writes) —
+            # static mode would silently truncate the whole table here
+            key = "spark.sql.sources.partitionOverwriteMode"
+            prev = self.spark.conf.get(key, "static")
+            self.spark.conf.set(key, "dynamic")
+            try:
+                fresh.select(*cols).write.mode("overwrite").insertInto(t)
+            finally:
+                self.spark.conf.set(key, prev)
+            # a dirty topic whose rows all vanished (purge + compaction)
+            # cannot be expressed by dynamic overwrite — drop its partition
+            present = {
+                r.topic for r in fresh.select("topic").distinct().collect()
+            }
+            for gone in set(topics) - present:
+                lit = gone.replace("'", "''")
+                self.spark.sql(
+                    f"ALTER TABLE {t} DROP IF EXISTS PARTITION (topic='{lit}')"
+                )
 
     def _read_catalog(
         self,

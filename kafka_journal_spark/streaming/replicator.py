@@ -119,10 +119,15 @@ def replicate_batch(batch: DataFrame, store: JournalStore) -> None:
     touched_segments = sorted(
         r._seg for r in summ.select("_seg").distinct().collect()
     )
-    # band-complete read: the upsert rewrites whole band directories, so
-    # the merge must carry the touched bands' neighbor keys through (they
-    # pass the full-outer formulas as identity — batch side all-null)
-    old_meta = store.metajournal_bands(touched_segments)
+    # merge-on-read upsert: the store APPENDS per-key head deltas, so the
+    # merge needs only the batch keys' CURRENT heads — segment-pruned scan
+    # narrowed to the batch's keys (a band-complete read would drag every
+    # neighbor key through the merge for nothing)
+    old_meta = store.metajournal_segments(touched_segments).join(
+        F.broadcast(summ.select("topic", "id").distinct()),
+        ["topic", "id"],
+        "left_semi",
+    )
     old = old_meta.select(
         "topic",
         "id",
@@ -230,27 +235,32 @@ def replicate_batch(batch: DataFrame, store: JournalStore) -> None:
         F.col("max_app_seq").isNotNull().alias("_has_app"),
         F.col("post_del").isNotNull().alias("_has_del"),
     )
-    # a purge with nothing after it deletes the head row
-    new_meta = (
-        merged.filter(~(F.col("_purged") & ~F.col("_has_app") & ~F.col("_has_del")))
-        .select(
-            "topic",
-            meta_segment(F.col("id"), SEGMENTS_DEFAULT).alias("segment"),
-            "id",
-            "partition",
-            "offset",
-            "segment_size",
-            "seq_nr",
-            "delete_to",
-            "created",
-            F.to_date("created").alias("created_date"),
-            "updated",
-            "record_id",
-            "expire_after_secs",
-            "expire_on_ts",
-            F.to_date("expire_on_ts").alias("expire_on"),
-        )
+    # a purge with nothing after it deletes the head row — in delta form,
+    # a TOMBSTONE row (deleted=true) the resolver hides and the fold drops
+    heads_all = merged.select(
+        "topic",
+        meta_segment(F.col("id"), SEGMENTS_DEFAULT).alias("segment"),
+        "id",
+        "partition",
+        "offset",
+        "segment_size",
+        "seq_nr",
+        "delete_to",
+        "created",
+        F.to_date("created").alias("created_date"),
+        "updated",
+        "record_id",
+        "expire_after_secs",
+        "expire_on_ts",
+        F.to_date("expire_on_ts").alias("expire_on"),
+        (F.col("_purged") & ~F.col("_has_app") & ~F.col("_has_del")).alias(
+            "deleted"
+        ),
     )
+    # materialize once, BEFORE the store mutates (inputs read from the
+    # same dirs); everything downstream (rid_map, events) derives from it
+    heads_all = heads_all.localCheckpoint(eager=True)
+    new_meta = heads_all.filter(~F.col("deleted")).drop("deleted")
 
     # 3. journal rows: post-purge appends above the final watermark, tagged
     #    with their incarnation
@@ -265,10 +275,10 @@ def replicate_batch(batch: DataFrame, store: JournalStore) -> None:
             & (F.col("offset") > F.coalesce(F.col("_purge_off"), F.lit(-1)))
         )
     )
-    # no broadcast hint: new_meta holds the full state of every TOUCHED
-    # segment (the batch's keys plus their segment neighbors — can still be
-    # large under wide batches) — AQE broadcasts it at runtime while it is
-    # small and shuffle-joins once it is not
+    # no broadcast hint: new_meta holds exactly the batch's keys — can
+    # still be large under wide batches (bulk load, backfill) — AQE
+    # broadcasts it at runtime while it is small and shuffle-joins once
+    # it is not
     rid_map = new_meta.select(
         "topic", "id", F.col("record_id").alias("_rid"), F.col("delete_to").alias("_dt")
     )
@@ -323,13 +333,13 @@ def replicate_batch(batch: DataFrame, store: JournalStore) -> None:
         )
     )
 
-    # materialize BEFORE mutating the store (inputs read from the same dirs)
-    new_meta = new_meta.localCheckpoint(eager=True)
+    # materialize BEFORE mutating the store (inputs read from the same
+    # dirs; heads_all was checkpointed at construction)
     new_ptr = new_ptr.localCheckpoint(eager=True)
     rows = rows.localCheckpoint(eager=True)
 
-    store.append_journal(rows)
-    store.upsert_metajournal(new_meta, touched_segments)
+    store.append_journal(rows, topics=touched_topics)
+    store.upsert_metajournal(heads_all, touched_segments, topics=touched_topics)
     store.upsert_pointers(new_ptr, touched_topics)
 
 
@@ -367,6 +377,9 @@ def run_parquet_replicator(
         n_batches["n"] += 1
         if maintain_every and n_batches["n"] % maintain_every == 0:
             store.compact(min_files=min_files, min_debt=min_debt)
+            # fold head deltas back into band base at the same cadence —
+            # one file per band per trigger otherwise accumulates forever
+            store.fold_metajournal(min_files=min_files)
 
     q = (
         stream.writeStream.foreachBatch(_apply)

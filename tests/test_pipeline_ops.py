@@ -516,6 +516,30 @@ def test_span_clean_emits_rows_for_zero_token_documents(spark):
     assert strict[2] == 9 and keep1[2] < 9
 
 
+def test_ann_recall_floor(spark):
+    """The approximate family's QUALITY gate: multiprobe recall@k against
+    the exact top-k must clear a floor well above its candidate fraction
+    (6-bit buckets + Hamming-1 probes scan ~7/64 ≈ 11% of the corpus; a
+    probe or bucket-width regression that degrades the search toward
+    random sampling drops the average under it).  The single-probe
+    (bucketed/incremental) variant scans ~1/64 and must still beat ITS
+    sampling baseline."""
+    from kafka_journal_spark.functions.similarity import (
+        ann_bucketed_topk,
+        ann_recall,
+        cosine_topk,
+    )
+
+    avg = ann_recall(spark, SF).agg(F.avg("recall")).collect()[0][0]
+    assert avg >= 0.2, avg  # ~2x the 11% candidate fraction
+
+    exact = cosine_topk(spark, SF).select("q_id", "vec_id")
+    single = ann_bucketed_topk(spark, SF).select("q_id", "vec_id")
+    hits = exact.join(single, ["q_id", "vec_id"]).count()
+    n = exact.count()
+    assert n > 0 and hits / n >= 0.05, (hits, n)  # ~3x the 1.6% baseline
+
+
 def test_embedding_clusters_are_transitive_over_neardup_pairs(spark):
     """Every near-dup match pair lands in ONE cluster (the transitivity
     embedding_neardup's one-step canonical cannot give), representatives

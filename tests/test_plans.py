@@ -301,6 +301,26 @@ def test_ann_incremental_probe_gets_dynamic_partition_pruning(spark):
     assert "dynamicpruningexpression(bucket_band" in p, p
 
 
+def test_ann_index_width_cached_in_metadata(spark, monkeypatch):
+    """The sign-bucket width is derived from the corpus ONCE, at index
+    build (``ann_index_create``), and persisted in the index metadata —
+    per-batch appends and the probe must NOT re-count the corpus (two
+    driver actions per call in a maintenance loop otherwise)."""
+    from kafka_journal_spark.functions import similarity as S
+
+    calls = {"n": 0}
+    real = S.adaptive_bucket_dims
+
+    def counting(emb, *a, **kw):
+        calls["n"] += 1
+        return real(emb, *a, **kw)
+
+    monkeypatch.setattr(S, "adaptive_bucket_dims", counting)
+    out = S.ann_incremental_topk(spark, SF, n_batches=3)
+    assert out.count() > 0
+    assert calls["n"] == 1, calls
+
+
 def test_read_journal_tvf_plans_like_store_read(spark, tmp_path):
     """The SQL table function body is inlined, so a call with literal
     topic/id/from must produce the SAME pruned scan the DataFrame path
@@ -342,3 +362,18 @@ def test_duplicate_spans_plan_is_count_and_flag(spark):
     assert p.count("BroadcastHashJoin") >= 1  # dup-gram flag join
     assert "SortMergeJoin" not in p  # no pairing joins anywhere
     assert p.count("Exchange") - p.count("BroadcastExchange") <= 3, p
+
+
+def test_span_keep_first_explodes_merged_intervals_once(spark):
+    """The keep-first cover must explode MERGED intervals, not raw gram
+    hits: per-hit explosion costs hits*l rows on boilerplate-heavy docs
+    (every gram duplicated -> ~doc_len*l), per-interval it costs exactly
+    the covered token count.  Plan shape: the token posexplode plus ONE
+    interval-sequence explode (the gram posexplode sits behind the
+    checkpointed hit relation) — two Generates, the sequence one fed by
+    span_start/span_end, never by a raw hit position."""
+    from kafka_journal_spark.functions.dedup import remove_duplicate_spans
+
+    p = _plan(remove_duplicate_spans(spark, SF, policy="keep_first"))
+    assert p.count("Generate") == 2, p
+    assert "explode(sequence(span_start" in p, p

@@ -99,7 +99,7 @@ def test_restart_after_crash_mid_batch_preserves_authority(spark, tmp_path):
     replicate_batch(batch1, store)
     real_upsert = store.upsert_metajournal
 
-    def _boom(df, segs):
+    def _boom(df, segs, **kw):
         raise RuntimeError("simulated crash after journal append")
 
     store.upsert_metajournal = _boom

@@ -46,6 +46,13 @@ def _normalize(rows, colnames):
     return out
 
 
+#: queries allowed to return 0 rows at a checked SF — every entry needs a
+#: reason; anything else that greens on empty output is a vacuous gate
+#: and fails.  (Currently none: fixtures are tuned so every query
+#: exercises data at sf0.001 and up — see EXPIRY_CUTOFF_TS.)
+ALLOW_EMPTY: set[str] = set()
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -117,6 +124,12 @@ def main():
             print(f"  cols : {sorted(scols)}")
             print(f"  spark: {sres[i]}")
             print(f"  duck : {dres[i]}")
+        elif len(sres) == 0 and name not in ALLOW_EMPTY:
+            # a 0-row Spark result hash-matching a 0-row oracle proves
+            # nothing — the gate must exercise data at every checked SF
+            failures.append(name)
+            record[name] = {"status": "fail", "err": "vacuous pass (0 rows)"}
+            print(f"FAIL {name}: vacuous pass — both sides returned 0 rows")
         else:
             record[name] = {"status": "pass", "rows": len(sres), "gate": name in E.GATE_ORDER}
             print(f"PASS {name}: rows={len(sres)}")
