@@ -61,6 +61,9 @@ HEADLINE = [
     # round-6 additions (additive: r5-vs-r6 comparisons use the shared prefix)
     "m_png_decode",
     "d_span_dedup",
+    # round-7 addition: the ANN quality metric (exact + multiprobe + the
+    # recall division in one query)
+    "e_ann_recall",
 ]
 
 

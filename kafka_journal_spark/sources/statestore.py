@@ -45,7 +45,7 @@ import shutil
 import uuid
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -379,18 +379,26 @@ class JournalStore:
         if not dirty:
             return df.drop(*helper)
         clean = df.filter(~F.col("seg_band").isin(dirty)).drop(*helper)
-        w = (
-            Window.partitionBy("topic", "segment", "id")
-            .orderBy(F.desc_nulls_last("delta_seq"))
-        )
+        # newest-wins as ONE hash-aggregate (max_by on the write stamp;
+        # base rows sort at -1) — partial aggregation collapses a key's
+        # delta copies map-side and nothing is sorted, unlike a
+        # row_number window which shuffles AND sorts every row
+        keys = ["topic", "segment", "id"]
+        payload = [c for c in df.columns if c not in keys]
+        dirty_rows = df.filter(F.col("seg_band").isin(dirty))
         resolved = (
-            df.filter(F.col("seg_band").isin(dirty))
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
+            dirty_rows.groupBy(*keys)
+            .agg(
+                F.max_by(
+                    F.struct(*payload),
+                    F.coalesce(F.col("delta_seq"), F.lit(-1)),
+                ).alias("_r")
+            )
+            .select(*keys, *[F.col(f"_r.{c}").alias(c) for c in payload])
             .filter(~F.coalesce(F.col("deleted"), F.lit(False)))
-            .drop("_rn", *helper)
+            .drop(*helper)
         )
-        return clean.unionByName(resolved)
+        return clean.unionByName(resolved.select(*clean.columns))
 
     def metajournal(self) -> DataFrame:
         return self._resolved_meta().drop("seg_band")

@@ -123,10 +123,12 @@ def replicate_batch(batch: DataFrame, store: JournalStore) -> None:
     # merge needs only the batch keys' CURRENT heads — segment-pruned scan
     # narrowed to the batch's keys (a band-complete read would drag every
     # neighbor key through the merge for nothing)
+    # no broadcast hint on the key narrowing: a 1-key trigger's key set is
+    # trivially broadcast by AQE, but a WIDE batch (bulk load) carries
+    # O(batch keys) rows and a forced broadcast would build and ship that
+    # hash relation to every task
     old_meta = store.metajournal_segments(touched_segments).join(
-        F.broadcast(summ.select("topic", "id").distinct()),
-        ["topic", "id"],
-        "left_semi",
+        summ.select("topic", "id").distinct(), ["topic", "id"], "left_semi"
     )
     old = old_meta.select(
         "topic",

@@ -115,17 +115,18 @@ def test_fold_min_files_size_tiers(spark, tmp_path):
     assert store._dirty_bands() == []
 
 
-def test_resolver_fast_path_skips_window_when_folded(spark, tmp_path):
+def test_resolver_fast_path_skips_merge_when_folded(spark, tmp_path):
     """A fully folded store's metajournal() plans WITHOUT the
-    last-write-wins window — the merge-on-read tax is zero once deltas
-    are folded (and O(dirty bands) before)."""
+    last-write-wins resolution (the max_by hash-aggregate) — the
+    merge-on-read tax is zero once deltas are folded (and O(dirty bands)
+    before)."""
     store = JournalStore(spark, str(tmp_path / "s"))
     replicate_batch(make_actions(spark, [append("k", 1)]), store)
     dirty_plan = store.metajournal()._jdf.queryExecution().executedPlan().toString()
-    assert "Window" in dirty_plan
+    assert "max_by" in dirty_plan
     store.fold_metajournal()
     clean_plan = store.metajournal()._jdf.queryExecution().executedPlan().toString()
-    assert "Window" not in clean_plan
+    assert "max_by" not in clean_plan and "HashAggregate" not in clean_plan
 
 
 def _table_location(spark, table: str) -> str:
