@@ -306,13 +306,20 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
     b = emb.select(
         F.col("vec_id").alias("j"), F.col("vec").alias("vb"), F.col("bucket").alias("pb")
     )
+    # score BEFORE deduplicating: a pair can meet in up to two probe
+    # buckets (i probing j's bucket and j probing i's), so deduping first
+    # looks thrifty — but dropDuplicates SHUFFLES its input, and here the
+    # input carries both vectors (~0.5 KB/row; the sf10 probe measured
+    # ~290M candidate rows ≈ 160 GB through the exchange, 527 s).  Scoring
+    # map-side costs at most 2x the (cheap, codegen'd) cosine evals and
+    # the exchange then carries only the tau survivors' (i, j) ids.
     return (
         a.join(b, "pb")
         .filter(F.col("i") < F.col("j"))
-        .dropDuplicates(["i", "j"])
         .withColumn("s", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("s") >= F.lit(tau))
         .select("i", "j")
+        .dropDuplicates(["i", "j"])
     )
 
 

@@ -42,7 +42,11 @@ def get_spark(app_name: str = "kafka-journal-spark", cpus: int | None = None) ->
         # packing sane while letting minPartitionNum actually take effect
         .config("spark.sql.files.openCostInBytes", str(128 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode heap serves all executor threads: 8g across 32 tasks
+        # is 250 MB each and the sf10 probe logged GCLocker retry warnings
+        # under it; 16g keeps headroom while staying far under the
+        # container's RAM (cluster deployments size executors explicitly)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

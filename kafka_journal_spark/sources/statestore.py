@@ -895,6 +895,14 @@ class JournalStore:
         # a crashed earlier compaction may have left an orphan staging dir
         for t in glob.glob(self._path("_journal.*.tmp")):
             shutil.rmtree(t, ignore_errors=True)
+        # compaction is the store's maintenance entry point, so it also
+        # folds head deltas: full compaction folds every dirty band; the
+        # health-driven form folds bands at the same file-count tier it
+        # uses for journal topics.  Folding never changes visible rows,
+        # so it neither stales nor republishes the catalog.
+        self.fold_metajournal(
+            min_files=min_files if (min_debt is not None or min_files is not None) else None
+        )
         if topics is None:
             if min_debt is None and min_files is None:
                 topics = [

@@ -378,10 +378,10 @@ def run_parquet_replicator(
         replicate_batch(df, store)
         n_batches["n"] += 1
         if maintain_every and n_batches["n"] % maintain_every == 0:
+            # compact() is the full maintenance pass: journal small-file
+            # merge/debt drop AND the metajournal delta fold (one file per
+            # band per trigger otherwise accumulates forever)
             store.compact(min_files=min_files, min_debt=min_debt)
-            # fold head deltas back into band base at the same cadence —
-            # one file per band per trigger otherwise accumulates forever
-            store.fold_metajournal(min_files=min_files)
 
     q = (
         stream.writeStream.foreachBatch(_apply)
