@@ -694,7 +694,11 @@ GATE_ORDER = [
     "d_span_dedup",
     "d_dedup_exact",
     "d_ngram_jaccard",
-    "d_minhash_lsh",
+    # d_lsh_recall's oracle recomputes BOTH the exact-Jaccard truth set
+    # and the minhash-band candidate set and grades their division, so it
+    # subsumes d_minhash_lsh in the gate window (the pair-level values
+    # stay locally verified as extras)
+    "d_lsh_recall",
     "d_dedup_clusters",
     "d_simhash_sigs",
     # embedding similarity (e_ann_recall's oracle recomputes BOTH the

@@ -202,7 +202,20 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = _band_relation(sigs)
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    # signature agreement is computed BEFORE the pair dedup (perf lesson 4,
+    # BASELINE.md round 7: dropDuplicates is an exchange of its full input
+    # row — shrink wide rows map-side first; the estimate is deterministic
+    # per pair, so deduping after scoring yields the identical set)
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(float(MINHASH_K))
+    )
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -212,20 +225,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            round6(est).alias("est_jaccard"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
-            )
-        ).cast("double")
-        / F.lit(float(MINHASH_K))
-    )
-    return cand.select("doc_a", "doc_b", round6(est).alias("est_jaccard"))
 
 
 def _band_relation(sigs: DataFrame) -> DataFrame:
@@ -1091,6 +1094,24 @@ DEDUP_ORACLES["d_pipeline_e2e"] = f"""
 # batched index-probe implementation
 DEDUP_ORACLES["d_lsh_incremental"] = DEDUP_ORACLES["d_minhash_lsh"]
 
+# LSH candidate recall: the same division over the two already-verified
+# pair definitions (exact capped-shingle Jaccard as truth, band candidates
+# as hits)
+DEDUP_ORACLES["d_lsh_recall"] = f"""
+    WITH truth AS (
+      SELECT doc_a, doc_b FROM ({DEDUP_ORACLES["d_ngram_jaccard"]})
+    ),
+    cand AS (
+      SELECT doc_a, doc_b FROM ({DEDUP_ORACLES["d_minhash_lsh"]})
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(COUNT(c.doc_a) AS BIGINT) AS n_hit,
+           FLOOR((COUNT(c.doc_a)::DOUBLE / COUNT(*)) * 1000000.0 + 0.5)
+             / 1000000.0 AS recall
+    FROM truth t LEFT JOIN cand c
+      ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+"""
+
 # multiprobe simhash: sig CTE identical to d_simhash_sigs, then probe-set
 # containment expressed as "prefix distance <= 1" (xor popcount on the
 # prefix), plus the full-width hamming cap
@@ -1526,7 +1547,40 @@ DEDUP_ORACLES["d_pipeline_e2e"] = f"""
 """
 
 
+def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate recall of MinHash-LSH banding against the exact
+    capped-shingle Jaccard >= threshold pairs — the text-dedup family's
+    QUALITY metric (the sibling of ``e_ann_recall`` for embeddings): the
+    oracle checks prove the banding is deterministic; this grades how much
+    of the true near-dup set the K/bands layout actually surfaces, and a
+    signature or banding regression that silently tanks recall fails the
+    pytest floor.
+
+    One corpus-level row: both inputs are already-verified pair relations,
+    so the extra cost is one join + one aggregate over O(near-dup pairs).
+    """
+    truth = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cand = (
+        minhash_lsh_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        truth.join(cand, ["doc_a", "doc_b"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("_h"),
+        )
+        .select(
+            F.col("_n").cast("long").alias("n_true"),
+            F.col("_h").cast("long").alias("n_hit"),
+            round6(F.col("_h") / F.col("_n")).alias("recall"),
+        )
+    )
+
+
 DEDUP_QUERIES = {
+    "d_lsh_recall": lsh_recall,
     "d_span_dedup": duplicate_spans,
     "d_span_clean": remove_duplicate_spans,
     "d_span_clean_keep1": span_clean_keep_first,

@@ -540,6 +540,19 @@ def test_ann_recall_floor(spark):
     assert n > 0 and hits / n >= 0.05, (hits, n)  # ~3x the 1.6% baseline
 
 
+def test_lsh_recall_floor(spark):
+    """The MinHash-LSH banding must surface (nearly) every true
+    capped-shingle Jaccard >= 0.5 pair on the graded corpora — its
+    near-dups sit far above the threshold, where the K=16/4-band
+    S-curve is ~flat at 1.0, so anything below the floor means a
+    signature or banding regression, not corpus noise."""
+    from kafka_journal_spark.functions.dedup import lsh_recall
+
+    row = lsh_recall(spark, SF).collect()[0]
+    assert row.n_true > 0
+    assert row.recall >= 0.9, row
+
+
 def test_embedding_clusters_are_transitive_over_neardup_pairs(spark):
     """Every near-dup match pair lands in ONE cluster (the transitivity
     embedding_neardup's one-step canonical cannot give), representatives
