@@ -851,6 +851,34 @@ class JournalStore:
             )
         )
 
+    def meta_health(self) -> DataFrame:
+        """Per-band metajournal maintenance signal: physical file count
+        and the dirty flag (un-folded deltas present) — what
+        ``fold_metajournal(min_files=...)`` consults, surfaced as a
+        DataFrame for schedulers/dashboards.  Pure filesystem metadata
+        (one directory walk), zero data read — the O(#dirs) cost an
+        object-store listing already pays."""
+        path = self._path("metajournal")
+        dirty = set(self._dirty_bands())
+        rows = []
+        if os.path.isdir(path):
+            for entry in sorted(os.listdir(path)):
+                if not entry.startswith("seg_band=") or entry.endswith(
+                    (".bak", ".tmp")
+                ):
+                    continue
+                band = int(entry[len("seg_band="):])
+                n = sum(
+                    1
+                    for _, _, fs in os.walk(os.path.join(path, entry))
+                    for f in fs
+                    if f.endswith(".parquet")
+                )
+                rows.append((band, n, band in dirty))
+        return self.spark.createDataFrame(
+            rows or [], "band long, n_files long, dirty boolean"
+        )
+
     def compact(
         self,
         topics: list[str] | None = None,

@@ -103,6 +103,16 @@ def test_fold_preserves_reads_and_drops_tombstones(spark, tmp_path):
     assert raw.count() == len(before_state)
 
 
+def test_meta_health_reports_band_files_and_dirty(spark, tmp_path):
+    store = JournalStore(spark, str(tmp_path / "s"))
+    replicate_batch(make_actions(spark, [append("k", 1)]), store)
+    h = {r.band: (r.n_files, r.dirty) for r in store.meta_health().collect()}
+    assert h and all(d for _, d in h.values())
+    store.fold_metajournal()
+    h2 = {r.band: (r.n_files, r.dirty) for r in store.meta_health().collect()}
+    assert h2 and not any(d for _, d in h2.values())
+
+
 def test_fold_min_files_size_tiers(spark, tmp_path):
     """min_files gates the fold per band: below the threshold nothing is
     rewritten and the band stays dirty (still resolving on read)."""
