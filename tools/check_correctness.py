@@ -69,6 +69,11 @@ def main():
     os_.update(E.extra_oracle_sql())
 
     con = duckdb.connect()
+    # an in-memory DuckDB cannot spill without an explicit temp dir, so a
+    # big oracle (500k-doc token-position explodes at sf10) hard-OOMs next
+    # to the resident Spark JVM instead of going out-of-core
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET max_temp_directory_size='60GB'")
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():
