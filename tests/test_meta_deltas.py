@@ -149,6 +149,25 @@ def _table_location(spark, table: str) -> str:
     return loc[len("file:"):] if loc.startswith("file:") else loc
 
 
+def test_second_instance_reads_deltas_and_folds(spark, tmp_path):
+    """The delta bookkeeping (dirty bands, write stamps) lives in store
+    ROOT tokens, not instance memory: a FRESH JournalStore over the same
+    root resolves another instance's un-folded deltas, can fold them, and
+    the first instance keeps reading correctly afterwards."""
+    root = str(tmp_path / "s")
+    a = JournalStore(spark, root)
+    replicate_batch(make_actions(spark, [append("k", 1)]), a)
+    replicate_batch(make_actions(spark, [append("k", 2)], offset_base=10), a)
+
+    b = JournalStore(spark, root)
+    assert b._dirty_bands() != []
+    assert {r.id: r.seq_nr for r in b.metajournal().collect()} == {"k": 2}
+    assert b.fold_metajournal() != []
+    # A sees B's fold through the on-disk token — clean fast path, same rows
+    assert a._dirty_bands() == []
+    assert {r.id: r.seq_nr for r in a.metajournal().collect()} == {"k": 2}
+
+
 def test_partial_catalog_publication_scopes_to_dirty_topics(spark, tmp_path):
     try:
         store = JournalStore(spark, str(tmp_path / "s"), catalog="t_partial")
