@@ -71,6 +71,10 @@ def test_incremental_equals_batch_randomized(spark, tmp_path):
         for lo, hi in zip(bounds, bounds[1:]):
             if lo < hi:
                 replicate_batch(make_actions(spark, acts[lo:hi], offset_base=lo), store)
+                # merge-on-read invariant: folding head deltas at ANY batch
+                # boundary is a pure physical rewrite — outcomes unchanged
+                if rng.random() < 0.5:
+                    store.fold_metajournal()
         assert _got(store) == _expected(spark, acts), (trial, cuts, acts)
         # heads agree with the batch materializer too
         from kafka_journal_spark.operators.replicate import materialize_metajournal
