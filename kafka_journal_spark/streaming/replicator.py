@@ -102,8 +102,6 @@ def replicate_batch(batch: DataFrame, store: JournalStore) -> None:
         .drop("_ptr_off")
     )
     fresh = fresh.localCheckpoint(eager=True)  # cut the lineage once per batch
-    if fresh.isEmpty():
-        return
 
     # 2. per-key collapse -> batch summary, merged with existing heads.
     #    The merge reads ONLY the metajournal segments the batch's keys hash
@@ -119,6 +117,11 @@ def replicate_batch(batch: DataFrame, store: JournalStore) -> None:
     touched_segments = sorted(
         r._seg for r in summ.select("_seg").distinct().collect()
     )
+    # the segment collect doubles as the emptiness guard (one driver
+    # action instead of a separate isEmpty scan per trigger): mark-only
+    # batches still summarize to rows, so empty here means nothing fresh
+    if not touched_segments:
+        return
     # merge-on-read upsert: the store APPENDS per-key head deltas, so the
     # merge needs only the batch keys' CURRENT heads — segment-pruned scan
     # narrowed to the batch's keys (a band-complete read would drag every
