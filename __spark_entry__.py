@@ -695,15 +695,18 @@ GATE_ORDER = [
     "d_dedup_exact",
     "d_ngram_jaccard",
     # d_lsh_recall's oracle recomputes BOTH the exact-Jaccard truth set
-    # and the minhash-band candidate set and grades their division, so it
-    # subsumes d_minhash_lsh in the gate window (the pair-level values
-    # stay locally verified as extras)
+    # and the minhash-band candidate set and grades their division PLUS
+    # order-free integer checksums over both relations' per-pair values
+    # (round-8 advice: counts alone would pass a regression that kept the
+    # sets but perturbed jaccard/est_jaccard), so it subsumes
+    # d_minhash_lsh in the gate window
     "d_lsh_recall",
     "d_dedup_clusters",
     "d_simhash_sigs",
     # embedding similarity (e_ann_recall's oracle recomputes BOTH the
-    # exact and the multiprobe definitions and grades their division, so
-    # it subsumes e_ann_multiprobe in the gate window)
+    # exact and the multiprobe definitions and grades their division PLUS
+    # per-query score checksums over both sides — a probe regression that
+    # keeps hit sets but perturbs scores fails the gate)
     "e_cosine_topk",
     "e_ann_recall",
     "e_quantize_int8",

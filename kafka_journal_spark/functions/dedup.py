@@ -1099,17 +1099,28 @@ DEDUP_ORACLES["d_lsh_incremental"] = DEDUP_ORACLES["d_minhash_lsh"]
 # as hits)
 DEDUP_ORACLES["d_lsh_recall"] = f"""
     WITH truth AS (
-      SELECT doc_a, doc_b FROM ({DEDUP_ORACLES["d_ngram_jaccard"]})
+      SELECT doc_a, doc_b, jaccard FROM ({DEDUP_ORACLES["d_ngram_jaccard"]})
     ),
     cand AS (
-      SELECT doc_a, doc_b FROM ({DEDUP_ORACLES["d_minhash_lsh"]})
+      SELECT doc_a, doc_b, est_jaccard FROM ({DEDUP_ORACLES["d_minhash_lsh"]})
+    ),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+             CAST(COUNT(c.doc_a) AS BIGINT) AS n_hit,
+             FLOOR((COUNT(c.doc_a)::DOUBLE / COUNT(*)) * 1000000.0 + 0.5)
+               / 1000000.0 AS recall,
+             CAST(COALESCE(SUM(CAST(FLOOR(t.jaccard * 1000000.0 + 0.5)
+               AS BIGINT)), 0) AS BIGINT) AS truth_jac_e6
+      FROM truth t LEFT JOIN cand c
+        ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    ),
+    c2 AS (
+      SELECT CAST(COALESCE(SUM(CAST(FLOOR(est_jaccard * 1000000.0 + 0.5)
+               AS BIGINT)), 0) AS BIGINT) AS cand_est_e6
+      FROM cand
     )
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
-           CAST(COUNT(c.doc_a) AS BIGINT) AS n_hit,
-           FLOOR((COUNT(c.doc_a)::DOUBLE / COUNT(*)) * 1000000.0 + 0.5)
-             / 1000000.0 AS recall
-    FROM truth t LEFT JOIN cand c
-      ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    SELECT t.n_true, t.n_hit, t.recall, t.truth_jac_e6, c2.cand_est_e6
+    FROM t, c2
 """
 
 # multiprobe simhash: sig CTE identical to d_simhash_sigs, then probe-set
@@ -1558,24 +1569,40 @@ def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One corpus-level row: both inputs are already-verified pair relations,
     so the extra cost is one join + one aggregate over O(near-dup pairs).
-    """
-    truth = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    cand = (
-        minhash_lsh_pairs(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .withColumn("_hit", F.lit(1))
+
+    The row also carries order-free integer checksums over BOTH relations'
+    per-pair values (``sum(floor(v * 1e6 + 0.5))`` — exact long sums, so
+    aggregation order can't perturb them): a regression that keeps the
+    candidate/truth SETS identical but perturbs per-pair jaccard /
+    est_jaccard values now fails this gate instead of passing on counts
+    alone (round-8 advice)."""
+    e6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")  # noqa: E731
+    truth = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    cand = minhash_lsh_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", "est_jaccard"
     )
-    return (
-        truth.join(cand, ["doc_a", "doc_b"], "left")
-        .agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.sum(F.coalesce("_hit", F.lit(0))).alias("_h"),
+    hit = truth.join(
+        cand.select("doc_a", "doc_b").withColumn("_hit", F.lit(1)),
+        ["doc_a", "doc_b"],
+        "left",
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.coalesce("_hit", F.lit(0))).alias("_h"),
+        F.coalesce(F.sum(e6(F.col("jaccard"))), F.lit(0).cast("long")).alias(
+            "truth_jac_e6"
+        ),
+    )
+    csum = cand.agg(
+        F.coalesce(F.sum(e6(F.col("est_jaccard"))), F.lit(0).cast("long")).alias(
+            "cand_est_e6"
         )
-        .select(
-            F.col("_n").cast("long").alias("n_true"),
-            F.col("_h").cast("long").alias("n_hit"),
-            round6(F.col("_h") / F.col("_n")).alias("recall"),
-        )
+    )
+    return hit.crossJoin(csum).select(
+        F.col("_n").cast("long").alias("n_true"),
+        F.col("_h").cast("long").alias("n_hit"),
+        round6(F.col("_h") / F.col("_n")).alias("recall"),
+        "truth_jac_e6",
+        "cand_est_e6",
     )
 
 

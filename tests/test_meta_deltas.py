@@ -240,3 +240,113 @@ def test_partial_publication_drops_emptied_topic_partition(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_gone_journal")
         spark.sql("DROP TABLE IF EXISTS t_gone_metajournal")
+
+
+def test_concurrent_write_survives_publication_dirty_reset(spark, tmp_path):
+    """The publish-during-write race (round-8 advice): a writer pre-marks
+    its topic dirty, a concurrent publication consumes the dirty token and
+    scans BEFORE the writer's data lands, then the data lands.  The
+    post-write mark must (a) keep that publication stale and (b) leave the
+    topic dirty so the NEXT publication republishes it with the data —
+    the old clear-at-the-end design erased the topic from the dirty set
+    and the next publication no-op'd itself live over a stale catalog."""
+    try:
+        store = JournalStore(spark, str(tmp_path / "s"), catalog="t_race")
+        replicate_batch(make_actions(spark, [append("a", 1)]), store)
+        store.publish_catalog()
+        assert store._catalog_live
+
+        # interleave by hand: pre-mark fires, publication runs, THEN the
+        # data lands and the post-mark fires (the exact window a
+        # scheduler-thread publish_catalog hits against the replicator)
+        rows = store.journal().filter(F.col("seq_nr") == 1).withColumn(
+            "seq_nr", F.lit(2).cast("long")
+        ).localCheckpoint(eager=True)
+        store._mark_stale(["journal"])               # writer: pre-mark
+        store.publish_catalog()                      # concurrent publication
+        rows.write.mode("append").partitionBy("topic").parquet(
+            store._path("journal")
+        )                                            # writer: data lands
+        store._mark_stale(["journal"])               # writer: post-mark
+
+        # the publication that raced the write must grade stale, and the
+        # topic must still be dirty for the next one
+        assert not store._catalog_live
+        assert store._dirty_catalog_topics() == ["journal"]
+
+        store.publish_catalog()
+        assert store._catalog_live
+        assert {
+            (r.id, r.seq_nr) for r in store.read().collect()
+        } == {("a", 1), ("a", 2)}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_race_journal")
+        spark.sql("DROP TABLE IF EXISTS t_race_metajournal")
+
+
+def test_stale_catalog_with_empty_dirty_set_escalates_to_full_republish(
+    spark, tmp_path
+):
+    """A stale epoch with an EMPTY dirty token is the lost-mark signature
+    (crash between the publication's dirty reset and its epoch stamp):
+    the next publication must treat the scope as unknown and republish
+    everything rather than no-op itself live."""
+    try:
+        store = JournalStore(spark, str(tmp_path / "s"), catalog="t_lost")
+        replicate_batch(make_actions(spark, [append("a", 1)]), store)
+        store.publish_catalog()
+        replicate_batch(
+            make_actions(spark, [append("a", 2)], offset_base=100), store
+        )
+        # simulate the lost mark: epoch moved (write above) but the dirty
+        # token was wiped without the epoch stamp
+        import json
+
+        store._write_token("_catalog_dirty", json.dumps([]))
+        assert not store._catalog_live
+
+        store.publish_catalog()
+        assert store._catalog_live
+        assert {(r.id, r.seq_nr) for r in store.read().collect()} == {
+            ("a", 1),
+            ("a", 2),
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_lost_journal")
+        spark.sql("DROP TABLE IF EXISTS t_lost_metajournal")
+
+
+def test_wide_batch_takes_band_complete_path_and_leaves_no_debt(spark, tmp_path):
+    """A batch touching >= half of all bands is a bulk load: it must land
+    band-complete (no delta files, no dirty flags, zero merge-on-read debt
+    for later batches) while producing exactly the same visible state the
+    delta path would."""
+    store = JournalStore(spark, str(tmp_path / "w"), meta_bands=4)
+    keys = [f"key-{i:03d}" for i in range(64)]  # 64 segments -> all 4 bands
+    replicate_batch(make_actions(spark, [append(k, 1) for k in keys]), store)
+
+    assert store._dirty_bands() == []  # bulk load left the store folded
+    meta = store._path("metajournal")
+    # pure base: no file carries the delta bookkeeping columns
+    phys = spark.read.parquet(meta)
+    assert "delta_seq" not in phys.columns
+    assert {r.id: r.seq_nr for r in store.metajournal().collect()} == {
+        k: 1 for k in keys
+    }
+
+    # a second bulk batch merges idempotently (update half, keep half)
+    replicate_batch(
+        make_actions(spark, [append(k, 2) for k in keys[:32]], offset_base=1000),
+        store,
+    )
+    assert store._dirty_bands() == []
+    got = {r.id: r.seq_nr for r in store.metajournal().collect()}
+    assert got == {k: (2 if k in set(keys[:32]) else 1) for k in keys}
+
+    # a narrow batch afterwards still takes the delta path
+    replicate_batch(
+        make_actions(spark, [append("key-000", 3)], offset_base=2000), store
+    )
+    assert store._dirty_bands() != []
+    got = {r.id: r.seq_nr for r in store.metajournal().collect()}["key-000"]
+    assert got == 3

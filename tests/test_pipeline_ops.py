@@ -576,3 +576,67 @@ def test_embedding_clusters_are_transitive_over_neardup_pairs(spark):
         for r in embedding_clusters(spark, SF, algorithm="star").collect()
     }
     assert star == labels
+
+
+def _mk_emb(spark, vec_rows):
+    """(vec_id, vec) rows -> the _neardup_pairs_from input shape."""
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], "l") for i, v in vec_rows],
+        "vec_id long, vec array<double>, label string",
+    )
+
+
+def test_fat_bucket_splits_by_extra_sign_bits(spark):
+    """A primary sign-bucket over BUCKET_OCCUPANCY_CAP must split on the
+    following sign bits: with tau=-1 (every candidate survives) the pair
+    count is exactly sum-of-C(group,2) over the sub-sign groups — the
+    occupancy^2 term the sf10 probe measured growing 31x per 10x vectors
+    is gone — while a bucket AT/UNDER the cap keeps the full C(n,2)."""
+    from math import comb
+
+    from kafka_journal_spark.functions.similarity import (
+        BUCKET_OCCUPANCY_CAP,
+        _neardup_pairs_from,
+    )
+
+    # 400 vectors, all-positive first 6 dims -> one primary bucket (63);
+    # dims 6..7 signs split them into 4 groups of 100
+    rows = []
+    for g, (s6, s7) in enumerate([(1, 1), (1, -1), (-1, 1), (-1, -1)]):
+        for m in range(100):
+            vec = [1.0] * 6 + [s6 * 1.0, s7 * 1.0] + [0.1 * (m % 7)] * 8
+            rows.append((g * 100 + m, vec))
+    n_pairs = _neardup_pairs_from(_mk_emb(spark, rows), tau=-1.0).count()
+    assert n_pairs == 4 * comb(100, 2), n_pairs  # not comb(400, 2)
+
+    # at/under the cap: no split, full C(n,2)
+    small = [
+        (i, [1.0] * 6 + [(-1.0) ** i, (-1.0) ** (i // 2)] + [0.5] * 8)
+        for i in range(BUCKET_OCCUPANCY_CAP)
+    ]
+    n_small = _neardup_pairs_from(_mk_emb(spark, small), tau=-1.0).count()
+    assert n_small == comb(BUCKET_OCCUPANCY_CAP, 2), n_small
+
+
+def test_split_masks_use_target_bucket_width(spark):
+    """Hamming-1 cross-bucket pairs mask the prober's sub-key by the
+    TARGET (larger vec_id) bucket's split width — an under-cap bucket
+    paired against a split bucket still meets everything in it that
+    agrees under the split bucket's mask."""
+    from kafka_journal_spark.functions.similarity import _neardup_pairs_from
+
+    rows = []
+    # fat bucket 63 (all dims >= 0): 256 vectors, dims6..7 split 4 ways
+    for m in range(256):
+        s6, s7 = (1 if m % 2 else -1), (1 if (m // 2) % 2 else -1)
+        rows.append((100 + m, [1.0] * 6 + [s6 * 1.0, s7 * 1.0] + [0.2] * 8))
+    # one lone vector in bucket 62 (dim0 negative), sub-signs (+,+)
+    rows.append((0, [-1.0] + [1.0] * 5 + [1.0, 1.0] + [0.2] * 8))
+    pairs = _neardup_pairs_from(_mk_emb(spark, rows), tau=-1.0)
+    # occupancy 256 needs exactly ONE extra bit (256 <= cap * 2), so the
+    # fat bucket splits on dim-6 sign only; the lone (+,+) prober meets
+    # the s6=+1 half: 128 members
+    lone = pairs.filter("i = 0").count()
+    assert lone == 128, lone

@@ -1,0 +1,59 @@
+"""Recovery-read latency SLO vs the reference ceilings
+(``JournalPerfSpec.scala:116-117``: a journal recovers in <= 1 s, <= 2 s
+in the slower shape): p50/p95 of single-key ``read()`` over hash-sampled
+keys of a replicated, catalog-published store — via BOTH the live-parquet
+and the bucketed-catalog read paths.
+
+The harness (``tools/bench_read_slo.py``) runs as a subprocess with its
+own local[N] session — same methodology as the recorded BASELINE.md
+numbers, not the test fixture's local[4] (whose per-read latency is
+scheduler-bound and would need its own calibration).  The sf0.1 form
+always runs; the sf10 decade runs when the scale dir exists.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF10 = os.path.join(REPO, ".scale", "sf10")
+
+
+def _run_tool(sf_dir: str, n_keys: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "bench_read_slo.py"),
+         sf_dir, str(n_keys)],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=1200,
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    return json.loads(p.stdout.strip().splitlines()[-1])
+
+
+def _assert_slo(res):
+    for path, v in res["paths"].items():
+        assert v["p50"] <= 1.0, (path, v)  # reference fast ceiling
+        assert v["p95"] <= 2.0, (path, v)  # reference slow ceiling
+    # the bucketed co-located catalog layout must beat (or at worst match,
+    # within 10% host noise) the raw parquet path — it exists to make the
+    # single-key recovery read cheap
+    assert (
+        res["paths"]["catalog"]["p50"] <= res["paths"]["parquet"]["p50"] * 1.1
+    ), res
+
+
+def test_read_slo_sf01():
+    res = _run_tool("/root/testdata/sf0.1", n_keys=20)
+    assert res["n_keys"] == 20
+    _assert_slo(res)
+
+
+@pytest.mark.skipif(not os.path.exists(SF10), reason="sf10 scale dir not built")
+def test_read_slo_sf10():
+    res = _run_tool(SF10, n_keys=30)
+    _assert_slo(res)

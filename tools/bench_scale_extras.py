@@ -59,17 +59,20 @@ def main():
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "scale_extras_single_pass",
-                "unit": "sec",
-                "sf_dir": sf_dir,
-                "queries": timings,
-                "value": round(sum(timings.values()), 4),
-            }
-        )
-    )
+    out = {
+        "metric": "scale_extras_single_pass",
+        "unit": "sec",
+        "sf_dir": sf_dir,
+        "queries": timings,
+        "value": round(sum(timings.values()), 4),
+    }
+    # pair-family scaling telemetry: post-split occupancy must stay
+    # bounded however hot the corpus's semantic clusters run
+    if any(n in timings for n in ("d_embedding_neardup", "e_embedding_clusters")):
+        from kafka_journal_spark.functions.similarity import pair_bucket_stats
+
+        out["pair_bucket_stats"] = pair_bucket_stats(spark, sf_dir)
+    print(json.dumps(out))
     spark.stop()
 
 

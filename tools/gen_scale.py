@@ -1,7 +1,9 @@
 """Scale-point generator: build sfN data as a keyed K-fold replication of
 an existing driver-generated sf dir (default sf0.1 x 10 -> "sf1").
 
-Usage: python tools/gen_scale.py [src_dir] [dst_dir] [factor]
+Usage: python tools/gen_scale.py [src_dir] [dst_dir] [factor] [tables]
+       tables: optional comma-separated subset (partial decades, e.g.
+       "events,documents,embeddings" for the sf100 probe)
 
 Why replication instead of a fresh generator: the driver's generator is
 not part of this repo, and the bench needs 10x VOLUME with the SAME
@@ -36,10 +38,18 @@ def _mx(con, path, col) -> int:
     return int(con.execute(f"SELECT max({col}) FROM '{path}'").fetchone()[0])
 
 
-def generate(src: str, dst: str, factor: int = 10) -> None:
+def generate(
+    src: str, dst: str, factor: int = 10, tables: set[str] | None = None
+) -> None:
+    """``tables=None`` builds every table; a subset builds only those —
+    the partial-decade form (an sf100 events+documents+embeddings probe
+    costs ~2 GB while full sf100 lineitem alone is ~14 GB)."""
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count() or 8}")
+
+    def want(t: str) -> bool:
+        return tables is None or t in tables
 
     def src_p(t):
         return os.path.join(src, f"{t}.parquet")
@@ -63,40 +73,45 @@ def generate(src: str, dst: str, factor: int = 10) -> None:
 
     # fixed dims: unchanged
     for t in ("region", "nation"):
-        copy(t, f"SELECT * FROM '{src_p(t)}'")
+        if want(t):
+            copy(t, f"SELECT * FROM '{src_p(t)}'")
 
-    ck = _mx(con, src_p("customer"), "c_custkey") + 1
-    sk = _mx(con, src_p("supplier"), "s_suppkey") + 1
-    pk = _mx(con, src_p("part"), "p_partkey") + 1
-    ok = _mx(con, src_p("orders"), "o_orderkey") + 1
+    need_tpch = any(
+        want(t) for t in ("customer", "supplier", "part", "orders", "lineitem")
+    )
+    if need_tpch:
+        ck = _mx(con, src_p("customer"), "c_custkey") + 1
+        sk = _mx(con, src_p("supplier"), "s_suppkey") + 1
+        pk = _mx(con, src_p("part"), "p_partkey") + 1
+        ok = _mx(con, src_p("orders"), "o_orderkey") + 1
     rep = f"(SELECT unnest(range({factor})) AS i)"
 
-    copy(
+    if want("customer"): copy(
         "customer",
         f"""SELECT c_custkey + i * {ck} AS c_custkey, c_name, c_nationkey,
                    c_acctbal, c_mktsegment
             FROM '{src_p("customer")}', {rep}""",
     )
-    copy(
+    if want("supplier"): copy(
         "supplier",
         f"""SELECT s_suppkey + i * {sk} AS s_suppkey, s_name, s_nationkey,
                    s_acctbal
             FROM '{src_p("supplier")}', {rep}""",
     )
-    copy(
+    if want("part"): copy(
         "part",
         f"""SELECT p_partkey + i * {pk} AS p_partkey, p_name, p_brand,
                    p_type, p_size, p_retailprice
             FROM '{src_p("part")}', {rep}""",
     )
-    copy(
+    if want("orders"): copy(
         "orders",
         f"""SELECT o_orderkey + i * {ok} AS o_orderkey,
                    o_custkey + i * {ck} AS o_custkey,
                    o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
             FROM '{src_p("orders")}', {rep}""",
     )
-    copy(
+    if want("lineitem"): copy(
         "lineitem",
         f"""SELECT l_orderkey + i * {ok} AS l_orderkey,
                    l_partkey + i * {pk} AS l_partkey,
@@ -106,17 +121,19 @@ def generate(src: str, dst: str, factor: int = 10) -> None:
             FROM '{src_p("lineitem")}', {rep}""",
     )
 
-    ev = _mx(con, src_p("events"), "event_id") + 1
-    us = _mx(con, src_p("events"), "user_id") + 1
-    copy(
+    if want("events"):
+        ev = _mx(con, src_p("events"), "event_id") + 1
+        us = _mx(con, src_p("events"), "user_id") + 1
+    if want("events"): copy(
         "events",
         f"""SELECT event_id + i * {ev} AS event_id, ts,
                    user_id + i * {us} AS user_id, event_type, value, props
             FROM '{src_p("events")}', {rep}""",
     )
 
-    dc = _mx(con, src_p("documents"), "doc_id") + 1
-    copy(
+    if want("documents"):
+        dc = _mx(con, src_p("documents"), "doc_id") + 1
+    if want("documents"): copy(
         "documents",
         f"""SELECT doc_id + i * {dc} AS doc_id,
                    CASE WHEN i = 0 THEN text
@@ -127,12 +144,13 @@ def generate(src: str, dst: str, factor: int = 10) -> None:
             FROM '{src_p("documents")}', {rep}""",
     )
 
-    vk = _mx(con, src_p("embeddings"), "vec_id") + 1
+    if want("embeddings"):
+        vk = _mx(con, src_p("embeddings"), "vec_id") + 1
     # deterministic per-replica perturbation: verbatim embedding copies
     # would give every vector 9 exact twins (cosine 1.0) and inflate
     # near-dup candidate pairs quadratically — same reasoning as the
     # document token suffixes (replica 0 untouched)
-    copy(
+    if want("embeddings"): copy(
         "embeddings",
         f"""SELECT vec_id + i * {vk} AS vec_id,
                    CASE WHEN i = 0 THEN embedding ELSE
@@ -153,4 +171,5 @@ if __name__ == "__main__":
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1"
     )
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    generate(src, dst, factor)
+    tables = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+    generate(src, dst, factor, tables)
