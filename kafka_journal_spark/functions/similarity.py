@@ -339,10 +339,13 @@ def _subfull(vec: Column, dims: int, max_extra: int) -> Column:
     return out
 
 
-def _neardup_pairs_from(emb: DataFrame, tau: float) -> DataFrame:
-    """Candidate near-dup pairs (i < j) surviving ``cosine >= tau``:
-    multiprobe sign-bucket join (same bucket or one sign-bit apart — never
-    an all-pairs scan; bucket width corpus-adaptive), with OCCUPANCY-CAPPED
+def _neardup_meetings_from(emb: DataFrame, tau: float) -> DataFrame:
+    """Per-meeting-bucket near-dup edges (pb, sub, i, j) with i < j
+    surviving ``cosine >= tau`` (a pair appears once per bucket it meets
+    in — up to twice; ``_neardup_pairs_from`` globally dedups, while
+    ``_forest_reduce_meetings`` exploits the grouping): multiprobe
+    sign-bucket join (same bucket or one sign-bit apart — never an
+    all-pairs scan; bucket width corpus-adaptive), with OCCUPANCY-CAPPED
     BUCKET SPLITTING for the tail.
 
     Why the split: adaptive width holds MEAN occupancy flat, but hot
@@ -415,7 +418,59 @@ def _neardup_pairs_from(emb: DataFrame, tau: float) -> DataFrame:
         .filter(F.col("i") < F.col("j"))
         .withColumn("s", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("s") >= F.lit(tau))
-        .select("i", "j")
+        .select("pb", "sub", "i", "j")
+    )
+
+
+def _neardup_pairs_from(emb: DataFrame, tau: float) -> DataFrame:
+    return _neardup_meetings_from(emb, tau).select("i", "j").dropDuplicates(["i", "j"])
+
+
+def _forest_reduce_meetings(meetings: DataFrame) -> DataFrame:
+    """Reduce each meeting bucket's surviving edges to a SPANNING FOREST
+    before the global exchange: connected components of a union of edge
+    sets equal the components of the union of each set's spanning forest,
+    so downstream connectivity (``embedding_clusters``) is bit-identical —
+    but a bucket of occupancy m now contributes <= m-1 edges instead of
+    up to m^2/2.
+
+    Why it matters: TRUE near-dup pairs inside a tight semantic cluster
+    are intrinsically quadratic in cluster size (every member is within
+    tau of every other), and no candidate-generation scheme can thin them
+    — the sf100 probe's 2M-vector corpus produced an edge set whose
+    star-contraction working set (per-round localCheckpoint generations)
+    exceeded a 96 GB heap.  Clustering never needed the full clique:
+    per-bucket union-find (a few thousand edges per group, pure CPU) keeps
+    exactly the edges that first connect two components.
+
+    ``embedding_neardup`` must NOT use this path — its per-vector
+    ``n_matches`` counts every true pair, which the forest discards.
+    """
+    import pandas as pd
+
+    def _forest(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        keep_i, keep_j = [], []
+        for i, j in zip(pdf["i"].tolist(), pdf["j"].tolist()):
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
+                keep_i.append(i)
+                keep_j.append(j)
+        return pd.DataFrame({"i": keep_i, "j": keep_j})
+
+    return (
+        meetings.groupBy("pb", "sub")
+        .applyInPandas(_forest, "i long, j long")
         .dropDuplicates(["i", "j"])
     )
 
@@ -486,10 +541,20 @@ def embedding_clusters(
     exactly the chain-y case — the sf0.1 corpus (2k vectors, tau 0.35)
     has a component of diameter > 20, where label propagation hits its
     round cap and raises while star converges in a handful of rounds.
+
+    The edge set fed to contraction is FOREST-REDUCED per meeting bucket
+    (``_forest_reduce_meetings``): true pairs inside a tight cluster are
+    intrinsically quadratic in cluster size, and connectivity never
+    needed the clique — components are bit-identical while the edge
+    volume (and every contraction round's checkpointed working set)
+    drops to O(corpus).  The sf100 probe's 2M-vector corpus OOM'd a
+    96 GB heap on the full edge set and completes on the forest.
     """
     from kafka_journal_spark.functions.dedup import connected_components
 
-    pairs = _neardup_pairs(spark, sf_dir, tau).localCheckpoint(eager=True)
+    pairs = _forest_reduce_meetings(
+        _neardup_meetings_from(_emb(spark, sf_dir), tau)
+    ).localCheckpoint(eager=True)
     labels = connected_components(
         pairs.select(F.col("i").alias("s"), F.col("j").alias("d")),
         algorithm=algorithm,

@@ -640,3 +640,68 @@ def test_split_masks_use_target_bucket_width(spark):
     # the s6=+1 half: 128 members
     lone = pairs.filter("i = 0").count()
     assert lone == 128, lone
+
+
+def test_forest_reduction_preserves_components_exactly(spark):
+    """The per-meeting-bucket spanning-forest reduction feeding
+    embedding_clusters must yield EXACTLY the components of the full
+    true-pair graph — neither under-connected (a dropped bridge edge)
+    nor over-connected (a phantom edge) — on the graded corpus."""
+    from kafka_journal_spark.functions.dedup import connected_components
+    from kafka_journal_spark.functions.similarity import (
+        _emb,
+        _forest_reduce_meetings,
+        _neardup_meetings_from,
+        _neardup_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    full = _neardup_pairs(spark, SF, 0.35)
+    forest = _forest_reduce_meetings(_neardup_meetings_from(_emb(spark, SF), 0.35))
+    n_full, n_forest = full.count(), forest.count()
+    assert 0 < n_forest <= n_full, (n_forest, n_full)
+
+    def comps(edges):
+        return {
+            (r.node, r.label)
+            for r in connected_components(
+                edges.select(F.col("i").alias("s"), F.col("j").alias("d")),
+                algorithm="star",
+            ).collect()
+        }
+
+    assert comps(forest) == comps(full)
+
+
+def test_forest_reduction_keeps_cross_bucket_cycles_connected(spark):
+    """A cycle whose edges are split ACROSS meeting buckets must stay one
+    component: per-bucket union-find may keep every edge of its group and
+    still rely on the global union to close the ring — the reduction is
+    per-bucket, never global-greedy (the square-cycle counterexample to
+    one-edge-per-node schemes)."""
+    from kafka_journal_spark.functions.dedup import connected_components
+    from kafka_journal_spark.functions.similarity import (
+        _forest_reduce_meetings,
+        _neardup_meetings_from,
+    )
+    from pyspark.sql import functions as F
+
+    # a: bucket 63 (all positive), b: bucket 62, c: bucket 60 (Hamming-1
+    # chain 63~62, 62~60? no — 62^60=2 — use 63~62~58?): build a ring of
+    # near-identical vectors in buckets 63, 62, 63, 62 so consecutive
+    # pairs meet via same-or-Hamming-1 probes and tau=-1 admits them all
+    rows = [
+        (0, [1.0] * 6 + [1.0, 1.0] + [0.2] * 8),
+        (1, [-1.0] + [1.0] * 5 + [1.0, 1.0] + [0.2] * 8),
+        (2, [1.0] * 6 + [1.0, 1.0] + [0.3] * 8),
+        (3, [-1.0] + [1.0] * 5 + [1.0, 1.0] + [0.3] * 8),
+    ]
+    forest = _forest_reduce_meetings(_neardup_meetings_from(_mk_emb(spark, rows), -1.0))
+    labels = {
+        r.node: r.label
+        for r in connected_components(
+            forest.select(F.col("i").alias("s"), F.col("j").alias("d")),
+            algorithm="star",
+        ).collect()
+    }
+    assert set(labels.values()) == {0} and set(labels) == {0, 1, 2, 3}, labels
