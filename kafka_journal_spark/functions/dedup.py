@@ -1181,10 +1181,21 @@ def _dup_gram_hits(
     — the SINGLE implementation of the count-and-flag relation behind
     span detection AND the keep_first removal policy (a second copy here
     once let the two silently disagree about what counts as duplicated).
-    The gram relation is checkpointed: it feeds both the frequency
-    aggregate and the position join, and without the checkpoint the
-    tokenize+gram+md5 pipeline runs twice."""
+
+    ONE exchange, ZERO materialization: the corpus frequency is a count
+    window over the gram-hash partition of the one gram relation — not a
+    groupBy + self-join, which needs the relation twice and so either
+    checkpoints it or recomputes the tokenize+gram+md5 pipeline.  The
+    sf100p probe (5M docs, 236M grams) measured the checkpointed form at
+    234 s for a 70 s compute — the eager materialization was 70% of the
+    op and its pinned blocks degraded REPEAT runs 4x (47 -> 197 s at
+    sf10) by squatting on executor storage until driver GC.  The window
+    form shuffles narrow (doc_id, pos, gh) longs once and streams; the
+    keep_first caller's canonical rank rides the same partitioning, so
+    its second window adds a sort but no exchange."""
     par = spark.sparkContext.defaultParallelism
+    from pyspark.sql import Window
+
     grams = (
         (_docs(spark, sf_dir) if docs is None else docs)
         .select("doc_id", "text")
@@ -1193,15 +1204,14 @@ def _dup_gram_hits(
             "doc_id", F.posexplode(_pos_grams(tokens_col(), l)).alias("pos", "gram")
         )
         .select("doc_id", "pos", hash60(F.col("gram")).alias("gh"))
-        .localCheckpoint(eager=True)
     )
-    dup = (
-        grams.groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        grams.withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+        )
         .filter(F.col("_n") >= 2)
-        .select("gh")
+        .select("doc_id", "pos", "gh")
     )
-    return grams.join(dup, "gh")
 
 
 def _gap_islands(hits: DataFrame, l: int) -> DataFrame:
@@ -1241,11 +1251,11 @@ def duplicate_spans(
     Plan (the 100 TB shape):
     1. one scan -> positional gram explode -> 60-bit gram hash (the
        shuffle carries longs, never gram strings);
-    2. ONE hash-aggregate counts corpus frequency per gram (map-side
-       partials absorb the heavy hitters);
-    3. positions join the duplicated-gram relation on the hash — a plain
+    2. ONE exchange by gram hash; a count window over the partition
+       flags corpus-duplicated occurrences in place — a plain
        count-and-flag, so a gram shared by k documents costs k rows,
-       never the O(k^2) pairing of similarity joins;
+       never the O(k^2) pairing of similarity joins (and never a second
+       pass or a checkpointed intermediate — see ``_dup_gram_hits``);
     4. one per-doc window merges overlapping/adjacent gram intervals into
        maximal spans (gap-island: new island when pos > running max end).
     Dedup POLICY (which copy to keep) is the caller's: canonical practice
