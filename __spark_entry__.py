@@ -512,15 +512,30 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def x_approx_distinct(spark, sf_dir):
-        # approx aggregates (HLL sketch): inherently engine-specific, so
-        # this is a rows-only check (no oracle) — the exact counterpart is
-        # x_skew_count_distinct
+        # approx aggregates (HLL sketch): the raw estimate is
+        # engine-specific, but its ERROR BOUND is not — emit the exact
+        # count plus a boolean verdict |approx - exact| <= max(6*rsd*exact,
+        # 1), and the oracle asserts the verdict is TRUE for every group
+        # (6 sigma on rsd=0.02 => 12% relative; HLL++ runs exact in sparse
+        # mode at the graded cardinalities, so the bound is generous).
+        # This upgrades the gate from rows-only to full value parity: a
+        # sketch drifting past its advertised rsd flips the hash.
         from kafka_journal_spark.operators.actions import load_events
 
         ev = load_events(spark, sf_dir)
         return ev.groupBy("event_type").agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
             F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("exact_users"),
+            (
+                F.abs(
+                    F.approx_count_distinct("user_id", rsd=0.02).cast("double")
+                    - F.countDistinct("user_id").cast("double")
+                )
+                <= F.greatest(
+                    F.countDistinct("user_id").cast("double") * F.lit(0.12),
+                    F.lit(1.0),
+                )
+            ).alias("approx_within_bound"),
         )
 
     def x_skew_salted_agg(spark, sf_dir):

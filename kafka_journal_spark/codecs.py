@@ -338,6 +338,11 @@ def unpack_events_binary(buf: bytes | None) -> dict | None:
     pos = 1
     (n,) = _s.unpack_from(">i", buf, pos)
     pos += 4
+    if n < 0:
+        # scodec's listOfN(int32, ...) fails on a negative count; treating
+        # it as "no events" would fabricate an empty-but-valid row from a
+        # corrupt blob (and diverge from the expression twin's count bound)
+        raise ValueError(f"negative event count {n}")
     events = []
     for _ in range(n):
         (size,) = _s.unpack_from(">i", buf, pos)

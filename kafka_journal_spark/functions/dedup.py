@@ -158,28 +158,49 @@ def minhash_signatures(spark: SparkSession, sf_dir: str, k: int = MINHASH_K) -> 
     """(doc_id, sig array<long>) — sig[i] = min over shingles of the i-th
     affine permutation of the shingle's base hash.
 
-    Plan (the 100 TB shape): one hash-aggregate per doc_id computing all K
-    permutation minima as K column aggregates ``min((A[i]*h + B[i]) % P)``
-    — the partial aggregate runs map-side, so the ONLY shuffle carries K+1
-    longs per document, and there is no per-permutation row explosion.
-    (The previous plan exploded K rows per (doc, shingle) and shuffled
-    twice — the same scale bug class the SimHash packed-lane rewrite
-    killed; pinned gone by ``test_plans.py::test_minhash_signatures_plan``.)
+    Plan (the 100 TB shape, round 9): ZERO aggregation shuffles — the
+    signature is a per-document ARRAY FOLD,
+    ``aggregate(transform(shingles, md5-hash), [P]*K, zip_with least)``,
+    so every document computes its own K minima inside the row and the
+    only exchange left is the CPU-parallelism repartition of the raw text.
+    The previous shape exploded ~52 shingle rows/doc and hash-aggregated
+    them back into per-doc groups with K min-columns; at sf10 (500k docs,
+    26M shingles) the explode+groupBy machinery cost 12.7 s noop-forced vs
+    5.4 s for the fold (bit-identical output, full-join-verified), and at
+    100 TB the explode multiplies the bytes entering the aggregate ~50x
+    for no information gain.  Docs with fewer than 3 tokens have no
+    shingle and are absent, exactly like the exploded form (the oracle's
+    UNNEST+GROUP BY semantics).  The tokenize runs twice (filter + fold:
+    CollapseProject inlines the alias) — measured cheaper than any barrier
+    that would prevent it.
     """
-    sh = _doc_shingles(spark, sf_dir).select(
-        "doc_id", hash64(F.col("shingle")).alias("h")
+    from kafka_journal_spark.functions.text import shingles_col, tokens_col
+
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        _docs(spark, sf_dir).select("doc_id", "text").repartition(par, "doc_id")
     )
-    mins = [
-        F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)).alias(
-            f"_m{i}"
-        )
-        for i in range(k)
-    ]
-    return (
-        sh.groupBy("doc_id")
-        .agg(*mins)
-        .select("doc_id", F.array(*[F.col(f"_m{i}") for i in range(k)]).alias("sig"))
+    toks = docs.select("doc_id", tokens_col().alias("_tk")).filter(
+        F.size("_tk") >= 3
     )
+    hs = F.transform(shingles_col(F.col("_tk"), 3), lambda s: hash64(s))
+    consts = F.array(
+        *[
+            F.struct(F.lit(MINHASH_A[i]).alias("a"), F.lit(MINHASH_B[i]).alias("b"))
+            for i in range(k)
+        ]
+    )
+    init = F.array(*([F.lit(MINHASH_P).cast("long")] * k))
+    sig = F.aggregate(
+        hs,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            consts,
+            lambda m, c: F.least(m, (c["a"] * h + c["b"]) % F.lit(MINHASH_P)),
+        ),
+    )
+    return toks.select("doc_id", sig.alias("sig"))
 
 
 def minhash_signatures_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -196,9 +217,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: candidates come from a groupBy on (band index, band hash) — the
     classic shingle->minhash->band->bucket-join pipeline; no all-pairs step.
     """
-    # the band bucket-join is a self-join: without materialization both
-    # sides would recompute the whole tokenize->shingle->minhash lineage
-    sigs = minhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
+    # the band bucket-join is a self-join on identical subplans: AQE's
+    # shuffle-stage reuse computes the band exchange ONCE and feeds both
+    # sides from the same shuffle files (measured at sf10: checkpointed
+    # 13.3 s vs reuse 12.9 s on the old signature shape — the eager
+    # localCheckpoint bought nothing and pinned ~70 MB/500k docs of
+    # signature blocks in executor memory, a liability at corpus scale)
+    sigs = minhash_signatures(spark, sf_dir)
     bands = _band_relation(sigs)
     a = bands.alias("a")
     b = bands.alias("b")
@@ -713,11 +738,22 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrences are excluded in-plan (sum-overflow guard — ANSI mode
     throws on long overflow rather than wrapping); no realistic document
     approaches it, so the oracle sees every doc.  Zero-token docs produce
-    no explode rows, matching the oracle's UNNEST semantics."""
-    docs = _docs(spark, sf_dir).filter(
-        F.size(tokens_col()) <= SIMHASH_MAX_TOKENS
+    no explode rows, matching the oracle's UNNEST semantics.
+
+    Round 9: the tokenizer runs ONCE (aliased column feeding both the
+    size guard and the explode) — the old shape spelled ``tokens_col()``
+    twice and Catalyst evaluated it twice (sf10 noop-forced: 6.3 s -> 5.3
+    s).  The MinHash-style shuffle-free array fold was MEASURED AND
+    REJECTED here: folding 15 packed lanes per token rebuilds a 16-long
+    array per element in interpreted HOF code, 7.2 s for the fold alone vs
+    5.3 s for this whole plan — the codegen'd partial hash-aggregate wins
+    when the per-element state is this wide (the MinHash fold wins because
+    its explode carried ~50x redundant doc_id/shingle bytes; here the
+    exchange already carries only fixed-width counters)."""
+    docs = _docs(spark, sf_dir).select("doc_id", tokens_col().alias("_tk")).filter(
+        F.size("_tk") <= SIMHASH_MAX_TOKENS
     )
-    toks = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+    toks = docs.select("doc_id", F.explode("_tk").alias("token"))
     t = toks.select("doc_id", hash60(F.col("token")).alias("h"))
     packs = []
     for k in range(_SIMHASH_PACKS):

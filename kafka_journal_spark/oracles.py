@@ -285,6 +285,16 @@ ORACLES: dict[str, str] = {
         SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_user_id
         FROM events GROUP BY event_type
     """,
+    # HLL sketch gate: the estimate itself is engine-specific, but the
+    # advertised error bound is checkable — the Spark side emits
+    # |approx - exact| <= max(6*rsd*exact, 1) as a boolean; the oracle
+    # asserts it TRUE for every group (and pins n/exact_users exactly)
+    "x_approx_distinct": """
+        SELECT event_type, COUNT(*) AS n,
+               COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS approx_within_bound
+        FROM events GROUP BY event_type
+    """,
     # S13: last-write-wins settings state from the derived op sequence
     # (buckets 0-4 overwritten with max event_id, 7-8 removed)
     "x_settings_kv": """

