@@ -346,20 +346,32 @@ def unpack_events_binary(buf: bytes | None) -> dict | None:
     events = []
     for _ in range(n):
         (size,) = _s.unpack_from(">i", buf, pos)
+        if size < 0:
+            # all length prefixes are scodec variableSizeBytes(int32, ...) /
+            # listOfN — negative is corrupt, and tolerating it here would
+            # let the walk jump BACKWARD (pos = end < pos), re-parsing or
+            # slicing at wild offsets instead of rejecting the blob
+            raise ValueError(f"negative event size {size}")
         pos += 4
         end = pos + size
         (seq,) = _s.unpack_from(">q", buf, pos)
         pos += 8
         (tsize,) = _s.unpack_from(">i", buf, pos)
+        if tsize < 0:
+            raise ValueError(f"negative tags size {tsize}")
         pos += 4
         tend = pos + tsize
         tags = []
         while pos < tend:
             (tl,) = _s.unpack_from(">i", buf, pos)
+            if tl < 0:
+                raise ValueError(f"negative tag length {tl}")
             pos += 4
             tags.append(buf[pos : pos + tl].decode("utf-8"))
             pos += tl
         disc, psize = _s.unpack_from(">Bi", buf, pos)
+        if psize < 0:
+            raise ValueError(f"negative payload size {psize}")
         pos += 5
         payload = bytes(buf[pos : pos + psize])
         pos += psize
@@ -403,7 +415,9 @@ def unpack_events_binary(buf: bytes | None) -> dict | None:
 # result stays measured, not assumed.
 
 #: envelope implementation: "hybrid" (default: expression encoder + Arrow
-#: decoder), "arrow" (both pandas-UDF kernels), "jvm" (both expressions)
+#: decoder), "arrow" (both pandas-UDF kernels), "jvm" (both expressions),
+#: "mapinarrow" (expression encoder + vectorized RecordBatch decoder —
+#: measured slower on 1-event blobs, see _attach_blob_bin_arrow)
 BIN_CODEC_IMPL = os.environ.get("KJ_SPARK_BIN_CODEC", "hybrid")
 
 _B_EMPTY = bytes.fromhex("")
@@ -649,8 +663,260 @@ def _encode_events_bin_udf():
     return enc
 
 
+def decode_events_binary_batch(vals):
+    """Batch-vectorized twin of :func:`unpack_events_binary` over a whole
+    Arrow batch: all blobs are concatenated into ONE numpy byte buffer and
+    the size-prefix walk runs LEVEL-SYNCHRONOUS — one vectorized gather per
+    field per event ordinal across every blob at once — instead of a Python
+    ``struct.unpack_from`` loop per row.  Iteration count is max(events/
+    blob) x max(tags/event), both tiny on journal data, so the per-row
+    interpreter work drops to the unavoidable parts (utf-8 validation of
+    tags/metadata, payload slicing).
+
+    Output is built as pyarrow arrays DIRECTLY from the flat field vectors
+    (ListArray/StructArray over offsets), never as per-row Python dicts —
+    the per-row form made pandas->Arrow re-walk 10M nested objects on the
+    way out, which dominated the old decode (sf10: 9.9M actions, roundtrip
+    26.6 s -> see ``_decode_events_bin_udf``).
+
+    Semantics are PINNED to the per-row kernel (``tests/test_bin_codec_jvm``
+    + a 1.2k-blob mutation sweep): a blob the kernel rejects — short buffer,
+    negative count/size, any read off the buffer end, malformed UTF-8 in
+    tags or metadata — yields null events AND null metadata; lax walks the
+    kernel tolerates (lying sizes whose reads stay in-bounds, clipped
+    tag/payload slices) decode to the identical rows.
+
+    Returns ``(events: pa.ListArray<struct>, metadata: pa.StringArray)``.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    ev_type = pa.struct(
+        [
+            ("seqNr", pa.int64()),
+            ("tags", pa.list_(pa.string())),
+            ("payloadType", pa.string()),
+            ("payload", pa.binary()),
+        ]
+    )
+    N = len(vals)
+    if N == 0:
+        return pa.array([], pa.list_(ev_type)), pa.array([], pa.string())
+    lens = np.empty(N, np.int64)
+    bufs = []
+    for i, v in enumerate(vals):
+        if v is None:
+            lens[i] = -1
+            bufs.append(b"")
+        else:
+            lens[i] = len(v)
+            bufs.append(bytes(v))
+    joined = b"".join(bufs)
+    # 8 slack zero bytes: lanes masked out of a read still gather at offset
+    # 0..w-1 (harmlessly, their mask discards the value) — the pad keeps
+    # those gathers in-bounds when every blob in the batch is tiny/None
+    big = np.frombuffer(joined + b"\x00" * 8, np.uint8)
+    starts = np.zeros(N, np.int64)
+    np.cumsum(np.maximum(lens, 0)[:-1], out=starts[1:])
+    ends = starts + np.maximum(lens, 0)
+    ok = lens >= 5
+
+    def rd(off, w, mask):
+        # big-endian unsigned read of width w at absolute offsets `off`,
+        # valid only where the slice stays inside its own blob (the
+        # kernel's unpack_from bound); masked lanes read offset 0 harmlessly
+        m = mask & (off >= starts) & (off + w <= ends)
+        o = np.where(m, off, 0)
+        v = np.zeros(N, np.uint64)
+        for b in range(w):
+            v = (v << np.uint64(8)) | big[o + b].astype(np.uint64)
+        return v, m
+
+    def s32(v):
+        x = v.astype(np.int64)
+        return np.where(x >= (1 << 31), x - (1 << 32), x)
+
+    version = big[np.where(ok, starts, 0)]
+    n_u, ok = rd(starts + 1, 4, ok)
+    n = s32(n_u)
+    ok &= n >= 0  # kernel: negative count raises
+    n = np.where(ok, n, 0)
+    cur = starts + 5
+
+    # per-event collectors, event-ordinal-major; re-sorted blob-major below
+    e_lane, e_k, e_seq, e_disc, e_ps, e_pl = [], [], [], [], [], []
+    t_lane, t_k, t_j, t_s, t_l = [], [], [], [], []
+    k = 0
+    active = ok & (k < n)
+    while active.any():
+        size_u, a = rd(cur, 4, active)
+        size = s32(size_u)
+        a &= size >= 0
+        end_ev = cur + 4 + size  # the walk is size-driven, like the kernel
+        seq_u, a = rd(cur + 4, 8, a)
+        seq = seq_u.view(np.int64)
+        tsz_u, a = rd(cur + 12, 4, a)
+        tsz = s32(tsz_u)
+        a &= tsz >= 0
+        tpos = cur + 16
+        tend = tpos + np.where(a, tsz, 0)
+        j = 0
+        twalk = a & (tpos < tend)
+        while twalk.any():
+            tl_u, tok = rd(tpos, 4, twalk)
+            tl = s32(tl_u)
+            tok &= tl >= 0
+            a = np.where(twalk & ~tok, False, a)
+            idx = np.nonzero(tok)[0]
+            if idx.size:
+                t_lane.append(idx)
+                t_k.append(np.full(idx.size, k))
+                t_j.append(np.full(idx.size, j))
+                ts = tpos[idx] + 4
+                t_s.append(ts)
+                # clipped exactly like the kernel's buf[pos:pos+tl] slice
+                t_l.append(np.maximum(np.minimum(tl[idx], ends[idx] - ts), 0))
+            tpos = np.where(tok, tpos + 4 + tl, tpos)
+            j += 1
+            twalk = a & (tpos < tend)
+        # disc/psize read at the ACTUAL post-tag-walk position (which may
+        # overshoot tend on lying tag lengths — kernel does the same)
+        disc_u, a = rd(tpos, 1, a)
+        ps_u, a = rd(tpos + 1, 4, a)
+        ps = s32(ps_u)
+        a &= ps >= 0
+        pstart = tpos + 5
+        idx = np.nonzero(a)[0]
+        if idx.size:
+            e_lane.append(idx)
+            e_k.append(np.full(idx.size, k))
+            e_seq.append(seq[idx])
+            e_disc.append(disc_u[idx].astype(np.int64))
+            e_ps.append(pstart[idx])
+            e_pl.append(np.maximum(np.minimum(ps[idx], ends[idx] - pstart[idx]), 0))
+        # a lane active this ordinal that failed any read → dead blob
+        ok = np.where(active & ~a, False, ok)
+        cur = np.where(a, end_ev, cur)
+        k += 1
+        active = ok & (k < n)
+
+    md = [None] * N
+    for i in np.nonzero(ok)[0]:
+        i = int(i)
+        if version[i] == 1 and cur[i] < ends[i]:
+            try:
+                md[i] = joined[cur[i] : ends[i]].decode("utf-8") or "{}"
+            except UnicodeDecodeError:
+                ok[i] = False  # kernel raises -> whole blob null
+        else:
+            md[i] = "{}"
+
+    if t_lane:
+        tl_lane = np.concatenate(t_lane)
+        tl_k = np.concatenate(t_k)
+        tl_j = np.concatenate(t_j)
+        tl_s = np.concatenate(t_s)
+        tl_len = np.concatenate(t_l)
+        tag_strs: list = [None] * tl_lane.size
+        for i in range(tl_lane.size):
+            try:
+                tag_strs[i] = joined[tl_s[i] : tl_s[i] + tl_len[i]].decode("utf-8")
+            except UnicodeDecodeError:
+                ok[tl_lane[i]] = False
+    else:
+        tl_lane = np.zeros(0, np.int64)
+        tl_k = tl_j = tl_lane
+        tag_strs = []
+
+    if e_lane:
+        ev_lane = np.concatenate(e_lane)
+        ev_k = np.concatenate(e_k)
+        ev_seq = np.concatenate(e_seq)
+        ev_disc = np.concatenate(e_disc)
+        ev_ps = np.concatenate(e_ps)
+        ev_pl = np.concatenate(e_pl)
+        keep = ok[ev_lane]
+        ev_lane, ev_k, ev_seq, ev_disc, ev_ps, ev_pl = (
+            x[keep] for x in (ev_lane, ev_k, ev_seq, ev_disc, ev_ps, ev_pl)
+        )
+        order = np.lexsort((ev_k, ev_lane))
+        ev_lane, ev_k, ev_seq, ev_disc, ev_ps, ev_pl = (
+            x[order] for x in (ev_lane, ev_k, ev_seq, ev_disc, ev_ps, ev_pl)
+        )
+    else:
+        ev_lane = ev_k = ev_seq = ev_disc = ev_ps = ev_pl = np.zeros(0, np.int64)
+
+    if tl_lane.size:
+        keep = ok[tl_lane]
+        tag_strs = [t for t, kp in zip(tag_strs, keep) if kp]
+        tl_lane, tl_k, tl_j = tl_lane[keep], tl_k[keep], tl_j[keep]
+        torder = np.lexsort((tl_j, tl_k, tl_lane))
+        tag_strs = [tag_strs[i] for i in torder]
+        tl_lane, tl_k = tl_lane[torder], tl_k[torder]
+
+    n_ev = ev_lane.size
+    tag_counts = np.zeros(n_ev, np.int64)
+    if n_ev and tl_lane.size:
+        # both relations are (lane, k)-sorted: locate each tag's event row
+        mk = int(max(ev_k.max(), tl_k.max())) + 1
+        pos = np.searchsorted(ev_lane * mk + ev_k, tl_lane * mk + tl_k)
+        np.add.at(tag_counts, pos, 1)
+    tag_offs = np.zeros(n_ev + 1, np.int32)
+    np.cumsum(tag_counts, out=tag_offs[1:])
+
+    ptypes = [_DISC_TABLE[d] for d in ev_disc]
+    payloads = [
+        joined[ev_ps[i] : ev_ps[i] + ev_pl[i]] if ptypes[i] is not None else None
+        for i in range(n_ev)
+    ]
+    ev_struct = pa.StructArray.from_arrays(
+        [
+            pa.array(ev_seq, pa.int64()),
+            pa.ListArray.from_arrays(
+                pa.array(tag_offs, pa.int32()), pa.array(tag_strs, pa.string())
+            ),
+            pa.array(ptypes, pa.string()),
+            pa.array(payloads, pa.binary()),
+        ],
+        names=["seqNr", "tags", "payloadType", "payload"],
+    )
+    row_counts = np.zeros(N, np.int64)
+    if n_ev:
+        np.add.at(row_counts, ev_lane, 1)
+    row_counts[~ok] = 0
+    row_offs = np.zeros(N + 1, np.int32)
+    np.cumsum(row_counts, out=row_offs[1:])
+    validity = pa.array(ok.tolist(), pa.bool_()).buffers()[1]
+    events_arr = pa.Array.from_buffers(
+        pa.list_(ev_struct.type),
+        N,
+        [validity, pa.py_buffer(row_offs.tobytes())],
+        children=[ev_struct],
+    )
+    md_arr = pa.array([m if o else None for m, o in zip(md, ok)], pa.string())
+    return events_arr, md_arr
+
+
+#: uint8 discriminator -> payloadType lookup (vectorized decode path)
+_DISC_TABLE = [None] * 256
+for _d, _t in _TYPE_OF_DISC.items():
+    _DISC_TABLE[_d] = _t
+
+
 def _decode_events_bin_udf():
-    """Arrow-batched decoder: envelope bytes -> struct<events, metadata>."""
+    """Arrow-batched decoder: envelope bytes -> struct<events, metadata>.
+
+    Per-row kernel, MEASURED AS THE WINNER (round 9, sf10, 9.9M 1-event
+    actions, interleaved min-of-3 on the full roundtrip): per-row 30.5 s
+    vs 33.0 s for :func:`decode_events_binary_batch` behind the same UDF
+    boundary and 40.0 s for the mapInArrow RecordBatch form — journal
+    events are tiny (1 event, ~1 tag), so a blob costs ~6 struct reads
+    and the vectorized walk's numpy machinery + to_pylist buys back
+    exactly what it saves, while nested pandas_udf returns can't skip the
+    serializer's per-row converter (ArrowDtype-backed frames crash it on
+    pd.NA).  Both alternatives stay selectable and parity-pinned
+    (``KJ_SPARK_BIN_CODEC=mapinarrow``, ``tests/test_bin_codec_batch.py``)
+    so the negative result stays measured, not assumed."""
     import pandas as pd
 
     @F.pandas_udf(EVENTS_BIN_SCHEMA)
@@ -787,6 +1053,61 @@ def encode_actions_to_kafka(actions: DataFrame) -> DataFrame:
     )
 
 
+def _attach_blob_bin_arrow(df: DataFrame, is_bin: Column) -> DataFrame:
+    """Add ``_blob_bin`` (struct<events, metadata>) via ONE ``mapInArrow``
+    pass over :func:`decode_events_binary_batch` — pyarrow RecordBatches
+    in and out, no pandas and no per-row Python objects anywhere.
+
+    MEASURED AND NOT DEFAULT (round 9): the Python stage itself becomes
+    free (identity-mapInArrow vs decode-mapInArrow differ by ~0 at sf10),
+    but unlike a single-column pandas UDF this pass ships EVERY downstream
+    column through the Python worker and back (headers, parsed header
+    struct, blob struct), and that ferry cost loses the end-to-end race —
+    interleaved min-of-3 on the sf10 roundtrip: 40.0 s vs 30.5 s for the
+    per-row pandas UDF.  Kept selectable (``KJ_SPARK_BIN_CODEC=
+    mapinarrow``) because the trade flips when events-per-blob grows: the
+    per-row kernel is O(events) interpreter work while this path's parse
+    is vectorized and its ferry cost is O(row width), independent of blob
+    complexity.
+
+    Semantics match ``F.when(is_bin, <decode>)`` exactly: non-binary rows
+    get a NULL struct; binary rows the kernel rejects get struct{null,
+    null} (never a dropped or failed row).  ``value`` and ``_hdr_raw``
+    are pruned going in — the Python worker only receives columns the
+    downstream select needs plus the blob itself.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    df = df.withColumn("_is_bin", F.coalesce(is_bin, F.lit(False)))
+    df = df.select(*[c for c in df.columns if c != "_hdr_raw"])
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name not in ("value", "_is_bin")]
+        + [T.StructField("_blob_bin", EVENTS_BIN_SCHEMA)]
+    )
+    arrow_out = to_arrow_schema(out_schema)
+    pass_names = [f.name for f in out_schema.fields if f.name != "_blob_bin"]
+    blob_type = arrow_out.field("_blob_bin").type
+
+    def fn(batches):
+        for b in batches:
+            cols = {n: b.column(i) for i, n in enumerate(b.schema.names)}
+            m = pc.fill_null(cols["_is_bin"], False)
+            masked = pc.if_else(m, cols["value"], pa.scalar(None, cols["value"].type))
+            ev, md = decode_events_binary_batch(masked.to_pylist())
+            blob = pa.StructArray.from_arrays(
+                [ev, md],
+                names=["events", "metadata"],
+                mask=pc.invert(m),
+            ).cast(blob_type)
+            yield pa.RecordBatch.from_arrays(
+                [cols[n] for n in pass_names] + [blob], schema=arrow_out
+            )
+
+    return df.mapInArrow(fn, out_schema)
+
+
 def decode_kafka_to_actions(kafka_df: DataFrame) -> DataFrame:
     """Kafka-record-shaped DataFrame -> actions (E2/E3 reverse).
 
@@ -798,7 +1119,12 @@ def decode_kafka_to_actions(kafka_df: DataFrame) -> DataFrame:
     """
     # F.get tolerates records without the journal.action header (foreign
     # producers on the topic); those rows are skipped, as the reference's
-    # ConsRecordToActionRecord does by returning None
+    # ConsRecordToActionRecord does by returning None.  (An HOF-free
+    # spelling — headers["key"] + array_position + element_at, user map
+    # via arrays_zip/slice — was MEASURED AND REJECTED at sf10: 3.37 s vs
+    # 2.64 s for this form on the isolated header pipeline; Spark 4's
+    # lambda HOFs are not the interpreted-fallback tax they used to be,
+    # and arrays_zip builds arrays the lambdas never materialize.)
     hdr = F.get(F.filter(F.col("headers"), lambda h: h["key"] == KAFKA_HEADER_KEY), 0)[
         "value"
     ].cast("string")
@@ -823,18 +1149,24 @@ def decode_kafka_to_actions(kafka_df: DataFrame) -> DataFrame:
     df = df.withColumn("_blob", F.when(is_app & ~is_bin, blob))
     if BIN_CODEC_IMPL == "jvm":
         decoded = events_bin_decode_expr(F.col("value"))
-    else:  # hybrid and arrow both use the Arrow decoder
+        df = df.withColumn("_blob_bin", F.when(is_bin, decoded))
+    elif BIN_CODEC_IMPL == "mapinarrow":
+        df = _attach_blob_bin_arrow(df, is_bin)
+    else:  # hybrid and arrow both use the per-row Arrow-batched decoder
         dec = _decode_events_bin_udf()
-        decoded = dec(F.when(is_bin, F.col("value")))
-    df = df.withColumn("_blob_bin", F.when(is_bin, decoded))
+        df = df.withColumn(
+            "_blob_bin", F.when(is_bin, dec(F.when(is_bin, F.col("value"))))
+        )
     # per-event tag arrays (task: tags are per-event in the reference,
     # PayloadAndType.scala:49-120 — events[0].tags must not be stamped
     # batch-wide); `tags` keeps the first event's tags for the single-event
     # action shape, `tags_list` carries the full per-event alignment that
     # explode_events zips positionally
-    tags_list = F.when(
-        is_bin, F.transform(F.col("_blob_bin.events"), lambda e: e["tags"])
-    ).when(is_app, F.transform(F.col("_blob.events"), lambda e: e["tags"]))
+    # per-event field vectors via GetArrayStructFields (codegen), not
+    # transform(events, e -> e[f]) lambdas (interpreted) — same values
+    tags_list = F.when(is_bin, F.col("_blob_bin.events")["tags"]).when(
+        is_app, F.col("_blob.events")["tags"]
+    )
     return df.select(
         F.col("topic"),
         F.col("partition"),
@@ -860,14 +1192,9 @@ def decode_kafka_to_actions(kafka_df: DataFrame) -> DataFrame:
         F.when(is_app & ~is_bin, F.col("_blob.events")[0]["payload"]).alias("payload"),
         F.get(tags_list, 0).alias("tags"),
         tags_list.alias("tags_list"),
-        F.when(
-            is_app & ~is_bin,
-            F.transform(F.col("_blob.events"), lambda e: e["payload"]),
-        ).alias("payloads"),
+        F.when(is_app & ~is_bin, F.col("_blob.events")["payload"]).alias("payloads"),
         F.when(is_bin, F.col("_blob_bin.events")[0]["payload"]).alias("payload_bin"),
-        F.when(
-            is_bin, F.transform(F.col("_blob_bin.events"), lambda e: e["payload"])
-        ).alias("payloads_bin"),
+        F.when(is_bin, F.col("_blob_bin.events")["payload"]).alias("payloads_bin"),
         F.when(is_bin, F.col("_blob_bin.metadata")).alias("metadata"),
         # PayloadMetadata.expireAfter round-trips from either envelope: the
         # JSON document's field or the binary envelope's metadata tail, in

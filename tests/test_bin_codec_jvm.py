@@ -180,7 +180,8 @@ def test_wire_roundtrip_impl_equivalence(spark, monkeypatch):
         F.when(F.col("action_type") == "append", F.lit("binary")),
     )
     results = {}
-    for impl in ("jvm", "arrow", "hybrid"):
+    impls = ("jvm", "arrow", "hybrid", "mapinarrow")
+    for impl in impls:
         monkeypatch.setattr(C, "BIN_CODEC_IMPL", impl)
         enc = C.encode_actions_to_kafka(bin_acts)
         dec = C.decode_kafka_to_actions(enc)
@@ -198,5 +199,6 @@ def test_wire_roundtrip_impl_equivalence(spark, monkeypatch):
             (r.offset, bytes(r.value) if r.value is not None else None)
             for r in enc.collect()
         )
-    assert results["jvm"] == results["arrow"] == results["hybrid"]
-    assert results["jvm_bytes"] == results["arrow_bytes"] == results["hybrid_bytes"]
+    for impl in impls[1:]:
+        assert results["jvm"] == results[impl], impl
+        assert results["jvm_bytes"] == results[impl + "_bytes"], impl
