@@ -43,6 +43,7 @@ from __future__ import annotations
 import math
 import os
 import shutil
+import threading
 import uuid
 from dataclasses import dataclass
 
@@ -219,6 +220,20 @@ def safe_dir_swap(
         shutil.rmtree(bak)
 
 
+def _locked(fn):
+    """Hold the store's mutation lock for the call — maintenance entry
+    points (compact, publish_catalog) vs replication batches; see the
+    ``mutation_lock`` field note."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self.mutation_lock:
+            return fn(self, *args, **kwargs)
+
+    return wrapper
+
+
 class JournalStore:
     """Parquet-backed store; pass ``catalog`` (a table-name prefix) to make
     the bucketed co-located layout (``sources/layout.py``) the DEFAULT read
@@ -253,6 +268,18 @@ class JournalStore:
         self.catalog = catalog
         self.buckets = buckets
         self.meta_bands = meta_bands
+        #: serializes MUTATIONS (replication batches vs maintenance —
+        #: compact/publish_catalog) within this driver process.  Without
+        #: it, a maintenance thread's compact() can land between a batch's
+        #: append_journal and its upsert_metajournal and drop the freshly
+        #: appended rows as orphans (their heads haven't advanced yet) —
+        #: caught by the multi-topic concurrent soak.  READERS never take
+        #: it: they are protected by the .bak/epoch protocols (plus
+        #: ignoreMissingFiles under standing compaction).  Cross-process
+        #: mutual exclusion is the deployment's job, exactly like the
+        #: reference's one-TopicReplicator-per-topic ownership
+        #: (Replicator.scala:120-170 starts at most one per topic).
+        self.mutation_lock = threading.RLock()
         os.makedirs(root, exist_ok=True)
 
     def _seg_band(self):
@@ -699,6 +726,7 @@ class JournalStore:
                 return False
         return True
 
+    @_locked
     def publish_catalog(self) -> None:
         """Publish the store as id-bucketed, sorted, topic-partitioned
         catalog tables — the co-located layout of ``sources/layout.py`` —
@@ -1053,6 +1081,7 @@ class JournalStore:
             rows or [], "band long, n_files long, dirty boolean"
         )
 
+    @_locked
     def compact(
         self,
         topics: list[str] | None = None,

@@ -44,6 +44,8 @@ class ReplicatorRegistry:
         store_root: str,
         schema_ddl: str,
         topic_filter: Optional[Callable[[str], bool]] = None,
+        processing_time: Optional[str] = None,
+        store_factory: Optional[Callable[[SparkSession, str], JournalStore]] = None,
     ):
         self.spark = spark
         self.source_root = source_root
@@ -52,6 +54,16 @@ class ReplicatorRegistry:
         #: config-driven topic selection (Replicator.scala:96-118 filters
         #: discovered topics by prefix config)
         self.topic_filter = topic_filter or (lambda t: True)
+        #: standing cadence: each per-topic query fires on this trigger
+        #: (the reference's TopicReplicator 5 s commit loop,
+        #: TopicReplicator.scala:280-284); None = as-fast-as-possible
+        #: micro-batches (the test-drain default)
+        self.processing_time = processing_time
+        #: per-topic store construction hook (e.g. to attach a catalog
+        #: prefix so a maintenance thread can publish_catalog concurrently)
+        self.store_factory = store_factory or (
+            lambda spark, path: JournalStore(spark, path)
+        )
         self._queries: dict[str, object] = {}  # topic -> StreamingQuery
         self.stores: dict[str, JournalStore] = {}
 
@@ -75,18 +87,22 @@ class ReplicatorRegistry:
     # -- lifecycle ---------------------------------------------------------
 
     def _start_topic(self, topic: str) -> None:
-        store = JournalStore(
+        store = self.store_factory(
             self.spark, os.path.join(self.store_root, topic)
         )
         self.stores[topic] = store
         stream = self.spark.readStream.schema(self.schema_ddl).parquet(
             os.path.join(self.source_root, topic)
         )
+        writer = stream.writeStream.foreachBatch(
+            lambda df, _bid, s=store: replicate_batch(df, s)
+        )
+        if self.processing_time is not None:
+            writer = writer.trigger(processingTime=self.processing_time)
         self._queries[topic] = (
-            stream.writeStream.foreachBatch(
-                lambda df, _bid, s=store: replicate_batch(df, s)
+            writer.option(
+                "checkpointLocation", os.path.join(store.root, "_checkpoint")
             )
-            .option("checkpointLocation", os.path.join(store.root, "_checkpoint"))
             .queryName(f"replicator-{topic}")
             .start()
         )

@@ -87,7 +87,19 @@ def _batch_summary(batch: DataFrame) -> DataFrame:
 
 
 def replicate_batch(batch: DataFrame, store: JournalStore) -> None:
-    """Apply one micro-batch of actions to the store (idempotent)."""
+    """Apply one micro-batch of actions to the store (idempotent).
+
+    The whole batch holds the store's mutation lock: journal append, head
+    upsert and pointer upsert must be atomic w.r.t. MAINTENANCE (compact/
+    publish_catalog from another thread) — a compact landing between the
+    append and the head upsert sees the fresh rows as orphans (their
+    heads haven't advanced yet) and drops them.  Readers never block.
+    """
+    with store.mutation_lock:
+        _replicate_batch_impl(batch, store)
+
+
+def _replicate_batch_impl(batch: DataFrame, store: JournalStore) -> None:
     spark = batch.sparkSession
     old_ptr = store.pointers()
 

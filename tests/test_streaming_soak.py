@@ -137,3 +137,152 @@ def test_standing_trigger_soak_with_concurrent_reads(spark, tmp_path):
         (r.id, r.seq_nr, r.delete_to) for r in one.metajournal().collect()
     }
     assert meta_stream == meta_one
+
+
+def test_multi_topic_soak_discovery_and_concurrent_maintenance(spark, tmp_path):
+    """The reference Replicator's full lifecycle under standing triggers
+    (``Replicator.scala:43-170``): >= 2 topics with one APPEARING MID-RUN
+    (registry discovery), while a REAL second thread runs the maintenance
+    loop (``compact()`` + ``publish_catalog()``) against the live stores —
+    the two-stamp catalog staleness protocol exercised by genuine thread
+    interleaving, not the hand-built race in test_meta_deltas.
+
+    Asserts: the new topic is discovered and drains; every mid-run read is
+    prefix-consistent; the maintenance thread completes cycles without an
+    exception; and both topics' final states equal one-shot
+    materializations (so no concurrent compaction/publication ever
+    dropped, duplicated, or served a stale row)."""
+    import threading
+
+    from kafka_journal_spark.streaming.registry import ReplicatorRegistry
+
+    src_root = str(tmp_path / "src")
+    os.makedirs(os.path.join(src_root, "alpha"))
+    store_root = str(tmp_path / "stores")
+
+    # standing deployments pair clamp_to_head with ignoreMissingFiles:
+    # concurrent compaction swaps files a racing reader may have listed
+    old_imf = spark.conf.get("spark.sql.files.ignoreMissingFiles", "false")
+    spark.conf.set("spark.sql.files.ignoreMissingFiles", "true")
+
+    reg = ReplicatorRegistry(
+        spark,
+        src_root,
+        store_root,
+        ACTIONS_DDL,
+        processing_time="200 milliseconds",
+        store_factory=lambda s, path: JournalStore(
+            s, path, catalog=f"soak9_{os.path.basename(path)}"
+        ),
+    )
+
+    def feed(topic: str, rnd: int) -> list[dict]:
+        acts = [append(f"{topic}-k{i}", rnd + 1) for i in range(3)]
+        if rnd == 6 and topic == "alpha":
+            acts.append(delete("alpha-k0", 3))
+        make_actions(spark, acts, offset_base=rnd * 10).coalesce(1).write.mode(
+            "append"
+        ).parquet(os.path.join(src_root, topic))
+        return acts
+
+    fed: dict[str, list[dict]] = {"alpha": feed("alpha", 0), "beta": []}
+    stop_evt = threading.Event()
+    maint_errors: list[BaseException] = []
+    maint_cycles = {"n": 0}
+
+    def maintenance():
+        while not stop_evt.is_set():
+            try:
+                for st in list(reg.stores.values()):
+                    st.compact(min_files=4, min_debt=1)
+                    st.publish_catalog()
+                maint_cycles["n"] += 1
+            except BaseException as e:  # noqa: BLE001 — recorded, re-raised below
+                maint_errors.append(e)
+            stop_evt.wait(0.25)
+
+    synced = reg.sync()
+    assert synced["started"] == ["alpha"]
+    t = threading.Thread(target=maintenance, daemon=True)
+    t.start()
+    cfg = JournalConfig(clamp_to_head=True)
+    n_rounds = 10
+    beta_started_at = None
+    try:
+        for rnd in range(1, n_rounds):
+            if rnd == 4:  # the topic appearing mid-run
+                os.makedirs(os.path.join(src_root, "beta"))
+            fed["alpha"] += feed("alpha", rnd)
+            if rnd >= 4:
+                fed["beta"] += feed("beta", rnd)
+            res = reg.sync()
+            if "beta" in res["started"]:
+                beta_started_at = rnd
+            # reads racing triggers AND the maintenance thread
+            rows = (
+                reg.stores["alpha"].read(config=cfg).select("id", "seq_nr").collect()
+            )
+            _assert_prefix_consistent(rows, fed_max=rnd + 1)
+        assert beta_started_at == 4, beta_started_at
+        # drain both topics
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            done = True
+            for topic in ("alpha", "beta"):
+                want = {
+                    (a["id"], a["seq_nr_from"])
+                    for a in fed[topic]
+                    if "seq_nr_from" in a and a["id"] != "alpha-k0"
+                }
+                got = {
+                    (r.id, r.seq_nr)
+                    for r in reg.stores[topic]
+                    .read(config=cfg)
+                    .select("id", "seq_nr")
+                    .collect()
+                }
+                if not want <= got:
+                    done = False
+            if done:
+                break
+            time.sleep(0.5)
+        assert done
+    finally:
+        stop_evt.set()
+        t.join(timeout=30)
+        reg.stop_all()
+        spark.conf.set("spark.sql.files.ignoreMissingFiles", old_imf)
+    assert not maint_errors, maint_errors[:3]
+    assert maint_cycles["n"] >= 3, maint_cycles  # genuinely concurrent
+
+    # final parity per topic with a one-shot materialization: concurrent
+    # maintenance never dropped/duplicated a row or published a lie
+    for topic in ("alpha", "beta"):
+        one = JournalStore(spark, str(tmp_path / f"one_{topic}"))
+        rounds = range(n_rounds) if topic == "alpha" else range(4, n_rounds)
+        frames = []
+        for rnd in rounds:
+            acts = [append(f"{topic}-k{i}", rnd + 1) for i in range(3)]
+            if rnd == 6 and topic == "alpha":
+                acts.append(delete("alpha-k0", 3))
+            frames.append(make_actions(spark, acts, offset_base=rnd * 10))
+        big = frames[0]
+        for f in frames[1:]:
+            big = big.unionByName(f)
+        replicate_batch(big, one)
+        got_stream = {
+            (r.id, r.seq_nr)
+            for r in reg.stores[topic].read().select("id", "seq_nr").collect()
+        }
+        got_one = {
+            (r.id, r.seq_nr) for r in one.read().select("id", "seq_nr").collect()
+        }
+        assert got_stream == got_one, topic
+        meta_stream = {
+            (r.id, r.seq_nr, r.delete_to)
+            for r in reg.stores[topic].metajournal().collect()
+        }
+        meta_one = {
+            (r.id, r.seq_nr, r.delete_to) for r in one.metajournal().collect()
+        }
+        assert meta_stream == meta_one, topic

@@ -72,6 +72,15 @@ def main():
         from kafka_journal_spark.functions.similarity import pair_bucket_stats
 
         out["pair_bucket_stats"] = pair_bucket_stats(spark, sf_dir)
+        # candidates-vs-true-pairs (costs ~one full pair join — opt in).
+        # cand_per_true ~1 = the intrinsic floor: wall time tracks TRUE
+        # pair volume, not bucketing waste (sf100p measured 1.15)
+        if os.environ.get("KJ_PAIR_EFFICIENCY") == "1":
+            from kafka_journal_spark.functions.similarity import (
+                pair_efficiency_stats,
+            )
+
+            out["pair_efficiency"] = pair_efficiency_stats(spark, sf_dir)
     print(json.dumps(out))
     spark.stop()
 
