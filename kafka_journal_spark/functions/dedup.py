@@ -115,17 +115,33 @@ def ngram_jaccard_pairs(
     share a shingle.  At 100 TB add a shingle-frequency cap before the join
     (``having count < N``) to bound bucket fan-out.
     """
-    # materialize the shingle relation once: it feeds both sides of the
-    # self-join plus the size aggregation (3 uses); then apply the
-    # document-frequency cap before any pairing
-    raw_sh = _doc_shingles(spark, sf_dir).localCheckpoint(eager=True)
-    rare = (
-        raw_sh.groupBy("shingle")
-        .agg(F.count("*").alias("_df"))
+    # the shingle relation feeds both sides of the self-join plus the size
+    # aggregation (3 uses).  The previous form eagerly localCheckpoint-ed
+    # the 26M-row exploded relation TWICE (sf10) — pinned executor memory
+    # that grows with the corpus, plus construction-time materialization
+    # on the honest bench clock.  Here the document-frequency cap is a
+    # COUNT WINDOW over one exchange keyed by the join key instead, and
+    # nothing is pinned.  Measured same-host: sf1 14.1 -> 12.8 s, sf10
+    # 60.1 -> 61.4 s (a wash — the op is bounded by the pair join itself).
+    # Exchange reuse does NOT fire across the three consumers (join-pushed
+    # null/size filters make the subtrees canonically different), so the
+    # tokenize+shingle pipeline recomputes per consumer — measurably
+    # affordable O(corpus) CPU with zero residency, unlike the
+    # checkpoint's O(corpus) MEMORY.  (A no-self-join variant — groupBy
+    # shingle into a capped sorted doc list, transform/slice/flatten pair
+    # generation as in the embedding family — measured SLOWER: 18.8 s sf1
+    # / 63.5 s sf10; collect_list's object aggregate loses codegen, and
+    # the pair volume is identical either way.)
+    from pyspark.sql import Window
+
+    sh = (
+        _doc_shingles(spark, sf_dir)
+        .withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
         .filter(F.col("_df") <= SHINGLE_DOC_FREQ_CAP)
-        .select("shingle")
+        .drop("_df")
     )
-    sh = raw_sh.join(F.broadcast(rare), "shingle").localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
