@@ -132,13 +132,20 @@ def ngram_jaccard_pairs(
     # generation as in the embedding family — measured SLOWER: 18.8 s sf1
     # / 63.5 s sf10; collect_list's object aggregate loses codegen, and
     # the pair volume is identical either way.)
+    #
+    # The relation exchanges a 64-BIT HASH of the shingle, never the
+    # string: at sf100p (5M docs) the exploded relation is 260M rows and
+    # the ~25-byte shingle text tripled every shuffle this op runs — the
+    # same byte-width decision as the span family's gram hash, with the
+    # same documented odds (two distinct shingles of one doc colliding at
+    # ~52^2/2 * 2^-64; n_common/n_sh would drift by 1 — never observed,
+    # and the oracle-graded SFs assert exact string semantics).
     from pyspark.sql import Window
 
     sh = (
         _doc_shingles(spark, sf_dir)
-        .withColumn(
-            "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-        )
+        .select("doc_id", F.xxhash64("shingle").alias("gh"))
+        .withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("gh")))
         .filter(F.col("_df") <= SHINGLE_DOC_FREQ_CAP)
         .drop("_df")
     )
@@ -146,7 +153,7 @@ def ngram_jaccard_pairs(
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.gh") == F.col("b.gh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
     )
