@@ -227,11 +227,18 @@ def recovery_merge(
     consistency property JournalSpec's model checks; the DuckDB oracle takes
     that independent path.
     """
-    wp = Window.partitionBy("topic", "partition")
-    acts = actions.withColumn(
-        "_split",
-        F.floor(F.max("offset").over(wp) * F.lit(split_frac)).cast("long"),
+    # per-(topic, partition) split point as a map-side-combined aggregate
+    # broadcast back, NOT a window: partitionBy("topic","partition") would
+    # shuffle AND sort the full action relation into as few groups as the
+    # topic has partitions — at 100M actions (sf100p) the sort ran the op
+    # at 16.9x per 10x rows, and a real topic count caps parallelism at
+    # n_partitions however many cores exist.  The aggregate's shuffle is
+    # O(n_partitions) rows and the join back is a broadcast (zero exchange
+    # of the big side).
+    maxes = actions.groupBy("topic", "partition").agg(
+        F.floor(F.max("offset") * F.lit(split_frac)).cast("long").alias("_split")
     )
+    acts = actions.join(F.broadcast(maxes), ["topic", "partition"])
     prefix_actions = acts.filter(F.col("offset") <= F.col("_split")).drop("_split")
     tail = acts.filter(F.col("offset") > F.col("_split")).drop("_split")
 
