@@ -383,11 +383,17 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .withWatermark("ts", "1 hour")
             .dropDuplicatesWithinWatermark(["event_id"])
         )
+        # PARQUET sink, not memory: a memory sink ships every deduped row
+        # to the driver as task results — at 100M events (sf100p) that is
+        # >1 GiB of serialized results and the query dies on
+        # spark.driver.maxResultSize.  The dedup state stays distributed
+        # and the sink streams to disk; the returned frame reads it back.
         name = "dedupstream_" + os.path.basename(d).split("-")[-1]
         q = (
-            stream.writeStream.format("memory")
+            stream.writeStream.format("parquet")
             .queryName(name)
             .outputMode("append")
+            .option("path", f"{d}/out")
             .option("checkpointLocation", f"{d}/ckpt")
             .trigger(availableNow=True)
             .start()
@@ -402,9 +408,12 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         import shutil
 
-        shutil.rmtree(d, ignore_errors=True)
-        return spark.sql(
-            f"SELECT event_id, ts, user_id, event_type, value FROM {name}"
+        # source + checkpoint are scratch; the sink output must outlive the
+        # call (the caller consumes the returned frame lazily)
+        shutil.rmtree(f"{d}/src", ignore_errors=True)
+        shutil.rmtree(f"{d}/ckpt", ignore_errors=True)
+        return spark.read.parquet(f"{d}/out").select(
+            "event_id", "ts", "user_id", "event_type", "value"
         )
 
     def x_stream_join(spark, sf_dir):
