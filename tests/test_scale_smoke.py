@@ -64,6 +64,12 @@ def test_unfiltered_read_has_no_meta_broadcast_hint(spark, tmp_path):
 
 
 def test_recovery_merge_has_no_tail_broadcast_hint(spark):
+    """The tail (a real fraction of the log) must never carry a broadcast
+    hint.  The only hint recovery_merge plants is on the O(n_partitions)
+    split-point aggregate, which the optimizer records as a rightHint on
+    the join whose LEFT side is the action relation — so every broadcast
+    mention in the optimized plan must be a rightHint, and the left-side
+    form must not appear."""
     from conftest import append, delete, make_actions
 
     from kafka_journal_spark.operators.read import recovery_merge
@@ -72,7 +78,11 @@ def test_recovery_merge_has_no_tail_broadcast_hint(spark):
         spark, [append("a", 1), append("a", 2), delete("a", 1), append("a", 3)]
     )
     plan = _logical_plan(recovery_merge(df))
-    assert "broadcast" not in plan.lower(), plan
+    low = plan.lower()
+    assert "lefthint=(strategy=broadcast" not in low, plan
+    assert low.count("broadcast") == low.count(
+        "righthint=(strategy=broadcast"
+    ), plan
 
 
 def test_incremental_upsert_touches_only_batch_segments(spark, tmp_path):
