@@ -705,3 +705,30 @@ def test_forest_reduction_keeps_cross_bucket_cycles_connected(spark):
         ).collect()
     }
     assert set(labels.values()) == {0} and set(labels) == {0, 1, 2, 3}, labels
+
+
+def test_pair_efficiency_stats_invariants(spark):
+    """The candidates-vs-true-pairs telemetry that graded the pair family's
+    intrinsic floor must stay self-consistent: every true meeting is a
+    candidate meeting (cand >= true globally AND per reported bucket),
+    cand_per_true >= 1, the top-bucket list is ordered by candidates, and
+    tightening tau can only shrink the true side while candidates stay
+    fixed (the candidate join is tau-independent)."""
+    from kafka_journal_spark.functions.similarity import pair_efficiency_stats
+
+    sf = "/root/testdata/sf0.001"
+    loose = pair_efficiency_stats(spark, sf, tau=0.2)
+    tight = pair_efficiency_stats(spark, sf, tau=0.8)
+
+    for s in (loose, tight):
+        assert s["candidate_meetings"] >= s["true_meetings"] >= 0
+        assert s["cand_per_true"] >= 1.0
+        cands = [b["cand"] for b in s["top_buckets"]]
+        assert cands == sorted(cands, reverse=True)
+        assert all(b["cand"] >= b["true"] for b in s["top_buckets"])
+        assert s["max_bucket_cand"] == (cands[0] if cands else 0)
+
+    assert loose["candidate_meetings"] == tight["candidate_meetings"]
+    assert loose["true_meetings"] >= tight["true_meetings"]
+    # the fixture corpus genuinely exercises both sides of the cut
+    assert loose["candidate_meetings"] > 0

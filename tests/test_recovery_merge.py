@@ -49,3 +49,52 @@ def test_duplicated_tail_deduped(spark):
     merged = recovery_merge(df, split_frac=0.5)
     ids = [(r.id, r.seq_nr) for r in merged.collect()]
     assert len(ids) == len(set(ids))
+
+
+def test_split_points_match_window_form_on_random_logs(spark):
+    """Engine-pair parity for the round-9 split-point refactor: the
+    aggregate-join split (groupBy max broadcast back) must classify every
+    action into prefix/tail exactly like the window form it replaced
+    (max().over(partitionBy topic, partition)), across random multi-
+    partition logs and every split fraction — the prefix/tail partition IS
+    recovery_merge's only use of the split, so identical classification
+    means identical reads."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(0xC0FFEE)
+    rows = []
+    for i in range(300):
+        rows.append(
+            dict(
+                append(f"k{rng.randrange(8)}", rng.randrange(1, 50)),
+                partition=rng.randrange(4),
+                # sparse, shuffled offsets: max(offset) differs per partition
+                offset=rng.randrange(10_000),
+            )
+        )
+    df = make_actions(spark, rows)
+    # make_actions merges dict fields over its defaults, so the sparse
+    # random offsets survive — assert the log is genuinely multi-partition
+    offs = {(r.partition, r.offset) for r in df.select("partition", "offset").collect()}
+    assert len(offs) > 4
+
+    for frac in (0.0, 0.25, 0.5, 0.9, 1.0):
+        agg = df.groupBy("topic", "partition").agg(
+            F.floor(F.max("offset") * F.lit(frac)).cast("long").alias("_split")
+        )
+        via_join = {
+            (r.partition, r.offset, r.offset <= r._split)
+            for r in df.join(agg, ["topic", "partition"]).collect()
+        }
+        wp = Window.partitionBy("topic", "partition")
+        via_window = {
+            (r.partition, r.offset, r.offset <= r._split)
+            for r in df.withColumn(
+                "_split",
+                F.floor(F.max("offset").over(wp) * F.lit(frac)).cast("long"),
+            ).collect()
+        }
+        assert via_join == via_window, frac
