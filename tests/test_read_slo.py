@@ -25,7 +25,14 @@ SF10 = os.path.join(REPO, ".scale", "sf10")
 
 
 def _run_tool(sf_dir: str, n_keys: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    # the test owns the ceiling assertion (min-of-attempts below); without
+    # this flag one noisy attempt makes the TOOL exit non-zero and the
+    # retry logic never runs
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "16"),
+        KJ_SLO_NO_ASSERT="1",
+    )
     p = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "bench_read_slo.py"),
          sf_dir, str(n_keys)],
