@@ -356,12 +356,26 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup with watermark-bounded eviction, the 100 TB shape for
         # exactly-once semantics over a duplicating transport; the oracle
         # is the plain distinct event set
+        import atexit
         import os
+        import shutil
         import tempfile
 
         from kafka_journal_spark.operators.actions import load_events
 
-        d = tempfile.mkdtemp(prefix="kjs-dedupstream-")
+        # deterministic per-(process, sf_dir) scratch dir: the sink output
+        # must outlive this call (the caller consumes the returned frame
+        # lazily), so it cannot be deleted here — instead repeat runs REUSE
+        # the same path (cleared up front) and an atexit hook removes it,
+        # bounding disk to one deduped copy per live process instead of one
+        # per invocation (at sf100p each leaked copy is ~100M rows)
+        tag = abs(hash(os.path.abspath(sf_dir))) % (1 << 32)
+        d = os.path.join(
+            tempfile.gettempdir(), f"kjs-dedupstream-{os.getpid()}-{tag:08x}"
+        )
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
         ev = load_events(spark, sf_dir).select(
             "event_id", "ts", "user_id", "event_type", "value"
         )
@@ -406,10 +420,8 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             f"dedup stream split input across {n_data_batches} batches; "
             "the DISTINCT oracle assumes single-batch delivery"
         )
-        import shutil
-
         # source + checkpoint are scratch; the sink output must outlive the
-        # call (the caller consumes the returned frame lazily)
+        # call (the atexit hook above removes it at process exit)
         shutil.rmtree(f"{d}/src", ignore_errors=True)
         shutil.rmtree(f"{d}/ckpt", ignore_errors=True)
         return spark.read.parquet(f"{d}/out").select(

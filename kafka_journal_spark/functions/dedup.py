@@ -38,6 +38,12 @@ JACCARD_THRESHOLD = 0.5
 #: intersection AND the per-doc sizes) so the estimator stays consistent.
 SHINGLE_DOC_FREQ_CAP = 100
 
+#: largest over-cap shingle set worth shipping as an explicit broadcast in
+#: the ngram-Jaccard frequency cap (~8 MB of longs + object overhead per
+#: executor at the limit); beyond it the anti-join falls back to a shuffle
+#: join that AQE can skew-split
+HOT_SHINGLE_BROADCAST_MAX = 1_000_000
+
 # MinHash permutation family: one md5 per shingle, then K affine
 # permutations h_i = (A[i]*h + B[i]) mod P — 16x fewer md5 calls than
 # hashing (i || shingle) per function.  P is prime > 2^32 so the affine map
@@ -116,22 +122,41 @@ def ngram_jaccard_pairs(
     (``having count < N``) to bound bucket fan-out.
     """
     # the shingle relation feeds both sides of the self-join plus the size
-    # aggregation (3 uses).  The previous form eagerly localCheckpoint-ed
+    # aggregation (3 uses).  The round-8 form eagerly localCheckpoint-ed
     # the 26M-row exploded relation TWICE (sf10) — pinned executor memory
     # that grows with the corpus, plus construction-time materialization
-    # on the honest bench clock.  Here the document-frequency cap is a
-    # COUNT WINDOW over one exchange keyed by the join key instead, and
-    # nothing is pinned.  Measured same-host: sf1 14.1 -> 12.8 s, sf10
-    # 60.1 -> 61.4 s (a wash — the op is bounded by the pair join itself).
-    # Exchange reuse does NOT fire across the three consumers (join-pushed
-    # null/size filters make the subtrees canonically different), so the
-    # tokenize+shingle pipeline recomputes per consumer — measurably
-    # affordable O(corpus) CPU with zero residency, unlike the
-    # checkpoint's O(corpus) MEMORY.  (A no-self-join variant — groupBy
-    # shingle into a capped sorted doc list, transform/slice/flatten pair
-    # generation as in the embedding family — measured SLOWER: 18.8 s sf1
-    # / 63.5 s sf10; collect_list's object aggregate loses codegen, and
-    # the pair volume is identical either way.)
+    # on the honest bench clock.  The first round-9 cut replaced it with a
+    # COUNT WINDOW over the gh exchange — fastest on benign corpora
+    # (the cap count rides the join exchange for free) but
+    # partitionBy("gh") must co-locate EVERY row of a shingle in one task
+    # before the cap filter can drop it, concentrating exactly the
+    # degenerate boilerplate shingles the cap exists to guard against
+    # (nav chrome / license text with doc-freq in the millions at web
+    # scale) into one un-splittable straggler sort — window skew is
+    # invisible to AQE, and that single task's sort+memory is unbounded in
+    # the hot shingle's frequency.  The cap is now an OVER-CAP ANTI-JOIN:
+    # ONE map-side-combined frequency aggregate (a hot shingle
+    # pre-aggregates inside every map task — skew cannot concentrate)
+    # yields the over-cap set, checkpointed at O(|hot|) (tiny by the
+    # counting bound |hot| <= n_shingles/CAP; ZERO rows at every measured
+    # SF up to sf100p), then three adaptive branches: no hot shingles ->
+    # no join at all; |hot| <= HOT_SHINGLE_BROADCAST_MAX -> map-only
+    # broadcast anti-join (hot rows never reach an exchange); beyond ->
+    # shuffle anti-join that AQE CAN skew-split, which the window never
+    # could.  Price, measured same-day interleaved A/B (median of 5):
+    # sf1 5.9 vs 5.1 s, sf10 53.4 vs 40.4 s — the +15-32% is the one
+    # EXTRA tokenize+shingle pass feeding the frequency aggregate
+    # (O(corpus) CPU, zero residency), and is the cost of bounding the
+    # worst case; pair sets verified identical at both SFs (2560 / 75208
+    # pairs).  Exchange reuse does NOT fire across the three consumers
+    # (join-pushed null/size filters make the subtrees canonically
+    # different), so the tokenize+shingle pipeline recomputes per
+    # consumer — affordable O(corpus) CPU with zero residency, unlike the
+    # round-8 checkpoint's O(corpus) MEMORY.  (A no-self-join variant —
+    # groupBy shingle into a capped sorted doc list, transform/slice/
+    # flatten pair generation as in the embedding family — measured
+    # SLOWER: 18.8 s sf1 / 63.5 s sf10; collect_list's object aggregate
+    # loses codegen, and the pair volume is identical either way.)
     #
     # The relation exchanges a 64-BIT HASH of the shingle, never the
     # string: at sf100p (5M docs) the exploded relation is 260M rows and
@@ -140,15 +165,33 @@ def ngram_jaccard_pairs(
     # same documented odds (two distinct shingles of one doc colliding at
     # ~52^2/2 * 2^-64; n_common/n_sh would drift by 1 — never observed,
     # and the oracle-graded SFs assert exact string semantics).
-    from pyspark.sql import Window
-
-    sh = (
-        _doc_shingles(spark, sf_dir)
-        .select("doc_id", F.xxhash64("shingle").alias("gh"))
-        .withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("gh")))
-        .filter(F.col("_df") <= SHINGLE_DOC_FREQ_CAP)
-        .drop("_df")
+    gh_all = _doc_shingles(spark, sf_dir).select(
+        "doc_id", F.xxhash64("shingle").alias("gh")
     )
+    # the over-cap set is computed ONCE and checkpointed — the checkpoint
+    # is O(|hot|) = tiny (NOT the corpus-sized residency the round-8
+    # checkpoints pinned), and the lineage cut stops the three consumers
+    # from re-running the frequency aggregate (measured: per-consumer
+    # aggregates cost ~15% at sf10)
+    hot = (
+        gh_all.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > SHINGLE_DOC_FREQ_CAP)
+        .select("gh")
+        .localCheckpoint(eager=True)
+    )
+    n_hot = hot.count()
+    if n_hot == 0:
+        # every measured corpus up to sf100p lands here: no join at all
+        sh = gh_all
+    elif n_hot <= HOT_SHINGLE_BROADCAST_MAX:
+        # map-only broadcast anti-join: hot rows never reach an exchange
+        sh = gh_all.join(F.broadcast(hot), "gh", "left_anti")
+    else:
+        # pathological corpus (counting bound |hot| <= n_shingles/CAP
+        # nearly met): shuffle anti-join, AQE skew-splits the SMJ — which
+        # the count window this replaced never could
+        sh = gh_all.join(hot, "gh", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

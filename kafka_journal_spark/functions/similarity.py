@@ -563,6 +563,9 @@ def pair_efficiency_stats(
     the CLUSTERING cost at O(corpus) edges).
     """
     emb = _emb(spark, sf_dir)
+    # _corpus_stats is memoizable here only as a report field; it is the
+    # SAME two numbers _neardup_candidates_scored derives internally, so
+    # compute once and let the candidate pipeline run uncounted
     n, vec_dim = _corpus_stats(emb)
     dims = bucket_dims_for(n, vec_dim)
     meetings = (
@@ -580,14 +583,18 @@ def pair_efficiency_stats(
         F.count(F.lit(1)).alias("meet_buckets"),
     ).first()
     top = meetings.orderBy(F.desc("cand")).limit(8).collect()
+    # a corpus sparse enough to produce ZERO meetings yields NULL sums —
+    # report zeros, not a TypeError
+    cands = res.cands or 0
+    trues = res.trues or 0
     return {
         "n_vectors": n,
         "bucket_dims": dims,
         "tau": tau,
-        "candidate_meetings": res.cands,
-        "true_meetings": res.trues,
-        "cand_per_true": round(res.cands / max(res.trues, 1), 3),
-        "max_bucket_cand": res.max_bucket_cand,
+        "candidate_meetings": cands,
+        "true_meetings": trues,
+        "cand_per_true": round(cands / max(trues, 1), 3),
+        "max_bucket_cand": res.max_bucket_cand or 0,
         "meet_buckets": res.meet_buckets,
         "top_buckets": [
             {"pb": r.pb, "sub": r.sub, "cand": r.cand, "true": r.true_m}

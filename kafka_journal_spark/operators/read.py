@@ -235,10 +235,20 @@ def recovery_merge(
     # n_partitions however many cores exist.  The aggregate's shuffle is
     # O(n_partitions) rows and the join back is a broadcast (zero exchange
     # of the big side).
-    maxes = actions.groupBy("topic", "partition").agg(
-        F.floor(F.max("offset") * F.lit(split_frac)).cast("long").alias("_split")
-    )
-    acts = actions.join(F.broadcast(maxes), ["topic", "partition"])
+    # NULL-SAFE join keys: the window form this replaced grouped NULL
+    # topic/partition rows into their own group and still classified them;
+    # a bare equi-join would silently drop such rows from BOTH prefix and
+    # tail, breaking the "result equals a full materialization" invariant.
+    # eqNullSafe keeps the join an equi-join (hashable), so the broadcast
+    # plan is unchanged.
+    maxes = actions.groupBy(
+        F.col("topic").alias("_mt"), F.col("partition").alias("_mp")
+    ).agg(F.floor(F.max("offset") * F.lit(split_frac)).cast("long").alias("_split"))
+    acts = actions.join(
+        F.broadcast(maxes),
+        F.col("topic").eqNullSafe(F.col("_mt"))
+        & F.col("partition").eqNullSafe(F.col("_mp")),
+    ).drop("_mt", "_mp")
     prefix_actions = acts.filter(F.col("offset") <= F.col("_split")).drop("_split")
     tail = acts.filter(F.col("offset") > F.col("_split")).drop("_split")
 

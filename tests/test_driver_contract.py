@@ -7,8 +7,11 @@ from __future__ import annotations
 
 import __spark_entry__ as E
 
-#: rows-only by design: inherently engine-specific approximations
-ROWS_ONLY = {"x_approx_distinct"}
+#: rows-only by design: none left — round 9 graded the last one
+#: (x_approx_distinct now asserts HLL bounded error against DuckDB's exact
+#: distinct).  Keeping the empty set keeps the contract honest: deleting an
+#: oracle now FAILS this test instead of silently degrading a gate.
+ROWS_ONLY: set[str] = set()
 
 
 def test_gate_window_is_exactly_the_pinned_fifty():

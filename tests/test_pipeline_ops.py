@@ -732,3 +732,90 @@ def test_pair_efficiency_stats_invariants(spark):
     assert loose["true_meetings"] >= tight["true_meetings"]
     # the fixture corpus genuinely exercises both sides of the cut
     assert loose["candidate_meetings"] > 0
+
+
+def test_ngram_cap_hot_paths_match_python_model(spark, tmp_path, monkeypatch):
+    """The ngram-Jaccard frequency cap's three adaptive branches (no hot
+    shingles / broadcast anti-join / shuffle anti-join) must all compute
+    the same capped-Jaccard semantics.  The graded corpora have zero
+    over-cap shingles, so this test FORCES the hot branches with a tiny
+    cap and checks against an independent pure-Python model."""
+    import itertools
+
+    from kafka_journal_spark.functions import dedup as D
+
+    texts = {
+        # docs 0-3 share boilerplate "x y z" (doc-freq 4 > cap 3)
+        0: "x y z alpha beta gamma delta",
+        1: "x y z alpha beta gamma epsilon",
+        2: "x y z completely different words here",
+        3: "x y z another unrelated sentence body",
+        # docs 4-5: near-dups with no boilerplate
+        4: "one two three four five six seven",
+        5: "one two three four five six eight",
+    }
+    d = str(tmp_path / "corpus")
+    import os
+
+    os.makedirs(d)
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    cap = 3
+    # independent model: distinct 3-gram shingles, doc-frequency cap,
+    # Jaccard over the capped sets
+    sh = {
+        i: {
+            " ".join(toks[j : j + 3])
+            for j in range(len(toks) - 2)
+        }
+        for i, toks in ((i, t.split()) for i, t in texts.items())
+    }
+    from collections import Counter
+
+    dfreq = Counter(s for ss in sh.values() for s in ss)
+    capped = {i: {s for s in ss if dfreq[s] <= cap} for i, ss in sh.items()}
+    expected = set()
+    thr = 0.1
+    for a, b in itertools.combinations(sorted(capped), 2):
+        inter = capped[a] & capped[b]
+        if not inter:
+            continue
+        j = len(inter) / len(capped[a] | capped[b])
+        if j >= thr:
+            expected.add((a, b, len(inter)))
+
+    monkeypatch.setattr(D, "SHINGLE_DOC_FREQ_CAP", cap)
+    for bmax in (10_000_000, 0):  # broadcast branch, then shuffle fallback
+        monkeypatch.setattr(D, "HOT_SHINGLE_BROADCAST_MAX", bmax)
+        got = {
+            (r.doc_a, r.doc_b, r.n_common)
+            for r in D.ngram_jaccard_pairs(spark, d, threshold=thr).collect()
+        }
+        assert got == expected, (bmax, got, expected)
+
+
+def test_pair_efficiency_stats_zero_meetings(spark, tmp_path):
+    """A corpus whose vectors never share a (primary, probe) bucket must
+    report zeros, not crash on NULL aggregate sums (sum over an empty
+    relation is NULL, and round 9's first cut raised TypeError on it)."""
+    from kafka_journal_spark.functions.similarity import pair_efficiency_stats
+
+    d = str(tmp_path / "sf_empty")
+    import os
+
+    os.makedirs(d)
+    # two vectors with fully opposite signs: every sign bucket differs in
+    # ALL bits, beyond any Hamming-1 multiprobe reach
+    spark.createDataFrame(
+        [(0, [1.0] * 16, "a"), (1, [-1.0] * 16, "b")],
+        "vec_id long, embedding array<float>, label string",
+    ).write.parquet(f"{d}/embeddings.parquet")
+    s = pair_efficiency_stats(spark, d, tau=0.2)
+    assert s["candidate_meetings"] == 0
+    assert s["true_meetings"] == 0
+    assert s["cand_per_true"] == 0.0
+    assert s["max_bucket_cand"] == 0
+    assert s["top_buckets"] == []

@@ -51,6 +51,28 @@ def test_duplicated_tail_deduped(spark):
     assert len(ids) == len(set(ids))
 
 
+def test_null_partition_rows_survive_the_split_join(spark):
+    """The window form this refactor replaced grouped NULL topic/partition
+    rows into their own group and classified them like any other; a bare
+    equi-join would drop them from BOTH prefix and tail (NULL never equals
+    NULL), silently losing events from the merged read.  The eqNullSafe
+    join must keep the full-materialization invariant on such logs."""
+    from pyspark.sql import functions as F
+
+    df = make_actions(spark, SCENARIOS["two_keys_interleaved"]).withColumn(
+        "partition",
+        F.when(F.col("id") == "b", F.lit(None).cast("int")).otherwise(
+            F.col("partition")
+        ),
+    )
+    expected = _rows(materialize_journal(df))
+    # sanity: the null-partition key's surviving events are in the model
+    assert any(i == "b" for (i, _, _) in expected)
+    for frac in (0.0, 0.5, 0.99):
+        got = _rows(recovery_merge(df, split_frac=frac))
+        assert got == expected, frac
+
+
 def test_split_points_match_window_form_on_random_logs(spark):
     """Engine-pair parity for the round-9 split-point refactor: the
     aggregate-join split (groupBy max broadcast back) must classify every
