@@ -60,6 +60,13 @@ def synth_media(
     blob = (
         F.encode(F.md5("text"), "utf-8") if ascii_blob else F.encode("text", "utf-8")
     )
+    # n_bytes is a METADATA column carrying the blob's size (as a real
+    # object-store-backed media table would): stats queries read it
+    # instead of measuring the blob, so the blob column prunes out of
+    # their scan
+    n_bytes = (
+        F.lit(32).cast("long") if ascii_blob else F.octet_length("text").cast("long")
+    )
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.when(F.col("doc_id") % 3 == 0, "image/png")
@@ -69,6 +76,7 @@ def synth_media(
         (F.col("n_chars") % 640 + 16).cast("int").alias("width"),
         (F.col("n_chars") % 480 + 16).cast("int").alias("height"),
         (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+        n_bytes.alias("n_bytes"),
         blob.alias("blob"),
     )
 
@@ -167,6 +175,33 @@ def synth_wav_media(spark: SparkSession, sf_dir: str, n: int = 64) -> DataFrame:
     return docs.mapInPandas(gen, schema="media_id long, mime string, blob binary")
 
 
+def _quarantine_kernel(decode_one, cols, quarantine):
+    """mapInPandas kernel shared by the three media decoders — ONE place
+    owns the quarantine contract (``on_error='quarantine'`` yields a
+    null-feature row plus ``decode_error`` instead of failing the task;
+    ``'raise'`` propagates, failing loudly), so a change to quarantine
+    semantics cannot silently miss a decoder."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                try:
+                    rec = decode_one(bytes(r.blob))
+                    if quarantine:
+                        rec["decode_error"] = None
+                except Exception as e:  # noqa: BLE001 — the quarantine contract
+                    if not quarantine:
+                        raise
+                    rec = {c: None for c in cols[1:]}
+                    rec["decode_error"] = f"{type(e).__name__}: {e}"
+                rec["media_id"] = r.media_id
+                out.append(rec)
+            yield pd.DataFrame(out, columns=cols)
+
+    return kernel
+
+
 def decode_wav_features(media: DataFrame, on_error: str = "raise") -> DataFrame:
     """REAL decode through the mapInPandas fan-out: parse the RIFF header
     with ``wave``, unpack little-endian PCM16 frames, and compute audio
@@ -220,24 +255,9 @@ def decode_wav_features(media: DataFrame, on_error: str = "raise") -> DataFrame:
             "rms": math.sqrt(int((s64 * s64).sum()) / nf),
         }
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for r in pdf.itertuples():
-                try:
-                    rec = _decode_one(bytes(r.blob))
-                    if quarantine:
-                        rec["decode_error"] = None
-                except Exception as e:  # noqa: BLE001 — the quarantine contract
-                    if not quarantine:
-                        raise
-                    rec = {c: None for c in cols[1:]}
-                    rec["decode_error"] = f"{type(e).__name__}: {e}"
-                rec["media_id"] = r.media_id
-                out.append(rec)
-            yield pd.DataFrame(out, columns=cols)
-
-    return media.mapInPandas(kernel, schema=schema)
+    return media.mapInPandas(
+        _quarantine_kernel(_decode_one, cols, quarantine), schema=schema
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -374,24 +394,9 @@ def decode_bmp_features(media: DataFrame, on_error: str = "raise") -> DataFrame:
             "checksum": int(((3 * rr + 5 * g + 7 * b) * pos).sum()),
         }
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for r in pdf.itertuples():
-                try:
-                    rec = _decode_one(bytes(r.blob))
-                    if quarantine:
-                        rec["decode_error"] = None
-                except Exception as e:  # noqa: BLE001 — the quarantine contract
-                    if not quarantine:
-                        raise
-                    rec = {c: None for c in cols[1:]}
-                    rec["decode_error"] = f"{type(e).__name__}: {e}"
-                rec["media_id"] = r.media_id
-                out.append(rec)
-            yield pd.DataFrame(out, columns=cols)
-
-    return media.mapInPandas(kernel, schema=schema)
+    return media.mapInPandas(
+        _quarantine_kernel(_decode_one, cols, quarantine), schema=schema
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -616,35 +621,23 @@ def decode_png_features(media: DataFrame, on_error: str = "raise") -> DataFrame:
             "checksum": int(((3 * rr + 5 * g + 7 * b) * pos_w).sum()),
         }
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for r in pdf.itertuples():
-                try:
-                    rec = _decode_one(bytes(r.blob))
-                    if quarantine:
-                        rec["decode_error"] = None
-                except Exception as e:  # noqa: BLE001 — the quarantine contract
-                    if not quarantine:
-                        raise
-                    rec = {c: None for c in cols[1:]}
-                    rec["decode_error"] = f"{type(e).__name__}: {e}"
-                rec["media_id"] = r.media_id
-                out.append(rec)
-            yield pd.DataFrame(out, columns=cols)
-
-    return media.mapInPandas(kernel, schema=schema)
+    return media.mapInPandas(
+        _quarantine_kernel(_decode_one, cols, quarantine), schema=schema
+    )
 
 
 def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Metadata-only aggregation — must never touch the blob column (check
-    ReadSchema in the plan: blobs pruned)."""
-    m = synth_media(spark, sf_dir)
+    """Metadata-only aggregation — reads the ``n_bytes`` size column, never
+    the blob itself, so against a real media table the blob column prunes
+    out of the scan (the earlier form summed ``length(blob)``, which
+    silently forced every blob into the read — the exact anti-pattern the
+    docstring told reviewers to check against)."""
+    m = synth_media(spark, sf_dir).select("mime", "width", "n_bytes")
     return (
         m.groupBy("mime")
         .agg(
             F.count("*").alias("n_items"),
-            F.sum(F.length("blob")).alias("total_bytes"),
+            F.sum("n_bytes").alias("total_bytes"),
             F.avg("width").alias("avg_width"),
         )
     )

@@ -85,8 +85,14 @@ def skew_safe_count_distinct(
     the shuffle spreads evenly no matter how hot ``group_key`` is; stage 2
     counts rows per group with map-side combine.  Equivalent to the naive
     form, but no reducer ever holds a per-key distinct set.
+
+    NULL handling matches ``COUNT(DISTINCT x)`` exactly: the second stage
+    counts the COLUMN (``F.count(col)`` skips NULLs), so a group whose
+    only values are NULL still appears — with 0, not 1 (a bare
+    ``count(lit(1))`` over the distinct pairs counted the (group, NULL)
+    pair as one more distinct value).
     """
     pairs = df.select(group_key, distinct_key).distinct()
     return pairs.groupBy(group_key).agg(
-        F.count(F.lit(1)).alias(f"n_distinct_{distinct_key}")
+        F.count(F.col(distinct_key)).alias(f"n_distinct_{distinct_key}")
     )

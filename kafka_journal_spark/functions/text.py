@@ -263,10 +263,14 @@ TEXT_ORACLES: dict[str, str] = {
         SELECT doc_id, source,
                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                     % 1000 AS INTEGER) AS bucket,
-               CAST(CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1) AS INTEGER) % 2 = 0
+               -- TRY_CAST, not CAST: a source with no trailing digits makes
+               -- regexp_extract return '' and a hard CAST would abort the
+               -- whole query, where the engine's .cast('int') yields NULL
+               -- and falls through to the odd rate — mirror that
+               CAST(CASE WHEN TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS INTEGER) % 2 = 0
                          THEN 1000 ELSE 300 END AS INTEGER) AS rate_permille,
                (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
-                < CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1) AS INTEGER) % 2 = 0
+                < CASE WHEN TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS INTEGER) % 2 = 0
                        THEN 1000 ELSE 300 END) AS keep
         FROM documents
     """,
@@ -415,7 +419,8 @@ TEXT_ORACLES: dict[str, str] = {
                  CAST(len(list_filter(toks, t -> list_contains(
                      [{", ".join(f"'{w}'" for w in STOPWORDS_EN)}], lower(t)))) AS DOUBLE)
                      / CAST(GREATEST(len(toks), 1) AS DOUBLE) AS stopword_ratio,
-                 list_sum(list_transform(toks, t -> CAST(length(t) AS DOUBLE)))
+                 COALESCE(list_sum(list_transform(toks,
+                                                  t -> CAST(length(t) AS DOUBLE))), 0.0)
                      / CAST(GREATEST(len(toks), 1) AS DOUBLE) AS avg_token_len
           FROM t
         )
@@ -810,7 +815,12 @@ def sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_journal_spark.functions.dedup import hash64
 
     bucket = F.pmod(hash64(F.col("doc_id").cast("string")), F.lit(1000))
-    src_num = F.regexp_extract("source", r"([0-9]+)$", 1).cast("int")
+    # try_cast, not cast: a source with NO trailing digits extracts '' and
+    # under ANSI mode (Spark 4 default) a hard cast THROWS, killing the
+    # whole job on one unconventional source name; try_cast yields NULL,
+    # the parity test is NULL, and the doc falls to the odd rate — the
+    # oracle mirrors with DuckDB TRY_CAST
+    src_num = F.regexp_extract("source", r"([0-9]+)$", 1).try_cast("int")
     rate = F.when(src_num % 2 == 0, F.lit(SAMPLE_RATE_EVEN)).otherwise(
         F.lit(SAMPLE_RATE_ODD)
     )

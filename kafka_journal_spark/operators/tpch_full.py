@@ -283,7 +283,7 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier.
 
     Shape fidelity: ``ps_availqty < 0.5 * sum(shipped)`` becomes
-    ``sum(shipped qty) > 150`` per (supplier, small-part); the semi-join
+    ``sum(shipped qty) > 40`` per (supplier, small-part); the semi-join
     chain and broadcast part dimension are identical.
     """
     part = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("small"))

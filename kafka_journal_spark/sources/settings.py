@@ -50,7 +50,11 @@ class Settings:
         safe_dir_swap(self.spark, self.path, df, coalesce=1)
 
     def set(self, key: str, value: str, origin: str = "local") -> None:
-        now = dt.datetime.utcnow()
+        # timezone-AWARE UTC now: the column is TIMESTAMP (instant
+        # semantics), and a naive utcnow() would be re-interpreted in the
+        # session timezone — off by the UTC offset on any non-UTC driver
+        # (utcnow() is also deprecated in Python 3.12+)
+        now = dt.datetime.now(dt.timezone.utc)
         new = self.spark.createDataFrame(
             [(key, value, now, origin)], SETTINGS_DDL
         )

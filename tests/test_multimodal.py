@@ -42,10 +42,13 @@ def test_decode_stub_rejects_unknown_mime():
 
 
 def test_stats_never_reads_blob(spark):
+    # the stats query consumes the n_bytes METADATA column, so the blob
+    # derivation (encode) must be pruned clean out of the physical plan —
+    # the pre-fix sum(length(blob)) silently forced every blob into the
+    # read, the exact anti-pattern this test exists to catch
     plan = media_stats(spark, SF)._jdf.queryExecution().executedPlan().toString()
-    # metadata agg must not scan the text column the blob derives from ...
-    # (blob is derived in-flight here; the real assertion is that the plan
-    # prunes the parquet scan to the columns the query needs)
+    assert "encode(" not in plan, plan
+    assert "blob" not in plan, plan
     df = media_stats(spark, SF)
     rows = {r.mime: r.n_items for r in df.collect()}
     assert sum(rows.values()) == 64 and set(rows) == {"image/png", "audio/wav", "video/mp4"}

@@ -155,3 +155,29 @@ def test_load_respects_criteria(spark):
         assert seq == max(
             s for s in range(SNAP_EVERY, seq + 1, SNAP_EVERY)
         )
+
+
+def test_settings_timestamp_is_a_true_utc_instant(spark, tmp_path):
+    """set() must store the real current instant regardless of the session
+    timezone: the column is TIMESTAMP (instant semantics), and the old
+    naive utcnow() was re-interpreted in the session zone — off by the
+    full UTC offset on any non-UTC driver."""
+    import datetime as dt
+
+    from kafka_journal_spark.sources.settings import Settings
+
+    s = Settings(spark, str(tmp_path / "kv"))
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")  # UTC+9
+        before = dt.datetime.now(dt.timezone.utc)
+        s.set("k", "v")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        row = s._df().filter("key = 'k'").collect()[0]
+        stored = row.timestamp.replace(tzinfo=dt.timezone.utc)
+        after = dt.datetime.now(dt.timezone.utc)
+        # the naive-utcnow bug made this off by 9 h; allow generous slack
+        assert abs((stored - before).total_seconds()) < 600, (stored, before)
+        assert stored <= after + dt.timedelta(seconds=60)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

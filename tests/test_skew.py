@@ -56,3 +56,23 @@ def test_skew_safe_count_distinct_equals_naive(spark):
         for r in df.groupBy("k").agg(F.countDistinct("u").alias("n")).collect()
     }
     assert got == want
+
+
+def test_skew_safe_count_distinct_null_semantics(spark):
+    """COUNT(DISTINCT x) excludes NULLs: a NULL distinct value must not
+    count, and a group whose ONLY values are NULL must still appear with
+    0 (the pre-fix distinct()+count(lit(1)) counted the (k, NULL) pair as
+    one more distinct value)."""
+    df = spark.createDataFrame(
+        [("a", None), ("a", 1), ("a", 1), ("b", None), ("b", None)],
+        "k string, u int",
+    )
+    got = {
+        r.k: r.n_distinct_u
+        for r in skew_safe_count_distinct(df, "k", "u").collect()
+    }
+    want = {
+        r.k: r.n
+        for r in df.groupBy("k").agg(F.countDistinct("u").alias("n")).collect()
+    }
+    assert got == want == {"a": 1, "b": 0}

@@ -66,3 +66,55 @@ def test_exact_dedup_groups(spark, tmp_path):
 
     out = {r.doc_id: (r.canonical_id, r.group_size) for r in dedup_exact(spark, str(tmp_path)).collect()}
     assert out == {1: (1, 2), 2: (1, 2), 3: (3, 1)}
+
+
+def test_quality_and_sampling_oracle_parity_on_degenerate_docs(spark, tmp_path):
+    """Spark-vs-DuckDB parity for d_quality and d_sample_sources on the
+    inputs the graded corpora never contain: zero-token documents (the
+    oracle's list_sum([]) is NULL where Spark's aggregate seeds 0.0 —
+    needs COALESCE) and a source with no trailing digits (a hard CAST of
+    '' aborts the whole oracle where the engine yields NULL and falls to
+    the odd rate — needs TRY_CAST)."""
+    import os
+
+    import duckdb
+
+    from kafka_journal_spark.functions.text import TEXT_ORACLES, d_quality, sample_sources
+
+    d = str(tmp_path / "corpus")
+    os.makedirs(d)
+    rows = [
+        (0, "", "en", "webcrawl7", 0),
+        (1, "   \t  ", "en", "curated", 6),  # whitespace-only + digitless source
+        (2, "plain text with several tokens here", "en", "news12", 35),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    con = duckdb.connect()
+    # Spark writes a DIRECTORY of part files; DuckDB needs the glob
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    for name, sdf in (
+        ("d_quality", d_quality(spark, d)),
+        ("d_sample_sources", sample_sources(spark, d)),
+    ):
+        cur = con.execute(TEXT_ORACLES[name])
+        cols = [c[0] for c in cur.description]
+        want = {
+            tuple(
+                round(v, 6) if isinstance(v, float) else v
+                for v in r
+            )
+            for r in cur.fetchall()
+        }
+        got = {
+            tuple(
+                round(v, 6) if isinstance(v, float) else v
+                for v in (getattr(r, c) for c in cols)
+            )
+            for r in sdf.collect()
+        }
+        assert got == want, (name, got, want)
