@@ -102,16 +102,17 @@ class JournalClient:
 
     def _tail(self, topic: str, key: str) -> DataFrame:
         """Un-replicated actions of a key (offset beyond the replicated
-        pointer of its partition)."""
-        ptr = {
-            (r.topic, r.partition): r.offset for r in self.store.pointers().collect()
-        }
-        part = self._partition(key)
-        replicated = ptr.get((topic, part), -1)
-        return self._log().filter(
-            (F.col("topic") == topic)
-            & (F.col("id") == key)
-            & (F.col("offset") > replicated)
+        pointer of its partition).
+
+        Fences by each ROW's own partition column (via
+        :meth:`_unreplicated_tail`), not a partition re-derived from
+        ``md5(key)``: a store replicated from a log with a different
+        partitioning scheme would otherwise consult the wrong partition's
+        pointer — double-seeing replicated actions or missing fresh ones.
+        The sibling paths (``_unreplicated_tail``, ``read_many``) always
+        fenced this way; this was the one re-derivation."""
+        return self._unreplicated_tail().filter(
+            (F.col("topic") == topic) & (F.col("id") == key)
         )
 
     def _tail_head(self, topic: str, key: str):
@@ -137,18 +138,51 @@ class JournalClient:
             .drop("_ptr_off")
         )
 
+    @staticmethod
+    def _dir_sig(path: str) -> int:
+        """Cheap filesystem signature of a parquet dir: (name, mtime_ns,
+        size) of every file.  Any writer — this client OR an out-of-band
+        process — creates/replaces part files, changing the signature."""
+        sig = []
+        for root, _, files in os.walk(path):
+            for f in files:
+                p = os.path.join(root, f)
+                try:
+                    st = os.stat(p)
+                except FileNotFoundError:
+                    continue  # concurrent swap mid-walk; next call re-reads
+                sig.append((p, st.st_mtime_ns, st.st_size))
+        return hash(tuple(sorted(sig)))
+
     def _log_fingerprint(self) -> str:
         """Validity token for the head snapshot: the log end offset plus
         the replicated pointers.  Appends move the former, replication the
-        latter — either invalidates the snapshot."""
+        latter — either invalidates the snapshot.
+
+        The Spark jobs (max-offset scan + pointers collect) run only when
+        the underlying FILES changed since the last call (cheap stat-walk
+        signature): snapshot-mode reads otherwise paid two full log-metadata
+        jobs per call just to validate the token, defeating the snapshot's
+        point-lookup purpose.  Out-of-band mutation safety is preserved —
+        any writer changes the part files, which flips the signature and
+        forces a recompute."""
         import hashlib
         import json
 
+        stat = (
+            self._dir_sig(self.log_path),
+            self._dir_sig(os.path.join(self.store.root, "pointers")),
+        )
+        cached = getattr(self, "_fp_cache", None)
+        if cached is not None and cached[0] == stat:
+            return cached[1]
         end = self._log().agg(F.max("offset").alias("m")).collect()[0].m
         ptrs = sorted(
             (r.topic, r.partition, r.offset) for r in self.store.pointers().collect()
         )
-        return hashlib.md5(json.dumps([end, ptrs]).encode()).hexdigest()
+        fp = hashlib.md5(json.dumps([end, ptrs]).encode()).hexdigest()
+        self._fp_cache = (stat, fp)
+        return fp
 
     def refresh_head_snapshot(self) -> None:
         """Materialize the per-key HeadInfo of the un-replicated tail with
@@ -267,7 +301,7 @@ class JournalClient:
             [
                 {
                     "topic": topic, "partition": part, "offset": off, "id": key,
-                    "action_type": "append", "timestamp": dt.datetime.utcnow(),
+                    "action_type": "append", "timestamp": dt.datetime.now(dt.timezone.utc),
                     "origin": self.origin, "version": "1.0",
                     "seq_nr_from": first, "seq_nr_to": last,
                     "payload_type": "binary" if is_binary else "text",
@@ -296,7 +330,7 @@ class JournalClient:
                 {
                     "topic": topic, "partition": self._partition(key), "offset": off,
                     "id": key, "action_type": "delete",
-                    "timestamp": dt.datetime.utcnow(), "origin": self.origin,
+                    "timestamp": dt.datetime.now(dt.timezone.utc), "origin": self.origin,
                     "version": "1.0", "seq_nr_from": None, "seq_nr_to": None,
                     "payload_type": None, "payload": None, "payloads": None,
                     "payloads_bin": None, "headers": None,
@@ -321,7 +355,7 @@ class JournalClient:
                 {
                     "topic": topic, "partition": self._partition(key), "offset": off,
                     "id": key, "action_type": "purge",
-                    "timestamp": dt.datetime.utcnow(), "origin": self.origin,
+                    "timestamp": dt.datetime.now(dt.timezone.utc), "origin": self.origin,
                     "version": "1.0", "seq_nr_from": None, "seq_nr_to": None,
                     "payload_type": None, "payload": None, "payloads": None,
                     "payloads_bin": None, "headers": None,
@@ -452,7 +486,7 @@ class JournalClient:
         if not due:
             return 0
         off = self._next_offset()
-        now = dt.datetime.utcnow()
+        now = dt.datetime.now(dt.timezone.utc)
         self._emit(
             [
                 {

@@ -111,11 +111,23 @@ def head_info_step(h: HeadInfo, a: ActionRec) -> HeadInfo:
         # otherwise a foreign/redelivered stream whose delete watermark
         # overshoots the next append would plan the read past live events.
         keep = None
-        if h.kind == "delete" and a.seq_nr_from is not None and a.seq_nr_from > 1:
+        if (
+            h.kind == "delete"
+            and h.delete_to is not None
+            and a.seq_nr_from is not None
+            and a.seq_nr_from > 1
+        ):
             keep = min(h.delete_to, a.seq_nr_from - 1)
         return HeadInfo(kind="append", offset=a.offset, seq_nr=a.seq_nr_to, delete_to=keep)
     # delete
     to = a.delete_to
+    if to is None:
+        # a delete with no watermark is malformed input (the reference's
+        # Action.Delete cannot carry a null deleteTo) — tolerate as a
+        # no-op rather than TypeError-ing the standing head-state query;
+        # the streaming path feeds ActionRec(delete_to=None) verbatim for
+        # null rows (head_state.py pd.isna handling)
+        return h
     if h.kind == "append":
         # min(max(oldDeleteTo, to), seqNr) — the accumulated watermark is
         # RE-clamped to the current head at every delete (HeadInfo.scala:
@@ -125,7 +137,11 @@ def head_info_step(h: HeadInfo, a: ActionRec) -> HeadInfo:
         base = to if h.delete_to is None else max(h.delete_to, to)
         return replace(h, delete_to=min(base, h.seq_nr))
     if h.kind == "delete":
-        return replace(h, delete_to=max(h.delete_to, to))
+        # h.delete_to is None only for state restored from a run that
+        # predates the null-delete guard above — treat it as absent
+        return replace(
+            h, delete_to=to if h.delete_to is None else max(h.delete_to, to)
+        )
     return HeadInfo(kind="delete", delete_to=to)
 
 

@@ -70,12 +70,22 @@ METAJOURNAL_SQL = f"""
             topic,
             -- Java String.hashCode parity (SegmentNr.scala:146-150):
             -- abs(lower(id).hashCode % segments), int32 wrap emulated in
-            -- bigint space (the Spark side uses the identical masked fold)
+            -- bigint space.  The fold walks UTF-16 CODE UNITS like the
+            -- JVM: a BMP code point is one 31*h+c step, a supplementary
+            -- code point contributes its surrogate PAIR in one combined
+            -- step (961*h + 31*hi + lo) — identical to the Spark twin
+            -- (replicate.py java_string_hash), so non-BMP ids (emoji,
+            -- U+1D11E) land in the same metajournal segment in both
+            -- engines
             ABS(list_reduce(
                   list_prepend(CAST(0 AS BIGINT),
                                list_transform(string_split(lower(id), ''),
                                               c -> CAST(ascii(c) AS BIGINT))),
-                  (acc, x) -> (((acc * 31 + x + 2147483648) % 4294967296
+                  (acc, x) -> ((((CASE WHEN x < 65536 THEN acc * 31 + x
+                                  ELSE acc * 961
+                                       + 31 * (55296 + (x - 65536) // 1024)
+                                       + 56320 + (x - 65536) % 1024 END)
+                                 + 2147483648) % 4294967296
                                 + 4294967296) % 4294967296) - 2147483648
                 ) % {SEGMENTS_DEFAULT}) AS segment,
             id,
@@ -103,6 +113,69 @@ def _q(body: str) -> str:
 #: array-typed columns are serialized with ``to_json`` in gate outputs (both
 #: engines emit the identical compact JSON; the driver's pandas canonicalizer
 #: cannot sort raw list cells) — the engine APIs keep real arrays.
+#: the HeadInfo fold (HeadInfo.scala:206-275) as ONE SQL chain over the
+#: rows of a CTE named ``__src`` — shared by the streaming oracle (whole
+#: action stream) and the batch oracle (0.7-split un-replicated tail), so
+#: the intricate clamp semantics (purge horizon, LAST_VALUE head-so-far,
+#: suffix-min re-clamp, pre-append watermark clamp) live in exactly one
+#: place: a semantic fix cannot silently reach only one of the twins.
+def _head_fold_sql(src_ctes: str) -> str:
+    return f"""
+        WITH {src_ctes},
+        p AS (SELECT *, MAX(CASE WHEN action_type = 'purge' THEN "offset" END)
+                  OVER (PARTITION BY topic, id) AS _p FROM __src),
+        q AS (SELECT *, ("offset" > COALESCE(_p, -1)) AS _post FROM p),
+        r AS (SELECT *, LAST_VALUE(CASE WHEN _post AND action_type = 'append' THEN seq_nr_to END IGNORE NULLS)
+                  OVER (PARTITION BY topic, id ORDER BY "offset"
+                        ROWS UNBOUNDED PRECEDING) AS _seq_so_far FROM q),
+        -- HeadInfo.scala:255-262 re-clamps the accumulated watermark to the
+        -- current head at every delete: each delete's contribution is capped
+        -- by the suffix-min of the head over later append-state deletes
+        r2 AS (SELECT *, MIN(CASE WHEN _post AND action_type = 'delete' AND _seq_so_far IS NOT NULL
+                                  THEN _seq_so_far END)
+                  OVER (PARTITION BY topic, id ORDER BY "offset"
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS _sfx_min_s FROM r),
+        agg0 AS (
+          SELECT topic, id, MAX(_p) AS _p,
+                 MIN(CASE WHEN _post AND action_type = 'append' THEN "offset" END) AS _first_app_off,
+                 -- last/first append BY OFFSET (HeadInfo.scala:242 sets
+                 -- seqNr = range.to unconditionally; restarting ranges lower it)
+                 MAX_BY(CASE WHEN _post AND action_type = 'append' THEN seq_nr_to END,
+                        CASE WHEN _post AND action_type = 'append' THEN "offset" END) AS _max_seq,
+                 MIN_BY(CASE WHEN _post AND action_type = 'append' THEN seq_nr_from END,
+                        CASE WHEN _post AND action_type = 'append' THEN "offset" END) AS _first_from,
+                 MAX(CASE WHEN _post AND action_type = 'delete' AND _seq_so_far IS NOT NULL
+                       THEN LEAST(delete_to, _sfx_min_s) END) AS _del_in,
+                 MAX(CASE WHEN _post AND action_type = 'delete' AND _seq_so_far IS NULL
+                       THEN delete_to END) AS _del_pre,
+                 MIN(CASE WHEN _post AND action_type = 'delete' AND _seq_so_far IS NOT NULL
+                       THEN _seq_so_far END) AS _min_s_del
+          FROM r2 GROUP BY topic, id
+        ),
+        -- HeadInfo.scala:232-247: the pure-delete watermark is clamped to
+        -- first_from - 1 by the first append (dropped when first_from = 1),
+        -- then re-clamped by every later append-state delete's head view
+        agg AS (
+          SELECT topic, id, _p, _first_app_off, _max_seq,
+                 CASE WHEN _max_seq IS NULL THEN _del_pre
+                      ELSE GREATEST(_del_in,
+                             CASE WHEN _del_pre IS NOT NULL AND _first_from > 1
+                                  THEN LEAST(_del_pre, _first_from - 1,
+                                             COALESCE(_min_s_del, 4611686018427387904)) END)
+                 END AS _del_to
+          FROM agg0
+        )
+        SELECT topic, id,
+               CASE WHEN _max_seq IS NOT NULL THEN 'append'
+                    WHEN _del_to IS NOT NULL THEN 'delete'
+                    WHEN _p IS NOT NULL THEN 'purge' ELSE 'empty' END AS kind,
+               CASE WHEN _max_seq IS NOT NULL THEN _first_app_off END AS "offset",
+               CAST(COALESCE(CASE WHEN _max_seq IS NOT NULL THEN _max_seq END, 0) AS BIGINT) AS seq_nr,
+               CAST(CASE WHEN _max_seq IS NOT NULL OR _del_to IS NOT NULL THEN _del_to END AS BIGINT) AS delete_to
+        FROM agg
+    """
+
+
 ORACLES: dict[str, str] = {
     "j_actions": f"WITH __a AS ({ACTIONS_SQL}) SELECT * FROM __a",
     # the wire round-trip must reproduce the actions stream bit-for-bit
@@ -334,112 +407,15 @@ ORACLES: dict[str, str] = {
     ),
     # C1-C3: the standing head-state stream's final states == the batch
     # HeadInfo fold over the whole action stream
-    "x_head_stream": f"""
-        WITH __a AS ({ACTIONS_SQL}),
-        p AS (SELECT *, MAX(CASE WHEN action_type = 'purge' THEN "offset" END)
-                  OVER (PARTITION BY topic, id) AS _p FROM __a),
-        q AS (SELECT *, ("offset" > COALESCE(_p, -1)) AS _post FROM p),
-        r AS (SELECT *, LAST_VALUE(CASE WHEN _post AND action_type = 'append' THEN seq_nr_to END IGNORE NULLS)
-                  OVER (PARTITION BY topic, id ORDER BY "offset"
-                        ROWS UNBOUNDED PRECEDING) AS _seq_so_far FROM q),
-        -- HeadInfo.scala:255-262 re-clamps the accumulated watermark to the
-        -- current head at every delete: each delete's contribution is capped
-        -- by the suffix-min of the head over later append-state deletes
-        r2 AS (SELECT *, MIN(CASE WHEN _post AND action_type = 'delete' AND _seq_so_far IS NOT NULL
-                                  THEN _seq_so_far END)
-                  OVER (PARTITION BY topic, id ORDER BY "offset"
-                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS _sfx_min_s FROM r),
-        agg0 AS (
-          SELECT topic, id, MAX(_p) AS _p,
-                 MIN(CASE WHEN _post AND action_type = 'append' THEN "offset" END) AS _first_app_off,
-                 -- last/first append BY OFFSET (HeadInfo.scala:242 sets
-                 -- seqNr = range.to unconditionally; restarting ranges lower it)
-                 MAX_BY(CASE WHEN _post AND action_type = 'append' THEN seq_nr_to END,
-                        CASE WHEN _post AND action_type = 'append' THEN "offset" END) AS _max_seq,
-                 MIN_BY(CASE WHEN _post AND action_type = 'append' THEN seq_nr_from END,
-                        CASE WHEN _post AND action_type = 'append' THEN "offset" END) AS _first_from,
-                 MAX(CASE WHEN _post AND action_type = 'delete' AND _seq_so_far IS NOT NULL
-                       THEN LEAST(delete_to, _sfx_min_s) END) AS _del_in,
-                 MAX(CASE WHEN _post AND action_type = 'delete' AND _seq_so_far IS NULL
-                       THEN delete_to END) AS _del_pre,
-                 MIN(CASE WHEN _post AND action_type = 'delete' AND _seq_so_far IS NOT NULL
-                       THEN _seq_so_far END) AS _min_s_del
-          FROM r2 GROUP BY topic, id
-        ),
-        agg AS (
-          SELECT topic, id, _p, _first_app_off, _max_seq,
-                 CASE WHEN _max_seq IS NULL THEN _del_pre
-                      ELSE GREATEST(_del_in,
-                             CASE WHEN _del_pre IS NOT NULL AND _first_from > 1
-                                  THEN LEAST(_del_pre, _first_from - 1,
-                                             COALESCE(_min_s_del, 4611686018427387904)) END)
-                 END AS _del_to
-          FROM agg0
-        )
-        SELECT topic, id,
-               CASE WHEN _max_seq IS NOT NULL THEN 'append'
-                    WHEN _del_to IS NOT NULL THEN 'delete'
-                    WHEN _p IS NOT NULL THEN 'purge' ELSE 'empty' END AS kind,
-               CASE WHEN _max_seq IS NOT NULL THEN _first_app_off END AS "offset",
-               CAST(COALESCE(CASE WHEN _max_seq IS NOT NULL THEN _max_seq END, 0) AS BIGINT) AS seq_nr,
-               CAST(CASE WHEN _max_seq IS NOT NULL OR _del_to IS NOT NULL THEN _del_to END AS BIGINT) AS delete_to
-        FROM agg
-    """,
+    "x_head_stream": _head_fold_sql(
+        f"""__a AS ({ACTIONS_SQL}), __src AS (SELECT * FROM __a)"""
+    ),
     # R3 batch form: HeadInfo fold over the un-replicated tail (0.7 split)
-    "j_head_info": f"""
-        WITH __a AS ({ACTIONS_SQL}),
+    "j_head_info": _head_fold_sql(
+        f"""__a AS ({ACTIONS_SQL}),
         s AS (SELECT *, CAST(FLOOR(MAX("offset") OVER (PARTITION BY topic, partition) * 0.7) AS BIGINT) AS _split FROM __a),
-        tail AS (SELECT * FROM s WHERE "offset" > _split),
-        p AS (SELECT *, MAX(CASE WHEN action_type = 'purge' THEN "offset" END)
-                  OVER (PARTITION BY topic, id) AS _p FROM tail),
-        q AS (SELECT *, ("offset" > COALESCE(_p, -1)) AS _post FROM p),
-        r AS (SELECT *, LAST_VALUE(CASE WHEN _post AND action_type = 'append' THEN seq_nr_to END IGNORE NULLS)
-                  OVER (PARTITION BY topic, id ORDER BY "offset"
-                        ROWS UNBOUNDED PRECEDING) AS _seq_so_far FROM q),
-        -- HeadInfo.scala:255-262 re-clamp: see x_head_stream
-        r2 AS (SELECT *, MIN(CASE WHEN _post AND action_type = 'delete' AND _seq_so_far IS NOT NULL
-                                  THEN _seq_so_far END)
-                  OVER (PARTITION BY topic, id ORDER BY "offset"
-                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS _sfx_min_s FROM r),
-        agg0 AS (
-          SELECT topic, id, MAX(_p) AS _p,
-                 MIN(CASE WHEN _post AND action_type = 'append' THEN "offset" END) AS _first_app_off,
-                 -- last/first append BY OFFSET (HeadInfo.scala:242 sets
-                 -- seqNr = range.to unconditionally; restarting ranges lower it)
-                 MAX_BY(CASE WHEN _post AND action_type = 'append' THEN seq_nr_to END,
-                        CASE WHEN _post AND action_type = 'append' THEN "offset" END) AS _max_seq,
-                 MIN_BY(CASE WHEN _post AND action_type = 'append' THEN seq_nr_from END,
-                        CASE WHEN _post AND action_type = 'append' THEN "offset" END) AS _first_from,
-                 MAX(CASE WHEN _post AND action_type = 'delete' AND _seq_so_far IS NOT NULL
-                       THEN LEAST(delete_to, _sfx_min_s) END) AS _del_in,
-                 MAX(CASE WHEN _post AND action_type = 'delete' AND _seq_so_far IS NULL
-                       THEN delete_to END) AS _del_pre,
-                 MIN(CASE WHEN _post AND action_type = 'delete' AND _seq_so_far IS NOT NULL
-                       THEN _seq_so_far END) AS _min_s_del
-          FROM r2 GROUP BY topic, id
-        ),
-        -- HeadInfo.scala:232-247: the pure-delete watermark is clamped to
-        -- first_from - 1 by the first append (dropped when first_from = 1),
-        -- then re-clamped by every later append-state delete's head view
-        agg AS (
-          SELECT topic, id, _p, _first_app_off, _max_seq,
-                 CASE WHEN _max_seq IS NULL THEN _del_pre
-                      ELSE GREATEST(_del_in,
-                             CASE WHEN _del_pre IS NOT NULL AND _first_from > 1
-                                  THEN LEAST(_del_pre, _first_from - 1,
-                                             COALESCE(_min_s_del, 4611686018427387904)) END)
-                 END AS _del_to
-          FROM agg0
-        )
-        SELECT topic, id,
-               CASE WHEN _max_seq IS NOT NULL THEN 'append'
-                    WHEN _del_to IS NOT NULL THEN 'delete'
-                    WHEN _p IS NOT NULL THEN 'purge' ELSE 'empty' END AS kind,
-               CASE WHEN _max_seq IS NOT NULL THEN _first_app_off END AS "offset",
-               CAST(COALESCE(CASE WHEN _max_seq IS NOT NULL THEN _max_seq END, 0) AS BIGINT) AS seq_nr,
-               CAST(CASE WHEN _max_seq IS NOT NULL OR _del_to IS NOT NULL THEN _del_to END AS BIGINT) AS delete_to
-        FROM agg
-    """,
+        __src AS (SELECT * FROM s WHERE "offset" > _split)"""
+    ),
     # W5 unit-weight batching (max_events=7 so sf0.01 has multi-batch keys)
     "w_batching": f"""
         WITH __a AS ({ACTIONS_SQL}),

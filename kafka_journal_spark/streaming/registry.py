@@ -109,13 +109,38 @@ class ReplicatorRegistry:
 
     def _stop_topic(self, topic: str) -> None:
         q = self._queries.pop(topic)
-        q.stop()
-        q.awaitTermination()
+        try:
+            q.stop()
+            q.awaitTermination()
+        except Exception:  # noqa: BLE001 — a FAILED query's awaitTermination
+            # re-raises its StreamingQueryException; stopping a dead topic
+            # must not abort the rest of the diffing round (the module
+            # contract: one failed topic never stalls the others)
+            pass
         # the store stays on disk: a re-discovered topic resumes from its
         # checkpoint + pointers, exactly like a reference replicator restart
 
+    def _reap_dead(self) -> list[str]:
+        """Drop queries that are no longer active (failed or stopped
+        out-of-band) so the next diff RESTARTS their topic — the
+        reference's supervisor behavior: a crashed TopicReplicator is
+        simply started again on the next discovery round, resuming from
+        its checkpoint.  Without this, a dead query stayed in
+        ``_queries`` forever and its topic silently stopped replicating
+        while ``running_topics()`` kept reporting it."""
+        dead = [t for t, q in self._queries.items() if not q.isActive]
+        for t in dead:
+            q = self._queries.pop(t)
+            try:
+                q.awaitTermination()  # surface/clear the exception state
+            except Exception:  # noqa: BLE001 — recorded by the restart below
+                pass
+        return sorted(dead)
+
     def sync(self) -> dict[str, list[str]]:
-        """One start/stop diffing round (Replicator.scala:120-170)."""
+        """One start/stop diffing round (Replicator.scala:120-170): reap
+        dead queries, stop the vanished, start the new + the reaped."""
+        failed = self._reap_dead()
         discovered = self.discovered_topics()
         running = self.running_topics()
         started, stopped = sorted(discovered - running), sorted(running - discovered)
@@ -123,7 +148,7 @@ class ReplicatorRegistry:
             self._stop_topic(t)
         for t in started:
             self._start_topic(t)
-        return {"started": started, "stopped": stopped}
+        return {"started": started, "stopped": stopped, "failed": failed}
 
     def process_all_available(self) -> None:
         """Drain every running topic's backlog (test/batch determinism)."""

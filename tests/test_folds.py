@@ -216,3 +216,28 @@ def test_delete_reclamps_after_append_restart():
     # append's range wins, so the head follows the restart
     assert h.seq_nr == 2
     assert h.delete_to == 2
+
+
+def test_null_delete_to_is_tolerated_not_crashed():
+    """A delete whose delete_to is None is malformed input (the reference's
+    Action.Delete cannot carry one), but the streaming head-state path
+    feeds such rows verbatim from null columns — the fold must treat them
+    as no-ops in EVERY state, never TypeError (max/min of int and None
+    used to kill the standing query)."""
+    null_del = ActionRec("delete", 5, None, None, None)
+    # empty state: no-op, stays empty
+    assert head_info([null_del]) == HeadInfo()
+    # append state: watermark unchanged
+    h = head_info([ActionRec("append", 0, 1, 3, None), null_del])
+    assert h.kind == "append" and h.seq_nr == 3 and h.delete_to is None
+    # delete state: existing watermark survives
+    h = head_info(
+        [ActionRec("delete", 0, None, None, 7), null_del]
+    )
+    assert h.kind == "delete" and h.delete_to == 7
+    # and a real delete after the malformed one still applies
+    h = head_info(
+        [ActionRec("append", 0, 1, 9, None), null_del,
+         ActionRec("delete", 6, None, None, 4)]
+    )
+    assert h.delete_to == 4

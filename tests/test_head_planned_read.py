@@ -78,3 +78,21 @@ def test_snapshot_mode_reads_equal_fold_mode(spark, tmp_path):
     c.refresh_head_snapshot()
     assert c._snapshot_head("t", "a") == HeadInfo()  # all replicated now
     assert c.read("t", "a") == fold.read("t", "a")
+
+
+def test_snapshot_staleness_survives_out_of_band_writers(spark, tmp_path):
+    """The fingerprint cache added for snapshot-mode read cost must NOT
+    weaken the staleness guarantee for writers this client instance never
+    saw: a second client appending to the same root changes the log's
+    part files, which must flip the cached validity token."""
+    root = str(tmp_path / "cl")
+    c = JournalClient(spark, root, head_mode="snapshot")
+    other = JournalClient(spark, root)  # out-of-band writer, same root
+    c.append("t", "a", ["a1"])
+    c.refresh_head_snapshot()
+    assert c._snapshot_head("t", "a") is not None  # fresh + cache warm
+    assert c._snapshot_head("t", "a") is not None  # served from cache
+
+    other.append("t", "a", ["a2"])  # c's instance cache knows nothing
+    assert c._snapshot_head("t", "a") is None  # stat signature flipped
+    assert c.read("t", "a") == [(1, "a1"), (2, "a2")]  # fold fallback

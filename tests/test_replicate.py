@@ -175,3 +175,45 @@ def test_pointer_covers_all_partitions(spark):
     )
     ptr = {(r.topic, r.partition): r.offset for r in materialize_pointers(df).collect()}
     assert ptr == {("journal", 0): 10, ("journal", 1): 6}
+
+
+def test_oracle_segment_fold_matches_spark_on_non_bmp_ids(spark):
+    """The DuckDB oracle's Java-hashCode fold must agree with the Spark
+    twin for ALL ids, not just BMP: a supplementary-plane character
+    (emoji, U+1D11E) folds as its TWO UTF-16 surrogate units on the JVM,
+    and the oracle's plain acc*31+codepoint step used to diverge there —
+    a latent false-mismatch in every metajournal gate the moment test ids
+    widen beyond 'user-<int>'."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from kafka_journal_spark.operators.replicate import meta_segment
+    from kafka_journal_spark import SEGMENTS_DEFAULT
+
+    ids = [
+        "user-1", "naïve", "emoji-😀-id", "clef-𝄞",
+        "mixed-😀𝄞-x", "polygenelubricants",
+    ]
+    got = {
+        r.id: r.seg
+        for r in spark.createDataFrame([(i,) for i in ids], "id string")
+        .select("id", meta_segment(F.lower(F.col("id")), SEGMENTS_DEFAULT).alias("seg"))
+        .collect()
+    }
+    duck_sql = f"""
+    SELECT ABS(list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(lower(?), ''),
+                                  c -> CAST(ascii(c) AS BIGINT))),
+      (acc, x) -> ((((CASE WHEN x < 65536 THEN acc * 31 + x
+                      ELSE acc * 961 + 31 * (55296 + (x - 65536) // 1024)
+                           + 56320 + (x - 65536) % 1024 END)
+                     + 2147483648) % 4294967296 + 4294967296) % 4294967296)
+                   - 2147483648
+    ) % {SEGMENTS_DEFAULT})
+    """
+    con = duckdb.connect()
+    for i in ids:
+        d = con.execute(duck_sql, [i]).fetchone()[0]
+        assert got[i] == d, (i, got[i], d)
