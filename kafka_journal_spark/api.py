@@ -413,7 +413,15 @@ class JournalClient:
             .filter(F.col("offset") > F.coalesce(F.col("_ptr_off"), F.lit(-1)))
             .drop("_ptr_off")
         )
-        return stitch_tail(eventual, tail, from_seq_nr)
+        # the store's delete watermarks clamp TAIL rows too (a tail append
+        # re-delivering seq numbers below a replicated delete must not
+        # resurrect deleted events — see stitch_tail)
+        prefix_wm = (
+            self.store.metajournal()
+            .filter((F.col("topic") == topic) & F.col("id").isin(key_set))
+            .filter(F.col("delete_to").isNotNull())
+        )
+        return stitch_tail(eventual, tail, from_seq_nr, prefix_watermarks=prefix_wm)
 
     def pointer_many(self, topic: str, keys: list[str] | None = None) -> DataFrame:
         """Bulk R6: last seq_nr per key as ONE DataFrame plan — the

@@ -51,7 +51,16 @@ def head_info_batch(actions: DataFrame) -> DataFrame:
         ).over(wseq),
     )
     is_app = F.col("_post") & (F.col("action_type") == "append")
-    is_del = F.col("_post") & (F.col("action_type") == "delete")
+    # a delete with NULL delete_to is malformed input the pure fold
+    # tolerates as a no-op (folds.head_info_step) — exclude it here too:
+    # F.least SKIPS nulls, so an unguarded NULL delete in append state
+    # would set the watermark to the current head (hiding every live
+    # event in snapshot-mode reads while fold-mode returns them)
+    is_del = (
+        F.col("_post")
+        & (F.col("action_type") == "delete")
+        & F.col("delete_to").isNotNull()
+    )
     # the reference RE-clamps the accumulated watermark to the current head
     # at every delete — dt' = min(max(dt, to), seq) (HeadInfo.scala:255-262).
     # Unrolled with min/max distributivity, the final watermark is

@@ -172,6 +172,8 @@ def apply_seq_nr_uniqueness(df: DataFrame, mode: str = "ignore") -> DataFrame:
       fires in the same pass as the window dedup), so strictness costs no
       extra scan.
     """
+    if mode not in ("ignore", "quarantine", "raise"):
+        raise ValueError(f"unknown seq_nr_uniqueness mode {mode!r}")
     wk = Window.partitionBy("topic", "id", "seq_nr")
     if mode == "ignore":
         wdup = wk.orderBy("offset")
@@ -180,6 +182,19 @@ def apply_seq_nr_uniqueness(df: DataFrame, mode: str = "ignore") -> DataFrame:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+    # SAME-offset copies are physical crash replays (replicate_batch died
+    # between journal append and pointer upsert; the replay re-appends
+    # identical rows) — harmless, collapsed to one here exactly as
+    # :func:`integrity_violations` ignores them (countDistinct offset).
+    # Only DISTINCT offsets for one seq_nr are integrity violations; the
+    # pre-fix code passed same-offset copies through min!=max as
+    # "not duplicated" and returned every event twice in these modes.
+    wphys = Window.partitionBy("topic", "id", "seq_nr", "offset").orderBy("offset")
+    df = (
+        df.withColumn("_prn", F.row_number().over(wphys))
+        .filter(F.col("_prn") == 1)
+        .drop("_prn")
+    )
     dup = F.min("offset").over(wk) != F.max("offset").over(wk)
     if mode == "quarantine":
         return df.withColumn("_dup", dup).filter(~F.col("_dup")).drop("_dup")
@@ -198,7 +213,7 @@ def apply_seq_nr_uniqueness(df: DataFrame, mode: str = "ignore") -> DataFrame:
             ),
         )
         return df.withColumn("_chk", guard).filter(F.col("_chk").isNull()).drop("_chk")
-    raise ValueError(f"unknown seq_nr_uniqueness mode {mode!r}")
+    raise AssertionError(mode)  # unreachable: validated above
 
 
 def recovery_merge(
@@ -253,10 +268,34 @@ def recovery_merge(
     tail = acts.filter(F.col("offset") > F.col("_split")).drop("_split")
 
     # "Cassandra" side: replicated prefix.  materialize_journal already
-    # applies the prefix's purge horizon and delete watermark, so no extra
-    # metajournal join is needed here (one scan + one shuffle saved).
+    # applies the prefix's purge horizon and delete watermark to the
+    # PREFIX rows; the same RAW effective watermark additionally clamps
+    # TAIL rows (see stitch_tail: a tail append re-delivering seq numbers
+    # below a replicated delete must not resurrect deleted events).  Raw
+    # (max effective delete_to), not the metajournal's clamped+gap form,
+    # because materialize_journal IS the consistency model and it filters
+    # by raw.  The watermark subtree reads ONLY delete/purge rows (the
+    # action_type predicate pushes into the scan, pruning the dominant
+    # append volume), and its window/aggregate run on that tiny relation.
     eventual = materialize_journal(prefix_actions).select(*READ_COLUMNS)
-    return stitch_tail(eventual, tail, from_seq_nr, seq_nr_uniqueness)
+    dp = prefix_actions.filter(F.col("action_type").isin("delete", "purge"))
+    wk_wm = Window.partitionBy("topic", "id")
+    prefix_wm = (
+        dp.withColumn(
+            "_po",
+            F.max(F.when(F.col("action_type") == "purge", F.col("offset"))).over(wk_wm),
+        )
+        .filter(
+            (F.col("action_type") == "delete")
+            & (F.col("offset") > F.coalesce(F.col("_po"), F.lit(-1)))
+        )
+        .groupBy("topic", "id")
+        .agg(F.max("delete_to").alias("delete_to"))
+        .filter(F.col("delete_to").isNotNull())
+    )
+    return stitch_tail(
+        eventual, tail, from_seq_nr, seq_nr_uniqueness, prefix_watermarks=prefix_wm
+    )
 
 
 def stitch_tail(
@@ -264,11 +303,22 @@ def stitch_tail(
     tail: DataFrame,
     from_seq_nr: int = 1,
     seq_nr_uniqueness: str = "ignore",
+    prefix_watermarks: DataFrame | None = None,
 ) -> DataFrame:
     """Stitch a replicated prefix with a not-yet-replicated actions tail —
     the common second half of every recovery read (``Journals.scala:211-292``):
     decode tail appends, apply the tail's purge/delete visibility to the
-    union, dedup under the configured integrity mode."""
+    union, dedup under the configured integrity mode.
+
+    ``prefix_watermarks`` (topic, id, delete_to) carries the REPLICATED
+    side's delete watermark: without it, a tail append re-delivering seq
+    numbers below an already-replicated delete (an at-least-once producer
+    retry that re-keys offsets) resurrects deleted events — the prefix
+    side correctly yields nothing, the tail side sees no tail delete, and
+    the R5 dedup has no surviving original to collapse against.  The
+    clamp is suppressed after a TAIL purge (a purge starts a fresh
+    incarnation whose appends legitimately restart below the old
+    watermark)."""
     # "Kafka" side: decode tail appends (the replicator hasn't seen these)
     tail_rows = explode_events(tail.filter(F.col("action_type") == "append")).select(
         *READ_COLUMNS
@@ -307,6 +357,20 @@ def stitch_tail(
         .filter(F.col("seq_nr") > F.coalesce(F.col("_t_del"), F.lit(0)))
         .filter(F.col("seq_nr") >= F.lit(from_seq_nr))
     )
+    if prefix_watermarks is not None:
+        pw = prefix_watermarks.select(
+            "topic", "id", F.col("delete_to").alias("_p_dt")
+        )
+        # replicated watermark clamp — voided by a tail purge (rows that
+        # survived the purge filter belong to the NEW incarnation).  No
+        # broadcast hint: pw is O(keys with a replicated delete); AQE
+        # broadcasts it while small.
+        visible = visible.join(pw, ["topic", "id"], "left").filter(
+            F.col("seq_nr")
+            > F.when(F.col("_t_purge").isNotNull(), F.lit(0)).otherwise(
+                F.coalesce(F.col("_p_dt"), F.lit(0))
+            )
+        )
 
     # R5 monotonic-dedup guard under the configured integrity mode
     # (default: keep first delivery of each seq_nr)

@@ -131,7 +131,7 @@ def _head_fold_sql(src_ctes: str) -> str:
         -- HeadInfo.scala:255-262 re-clamps the accumulated watermark to the
         -- current head at every delete: each delete's contribution is capped
         -- by the suffix-min of the head over later append-state deletes
-        r2 AS (SELECT *, MIN(CASE WHEN _post AND action_type = 'delete' AND _seq_so_far IS NOT NULL
+        r2 AS (SELECT *, MIN(CASE WHEN _post AND action_type = 'delete' AND delete_to IS NOT NULL AND _seq_so_far IS NOT NULL
                                   THEN _seq_so_far END)
                   OVER (PARTITION BY topic, id ORDER BY "offset"
                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS _sfx_min_s FROM r),
@@ -144,11 +144,11 @@ def _head_fold_sql(src_ctes: str) -> str:
                         CASE WHEN _post AND action_type = 'append' THEN "offset" END) AS _max_seq,
                  MIN_BY(CASE WHEN _post AND action_type = 'append' THEN seq_nr_from END,
                         CASE WHEN _post AND action_type = 'append' THEN "offset" END) AS _first_from,
-                 MAX(CASE WHEN _post AND action_type = 'delete' AND _seq_so_far IS NOT NULL
+                 MAX(CASE WHEN _post AND action_type = 'delete' AND delete_to IS NOT NULL AND _seq_so_far IS NOT NULL
                        THEN LEAST(delete_to, _sfx_min_s) END) AS _del_in,
-                 MAX(CASE WHEN _post AND action_type = 'delete' AND _seq_so_far IS NULL
+                 MAX(CASE WHEN _post AND action_type = 'delete' AND delete_to IS NOT NULL AND _seq_so_far IS NULL
                        THEN delete_to END) AS _del_pre,
-                 MIN(CASE WHEN _post AND action_type = 'delete' AND _seq_so_far IS NOT NULL
+                 MIN(CASE WHEN _post AND action_type = 'delete' AND delete_to IS NOT NULL AND _seq_so_far IS NOT NULL
                        THEN _seq_so_far END) AS _min_s_del
           FROM r2 GROUP BY topic, id
         ),

@@ -693,10 +693,11 @@ class JournalStore:
         self._set_dirty_bands(set(self._dirty_bands()) - set(dirty))
         return sorted(dirty)
 
-    def upsert_pointers(self, df: DataFrame, touched_topics: list[str]) -> None:
-        """Incremental pointers write: dynamic overwrite of the batch's
-        topic partitions only (pointer rows never disappear, so no
-        empty-partition cleanup applies)."""
+    def upsert_pointers(self, df: DataFrame) -> None:
+        """Incremental pointers write: dynamic overwrite scopes the rewrite
+        to exactly the topic partitions present in ``df`` (pointer rows
+        never disappear, so no empty-partition cleanup applies — and no
+        topics parameter either: the dynamic mode IS the scoping)."""
         path = self._path("pointers")
         _repair_dir(path)
         (

@@ -47,13 +47,21 @@ from kafka_journal_spark.sources.statestore import JournalStore
 
 
 def _batch_summary(batch: DataFrame) -> DataFrame:
-    """Per-key fold of one micro-batch: purge horizon + post-purge aggregates."""
-    wk = Window.partitionBy("topic", "id")
-    df = batch.withColumn(
-        "_purge_off",
-        F.max(F.when(F.col("action_type") == "purge", F.col("offset"))).over(wk),
-    )
+    """Per-key fold of one micro-batch: purge horizon + post-purge
+    aggregates.  Expects ``_purge_off`` pre-annotated when the caller
+    already computed the per-key purge window (the replicator annotates
+    BEFORE its lineage-cut checkpoint so the window shuffle runs once per
+    batch, not once per consumer)."""
+    if "_purge_off" in batch.columns:
+        df = batch
+    else:
+        wk = Window.partitionBy("topic", "id")
+        df = batch.withColumn(
+            "_purge_off",
+            F.max(F.when(F.col("action_type") == "purge", F.col("offset"))).over(wk),
+        )
     post = F.col("offset") > F.coalesce(F.col("_purge_off"), F.lit(-1))
+    nm = F.col("action_type") != "mark"
     app = (F.col("action_type") == "append") & post
     dele = (F.col("action_type") == "delete") & post
     # expiry follows the batch's LAST post-purge append (ExpiryService
@@ -78,9 +86,12 @@ def _batch_summary(batch: DataFrame) -> DataFrame:
         F.max(F.when(app, F.col("seq_nr_to"))).alias("max_app_seq"),
         F.min(F.when(app, F.col("seq_nr_from"))).alias("first_app_seq"),
         F.max(F.when(dele, F.col("delete_to"))).alias("post_del"),
-        F.max(F.when(F.col("action_type") != "mark", F.col("offset"))).alias("max_off"),
-        F.min(F.when(post, F.col("timestamp"))).alias("min_ts"),
-        F.max("timestamp").alias("max_ts"),
+        F.max(F.when(nm, F.col("offset"))).alias("max_off"),
+        # marks are read-side fencing records: they must never move a
+        # head's created/updated (the reference's replicator only writes
+        # metajournal times on append/delete/purge)
+        F.min(F.when(post & nm, F.col("timestamp"))).alias("min_ts"),
+        F.max(F.when(nm, F.col("timestamp"))).alias("max_ts"),
         exp_val.alias("b_exp_secs"),
         exp_ts.alias("b_last_app_ts"),
     )
@@ -113,6 +124,14 @@ def _replicate_batch_impl(batch: DataFrame, store: JournalStore) -> None:
         .filter(F.col("offset") > F.coalesce(F.col("_ptr_off"), F.lit(-1)))
         .drop("_ptr_off")
     )
+    # annotate the per-key purge horizon BEFORE the checkpoint: both
+    # consumers (the summary fold and the journal-append filter) read the
+    # materialized column instead of each re-running the window shuffle
+    wkp = Window.partitionBy("topic", "id")
+    fresh = fresh.withColumn(
+        "_purge_off",
+        F.max(F.when(F.col("action_type") == "purge", F.col("offset"))).over(wkp),
+    )
     fresh = fresh.localCheckpoint(eager=True)  # cut the lineage once per batch
 
     # 2. per-key collapse -> batch summary, merged with existing heads.
@@ -126,14 +145,22 @@ def _replicate_batch_impl(batch: DataFrame, store: JournalStore) -> None:
         "_seg", meta_segment(F.col("id"), SEGMENTS_DEFAULT)
     )
     summ = summ.localCheckpoint(eager=True)  # reused for segments + merge
-    touched_segments = sorted(
-        r._seg for r in summ.select("_seg").distinct().collect()
-    )
-    # the segment collect doubles as the emptiness guard (one driver
-    # action instead of a separate isEmpty scan per trigger): mark-only
-    # batches still summarize to rows, so empty here means nothing fresh
-    if not touched_segments:
+    # one driver action serves three decisions: the emptiness guard (no
+    # rows at all -> nothing fresh), the touched metajournal segments, and
+    # the mark-only discrimination — a key whose batch actions are ALL
+    # marks has max_off NULL and must NOT reach the head merge (marks are
+    # read-side fencing records; the reference never writes metajournal
+    # rows for them, and the pre-fix path minted spurious heads with
+    # seq_nr=0/offset=-1 for mark-only keys).  Mark-only BATCHES still
+    # advance the pointers below (the reference commits offsets for every
+    # consumed record).
+    seg_rows = summ.select(
+        "_seg", F.col("max_off").isNotNull().alias("_nm")
+    ).distinct().collect()
+    if not seg_rows:
         return
+    touched_segments = sorted({r._seg for r in seg_rows if r._nm})
+    summ = summ.filter(F.col("max_off").isNotNull())
     # merge-on-read upsert: the store APPENDS per-key head deltas, so the
     # merge needs only the batch keys' CURRENT heads — segment-pruned scan
     # narrowed to the batch's keys (a band-complete read would drag every
@@ -231,6 +258,8 @@ def _replicate_batch_impl(batch: DataFrame, store: JournalStore) -> None:
     merged = m.select(
         "topic",
         "id",
+        "_seg",  # computed once on summ; old-side rows cannot exist without
+        # a summ row (the old scan is key-narrowed to the batch)
         F.coalesce("o_partition", "partition").alias("partition"),
         F.greatest(F.coalesce("o_offset", F.lit(-1)), F.coalesce("max_off", F.lit(-1))).alias(
             "offset"
@@ -256,7 +285,8 @@ def _replicate_batch_impl(batch: DataFrame, store: JournalStore) -> None:
     # a TOMBSTONE row (deleted=true) the resolver hides and the fold drops
     heads_all = merged.select(
         "topic",
-        meta_segment(F.col("id"), SEGMENTS_DEFAULT).alias("segment"),
+        F.col("_seg").alias("segment"),  # the per-character Java-hash
+        # aggregate runs once (on summ), not re-derived per output row
         "id",
         "partition",
         "offset",
@@ -280,18 +310,12 @@ def _replicate_batch_impl(batch: DataFrame, store: JournalStore) -> None:
     new_meta = heads_all.filter(~F.col("deleted")).drop("deleted")
 
     # 3. journal rows: post-purge appends above the final watermark, tagged
-    #    with their incarnation
-    wk = Window.partitionBy("topic", "id")
-    appends = (
-        fresh.withColumn(
-            "_purge_off",
-            F.max(F.when(F.col("action_type") == "purge", F.col("offset"))).over(wk),
-        )
-        .filter(
-            (F.col("action_type") == "append")
-            & (F.col("offset") > F.coalesce(F.col("_purge_off"), F.lit(-1)))
-        )
-    )
+    #    with their incarnation (``_purge_off`` is the column materialized
+    #    with the checkpoint above — no second window shuffle)
+    appends = fresh.filter(
+        (F.col("action_type") == "append")
+        & (F.col("offset") > F.coalesce(F.col("_purge_off"), F.lit(-1)))
+    ).drop("_purge_off")
     # no broadcast hint: new_meta holds exactly the batch's keys — can
     # still be large under wide batches (bulk load, backfill) — AQE
     # broadcasts it at runtime while it is small and shuffle-joins once
@@ -353,11 +377,15 @@ def _replicate_batch_impl(batch: DataFrame, store: JournalStore) -> None:
     # materialize BEFORE mutating the store (inputs read from the same
     # dirs; heads_all was checkpointed at construction)
     new_ptr = new_ptr.localCheckpoint(eager=True)
-    rows = rows.localCheckpoint(eager=True)
 
-    store.append_journal(rows, topics=touched_topics)
-    store.upsert_metajournal(heads_all, touched_segments, topics=touched_topics)
-    store.upsert_pointers(new_ptr, touched_topics)
+    # a mark-only batch has no segments to touch: heads_all/rows are
+    # vacuously empty, so only the pointers advance (offset bookkeeping,
+    # exactly the reference's handling of mark records)
+    if touched_segments:
+        rows = rows.localCheckpoint(eager=True)
+        store.append_journal(rows, topics=touched_topics)
+        store.upsert_metajournal(heads_all, touched_segments, topics=touched_topics)
+    store.upsert_pointers(new_ptr)
 
 
 def run_parquet_replicator(

@@ -43,8 +43,10 @@ def _random_sequences(n_keys=60, seed=20260813):
                     "t", 0, off, key, "append", first, seq, None,
                 ))
             elif kind == "delete":
-                # watermark may overshoot everything appended so far
-                to = rng.randint(1, 30)
+                # watermark may overshoot everything appended so far; a
+                # NULL watermark (malformed input both folds must no-op,
+                # not crash or clamp) appears ~1 in 8 deletes
+                to = None if rng.random() < 0.125 else rng.randint(1, 30)
                 recs.append(ActionRec("delete", off, delete_to=to))
                 rows.append(("t", 0, off, key, "delete", None, None, to))
             elif kind == "purge":

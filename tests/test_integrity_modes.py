@@ -93,3 +93,41 @@ def test_recovery_merge_modes(spark):
 
     with pytest.raises(Exception, match="duplicate seq_nr"):
         recovery_merge(acts, seq_nr_uniqueness="raise").collect()
+
+
+def test_same_offset_physical_replays_collapse_in_all_modes(spark):
+    """A crash between journal append and pointer upsert re-appends rows
+    with IDENTICAL offsets on replay.  Those are physical copies, not
+    integrity violations (integrity_violations counts DISTINCT offsets):
+    every mode must return each event once — 'quarantine' and 'raise'
+    used to pass them straight through, doubling every event."""
+    from kafka_journal_spark.operators.read import (
+        apply_seq_nr_uniqueness,
+        integrity_violations,
+    )
+
+    rows = [
+        ("t", "a", 1, 0), ("t", "a", 1, 0),  # physical replay copies
+        ("t", "a", 2, 1),
+    ]
+    df = spark.createDataFrame(rows, "topic string, id string, seq_nr long, offset long")
+    assert integrity_violations(df).count() == 0  # not violations
+    for mode in ("ignore", "quarantine", "raise"):
+        got = sorted(
+            (r.seq_nr, r.offset)
+            for r in apply_seq_nr_uniqueness(df, mode).collect()
+        )
+        assert got == [(1, 0), (2, 1)], (mode, got)
+
+    # a GENUINE violation (distinct offsets) still quarantines/raises
+    bad = spark.createDataFrame(
+        rows + [("t", "a", 1, 5)],
+        "topic string, id string, seq_nr long, offset long",
+    )
+    assert integrity_violations(bad).count() == 1
+    q = sorted(r.seq_nr for r in apply_seq_nr_uniqueness(bad, "quarantine").collect())
+    assert q == [2]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="JournalError"):
+        apply_seq_nr_uniqueness(bad, "raise").collect()

@@ -105,13 +105,15 @@ def test_recovery_merge_plan_is_lean(spark):
     from kafka_journal_spark.operators.read import recovery_merge
 
     p = _plan(recovery_merge(journal_actions(spark, SF)))
-    # the events source feeds prefix + tail (+ the tail visibility fold):
-    # at most 3 FULL scans of it, plus at most one column-pruned scan per
-    # consumer for the split-point aggregate (the round-9 shape: a
-    # map-side-combined max broadcast back replaced a window that
-    # shuffle-SORTED the full relation per consumer — 240.6 -> 55.4 s at
-    # 100M actions; the pruned scans read 3 columns and never exchange)
-    assert p.count("Scan parquet") <= 6
+    # the events source feeds prefix + tail (+ the tail visibility fold,
+    # + the prefix delete-watermark clamp): at most 4 scans of it — the
+    # watermark scan is action_type-pruned to delete/purge rows only —
+    # plus at most one column-pruned scan per consumer for the
+    # split-point aggregate (the round-9 shape: a map-side-combined max
+    # broadcast back replaced a window that shuffle-SORTED the full
+    # relation per consumer — 240.6 -> 55.4 s at 100M actions; the pruned
+    # scans read 3 columns and never exchange)
+    assert p.count("Scan parquet") <= 8
 
 
 def test_store_catalog_read_is_colocated_and_correct(spark, tmp_path):

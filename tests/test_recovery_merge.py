@@ -120,3 +120,34 @@ def test_split_points_match_window_form_on_random_logs(spark):
             ).collect()
         }
         assert via_join == via_window, frac
+
+
+def test_redelivered_append_below_replicated_delete_stays_deleted(spark):
+    """An at-least-once producer retry that re-keys offsets can place
+    appends with OLD seq numbers in the un-replicated tail AFTER the
+    delete covering them was replicated.  The prefix side yields nothing,
+    the tail fold sees no tail delete, and R5 has no surviving original
+    to dedup against — pre-fix the merge resurrected the deleted events,
+    breaking the full-materialization invariant.  The replicated
+    watermark must clamp tail rows too (and a tail PURGE must void the
+    clamp: a fresh incarnation legitimately restarts below it)."""
+    acts = [
+        append("a", 1), append("a", 2), delete("a", 2),  # replicated prefix
+        append("a", 1), append("a", 2),  # the re-keyed retry in the tail
+    ]
+    df = make_actions(spark, acts)
+    expected = _rows(materialize_journal(df))
+    assert expected == []  # the model hides everything below the watermark
+    got = _rows(recovery_merge(df, split_frac=0.5))
+    assert got == expected, got
+
+    # purge-in-tail voids the clamp: the new incarnation's appends live
+    acts2 = [
+        append("b", 1), delete("b", 1),          # replicated
+        purge("b"), append("b", 1),              # tail: fresh incarnation
+    ]
+    df2 = make_actions(spark, acts2)
+    expected2 = _rows(materialize_journal(df2))
+    assert [s for (_, s, _) in expected2] == [1]
+    got2 = _rows(recovery_merge(df2, split_frac=0.4))
+    assert got2 == expected2, got2

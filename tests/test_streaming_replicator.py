@@ -218,3 +218,42 @@ def test_self_maintaining_replicator_bounds_file_count(spark, tmp_path):
         {(r.id, r.seq_nr, r.offset) for r in store.read().collect()}
         == {(r.id, r.seq_nr, r.offset) for r in one.read().collect()}
     )
+
+
+def test_mark_only_keys_never_mint_head_rows(spark, tmp_path):
+    """Marks are read-side fencing records: a key whose only actions are
+    marks must NOT appear in the metajournal (the pre-fix merge minted a
+    spurious head with seq_nr=0/offset=-1, so pointer() returned 0
+    instead of None and ids() listed a nonexistent journal) — but a
+    mark-only batch must STILL advance the replicated pointers, exactly
+    the reference's offset bookkeeping for consumed records."""
+    from conftest import mark
+
+    store = JournalStore(spark, str(tmp_path / "marks"))
+    # batch 1: a real journal for key a + a mark-only key m
+    replicate_batch(
+        make_actions(
+            spark, [append("a", 1), mark("m"), append("a", 2)]
+        ),
+        store,
+    )
+    metas = {r.id for r in store.metajournal().collect()}
+    assert metas == {"a"}, metas
+    assert store.pointer("journal", "m") is None
+    assert _got(store) == [("a", 1, 0), ("a", 2, 2)]
+    ptr1 = store.pointers().agg({"offset": "max"}).collect()[0][0]
+    assert ptr1 == 2
+
+    # batch 2: mark-ONLY batch — no head churn, pointers still advance
+    before_meta = sorted(
+        (r.id, r.seq_nr, r.updated) for r in store.metajournal().collect()
+    )
+    replicate_batch(
+        make_actions(spark, [mark("a"), mark("m")], offset_base=3), store
+    )
+    after_meta = sorted(
+        (r.id, r.seq_nr, r.updated) for r in store.metajournal().collect()
+    )
+    assert after_meta == before_meta  # no spurious rows, no updated bumps
+    ptr2 = store.pointers().agg({"offset": "max"}).collect()[0][0]
+    assert ptr2 == 4  # the mark offsets were committed
