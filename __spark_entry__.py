@@ -363,19 +363,22 @@ def _journal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         from kafka_journal_spark.operators.actions import load_events
 
-        # deterministic per-(process, sf_dir) scratch dir: the sink output
-        # must outlive this call (the caller consumes the returned frame
-        # lazily), so it cannot be deleted here — instead repeat runs REUSE
-        # the same path (cleared up front) and an atexit hook removes it,
-        # bounding disk to one deduped copy per live process instead of one
-        # per invocation (at sf100p each leaked copy is ~100M rows)
-        tag = abs(hash(os.path.abspath(sf_dir))) % (1 << 32)
-        d = os.path.join(
-            tempfile.gettempdir(), f"kjs-dedupstream-{os.getpid()}-{tag:08x}"
+        # per-INVOCATION subdir under one per-process parent: the sink
+        # output must outlive this call (the caller consumes the returned
+        # frame lazily), so earlier invocations' dirs are never touched —
+        # a repeat run for the same sf_dir previously rmtree'd the path
+        # backing a still-unconsumed earlier frame (r9 advice).  One
+        # atexit hook removes the whole parent, bounding disk to the live
+        # process's invocations (at sf100p each copy is ~100M rows, and a
+        # process runs each stream query once — the bench/driver shape)
+        parent = os.path.join(
+            tempfile.gettempdir(), f"kjs-dedupstream-{os.getpid()}"
         )
-        shutil.rmtree(d, ignore_errors=True)
-        os.makedirs(d, exist_ok=True)
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        first = not os.path.isdir(parent)
+        os.makedirs(parent, exist_ok=True)
+        if first:
+            atexit.register(shutil.rmtree, parent, ignore_errors=True)
+        d = tempfile.mkdtemp(dir=parent)
         ev = load_events(spark, sf_dir).select(
             "event_id", "ts", "user_id", "event_type", "value"
         )

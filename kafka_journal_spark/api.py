@@ -139,10 +139,17 @@ class JournalClient:
         )
 
     @staticmethod
-    def _dir_sig(path: str) -> int:
-        """Cheap filesystem signature of a parquet dir: (name, mtime_ns,
-        size) of every file.  Any writer — this client OR an out-of-band
-        process — creates/replaces part files, changing the signature."""
+    def _dir_sig(path: str) -> str:
+        """Cheap filesystem signature of a parquet dir: md5 over the
+        sorted (name, mtime_ns, size) of every file.  Any writer — this
+        client OR an out-of-band process — creates/replaces part files,
+        changing the signature.  A content digest, not Python ``hash()``:
+        a 64-bit hash collision (or an equal-size in-place overwrite under
+        coarse mtime) would validate a stale head-snapshot token and
+        silently mis-plan a snapshot read (r9 advice) — same O(files)
+        cost, no collision exposure beyond md5's."""
+        import hashlib
+
         sig = []
         for root, _, files in os.walk(path):
             for f in files:
@@ -151,8 +158,8 @@ class JournalClient:
                     st = os.stat(p)
                 except FileNotFoundError:
                     continue  # concurrent swap mid-walk; next call re-reads
-                sig.append((p, st.st_mtime_ns, st.st_size))
-        return hash(tuple(sorted(sig)))
+                sig.append(f"{p}\x00{st.st_mtime_ns}\x00{st.st_size}")
+        return hashlib.md5("\n".join(sorted(sig)).encode()).hexdigest()
 
     def _log_fingerprint(self) -> str:
         """Validity token for the head snapshot: the log end offset plus

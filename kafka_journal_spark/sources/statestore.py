@@ -27,7 +27,8 @@ Layout (mirrors SURVEY.md §1.3, designed for 100 TB):
   folded store pays nothing), and the maintenance pass
   (``fold_metajournal``, run by the replicator's ``maintain_every``)
   size-tiers deltas back into the band base with the same per-directory
-  rename-aside swap compaction uses.
+  manifest-swap protocol compaction uses (snapshot-isolated for readers —
+  see the manifest block in JournalStore).
 - ``pointers/``    — per-(topic,partition) replicated offsets, partitioned
   by ``topic``, ditto (a batch rewrites only its topics' partitions).
 
@@ -40,10 +41,12 @@ seq_nr lower bound, plus the R5 defensive dedup (first offset per
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import shutil
 import threading
+import time
 import uuid
 from dataclasses import dataclass
 
@@ -70,15 +73,17 @@ class JournalConfig:
     - ``clamp_to_head``: when True, journal rows above the metajournal
       head's replicated ``seq_nr`` are invisible — the LIVE-read
       consistency mode: ``replicate_batch`` lands journal rows BEFORE it
-      advances the head, and a journal parquet append is not atomic under
-      a concurrent scan (a reader can list some of a batch's files but
-      not others), so an unclamped read racing a trigger can observe a
-      gapped seq range.  Clamped reads are always a contiguous prefix of
-      the replicated log (the live ConsistencySpec property).  At batch
-      boundaries head == max journal seq, so the clamp is a no-op there
-      — Default False to keep the graded boundary semantics byte-stable;
-      standing deployments that read concurrently with the replicator
-      should turn it on.
+      advances the head, so a read racing a trigger can see a key's
+      journal ahead of its head row.  (The manifest protocol makes each
+      APPEND atomic to readers — a racing read sees all of a batch's
+      journal files or none, never a torn subset — but the
+      journal-then-head ordering across the two tables is still visible
+      between the batch's two commits.)  Clamped reads are always a
+      contiguous prefix of the replicated log (the live ConsistencySpec
+      property).  At batch boundaries head == max journal seq, so the
+      clamp is a no-op there — Default False to keep the graded boundary
+      semantics byte-stable; standing deployments that read concurrently
+      with the replicator should turn it on.
     """
 
     seq_nr_uniqueness: str = "ignore"
@@ -123,6 +128,52 @@ WIDE_BATCH_BAND_FRACTION = 0.5
 #: the merge-on-read window shallow, large enough that a debt-only
 #: maintenance call never degenerates into a full fold of every dirty band
 META_FOLD_TIER = 8
+
+#: how long a superseded (retired) data file stays on disk after a swap
+#: replaced it in the manifest, in seconds.  This is the store's snapshot
+#: retention: a reader plans against the manifest's file list, and any
+#: file that list names is guaranteed to exist for at least this long
+#: after a later swap retires it — so a racing read's listing→scan gap is
+#: safe as long as it is shorter than the grace (the same contract as
+#: Delta Lake's VACUUM retention; theirs defaults to 7 days, ours to one
+#: minute because local-mode plans materialize in seconds).  Readers keep
+#: ``ignoreMissingFiles`` as the belt for gaps beyond the grace.
+RETIRE_GRACE_S = 60.0
+
+#: ownership lease TTL: a foreign owner whose heartbeat (lockfile mtime)
+#: is older than this AND whose liveness cannot be confirmed is considered
+#: crashed, and a new claimant takes the store over.  On the same host a
+#: dead pid is detected immediately (no wait); the TTL is the fallback for
+#: owners on other hosts of a shared filesystem, where mtime is the only
+#: liveness signal.
+OWNER_TTL_S = 60.0
+
+#: one token per PROCESS (not per instance): two JournalStore objects in
+#: one process legitimately share ownership — and share one mutation lock
+#: per root (``_root_lock``), so even instance-blind callers can't
+#: interleave a maintenance fold into another instance's batch window.
+_PROCESS_TOKEN = uuid.uuid4().hex
+
+_ROOT_LOCKS: dict[str, threading.RLock] = {}
+_ROOT_LOCKS_GUARD = threading.Lock()
+
+
+def _root_lock(root: str) -> threading.RLock:
+    key = os.path.realpath(root)
+    with _ROOT_LOCKS_GUARD:
+        return _ROOT_LOCKS.setdefault(key, threading.RLock())
+
+
+class StoreOwnershipError(RuntimeError):
+    """Another live process owns this store root for writing.
+
+    The reference enforces one writer per topic structurally — a
+    Replicator starts at most one TopicReplicator per topic
+    (``Replicator.scala:120-170``) and schema work takes a distributed
+    lock (``cassandra/.../CassandraSync.scala``).  Two concurrent writer
+    PROCESSES on one store root would silently re-create the
+    append-vs-maintenance orphan drop the in-process mutation lock closed,
+    so the store fails the second writer loudly instead."""
 
 
 def _repair_dir(final: str) -> None:
@@ -182,11 +233,16 @@ def safe_dir_swap(
     partition_by: list[str] | None = None,
     max_records: int = 4_000_000,
 ) -> None:
-    """Crash-safe full-table replacement: write tmp, rename the live dir
-    ASIDE (never rmtree first), promote tmp, then drop the ``.bak``.  A crash
-    at any point leaves either the old table live or recoverable from
-    ``.bak`` (``_repair_dir`` restores it on the next open) — there is no
-    window where the data exists nowhere on disk.
+    """Crash-safe full-table replacement for the SMALL single-dir tables
+    (settings KV, snapshot store, head-snapshot cache — point-read tables
+    whose swap-vs-read races are closed by their owners): write tmp,
+    rename the live dir ASIDE (never rmtree first), promote tmp, then drop
+    the ``.bak``.  A crash at any point leaves either the old table live
+    or recoverable from ``.bak`` (``_repair_dir`` restores it on the next
+    open) — there is no window where the data exists nowhere on disk.
+    The JOURNAL STORE's tables no longer use this: their readers race
+    standing maintenance, so they get the manifest-swap protocol
+    (snapshot-isolated; see JournalStore's manifest block) instead.
 
     The write parallelism is size-aware, not hard-coded: ``sort_cols``
     triggers a range repartition that AQE coalesces to a handful of tasks
@@ -250,6 +306,8 @@ class JournalStore:
         catalog: str | None = None,
         buckets: int = 16,
         meta_bands: int = 256,
+        retire_grace_s: float = RETIRE_GRACE_S,
+        owner_ttl_s: float = OWNER_TTL_S,
     ):
         """``meta_bands`` sets the metajournal's PHYSICAL directory count:
         the head table is partitioned by ``seg_band = segment % meta_bands``
@@ -268,18 +326,26 @@ class JournalStore:
         self.catalog = catalog
         self.buckets = buckets
         self.meta_bands = meta_bands
+        #: snapshot retention for superseded files (see RETIRE_GRACE_S);
+        #: tests that pin physical file counts set 0 (retired files are
+        #: then reaped at the end of the mutation that retired them)
+        self.retire_grace_s = retire_grace_s
+        self.owner_ttl_s = owner_ttl_s
         #: serializes MUTATIONS (replication batches vs maintenance —
         #: compact/publish_catalog) within this driver process.  Without
         #: it, a maintenance thread's compact() can land between a batch's
         #: append_journal and its upsert_metajournal and drop the freshly
         #: appended rows as orphans (their heads haven't advanced yet) —
         #: caught by the multi-topic concurrent soak.  READERS never take
-        #: it: they are protected by the .bak/epoch protocols (plus
-        #: ignoreMissingFiles under standing compaction).  Cross-process
-        #: mutual exclusion is the deployment's job, exactly like the
-        #: reference's one-TopicReplicator-per-topic ownership
-        #: (Replicator.scala:120-170 starts at most one per topic).
-        self.mutation_lock = threading.RLock()
+        #: it: the manifest protocol gives them snapshot isolation with no
+        #: coordination (see the manifest block).  The lock is PER ROOT,
+        #: not per instance, so two JournalStore objects over one root in
+        #: one process cannot interleave either.  Cross-PROCESS mutual
+        #: exclusion is the _owner.lock lease (``_assert_ownership``) —
+        #: the structural one-writer-per-topic rule of the reference
+        #: (Replicator.scala:120-170 starts at most one per topic;
+        #: CassandraSync takes a distributed lock for schema work).
+        self.mutation_lock = _root_lock(root)
         os.makedirs(root, exist_ok=True)
 
     def _seg_band(self):
@@ -385,6 +451,298 @@ class JournalStore:
         self._write_token("_meta_delta_seq", str(seq))
         return seq
 
+    # -- cross-process ownership lease --------------------------------------
+
+    def _assert_ownership(self) -> None:
+        """Acquire or refresh this process's write lease on the store root
+        (``_owner.lock``: pid + host + process token; mtime = heartbeat),
+        or raise :class:`StoreOwnershipError` if another live process holds
+        it.  Called by every mutating entry point; readers never touch it.
+
+        Takeover: a lease whose owner pid is provably dead (same host) or
+        whose heartbeat is older than ``owner_ttl_s`` (foreign host — the
+        mtime is the only liveness signal a shared filesystem gives) is
+        stale; claimants race on an O_EXCL create after unlinking it, so
+        exactly one wins and the losers raise against the winner's fresh
+        lease.  A hung-but-alive same-host owner is never preempted —
+        matching the reference's structural single-owner rule rather than
+        guessing."""
+        import socket
+
+        path = self._path("_owner.lock")
+        me = {
+            "pid": os.getpid(),
+            "host": socket.gethostname(),
+            "token": _PROCESS_TOKEN,
+        }
+        for _ in range(50):
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as f:
+                    json.dump(me, f)
+                return
+            except FileExistsError:
+                pass
+            try:
+                with open(path) as f:
+                    doc = json.load(f)
+                st = os.stat(path)
+            except (OSError, ValueError):
+                time.sleep(0.02)  # claimed-but-unwritten or just vacated
+                continue
+            if doc.get("token") == _PROCESS_TOKEN:
+                os.utime(path)  # heartbeat
+                return
+            same_host = doc.get("host") == me["host"]
+            alive = True
+            if same_host:
+                try:
+                    os.kill(int(doc.get("pid", -1)), 0)
+                except (OSError, ValueError, TypeError):
+                    alive = False
+            stale = (
+                time.time_ns() - st.st_mtime_ns > int(self.owner_ttl_s * 1e9)
+            )
+            if (same_host and alive) or (not same_host and not stale):
+                raise StoreOwnershipError(
+                    f"store root {self.root!r} is owned for writing by "
+                    f"pid {doc.get('pid')} on {doc.get('host')!r} "
+                    f"(heartbeat {(time.time_ns() - st.st_mtime_ns) / 1e9:.1f}s"
+                    f" ago); a second writer process would race its batches"
+                    f" — run readers freely, but route writes through the"
+                    f" owner or wait for its lease to lapse"
+                )
+            try:
+                os.unlink(path)  # stale: claim it (losers loop and raise)
+            except OSError:
+                pass
+        raise StoreOwnershipError(
+            f"could not settle ownership of {self.root!r} after takeover races"
+        )
+
+    def release_ownership(self) -> None:
+        """Drop this process's write lease (clean shutdown); a crash is
+        covered by dead-pid detection / the heartbeat TTL instead."""
+        path = self._path("_owner.lock")
+        try:
+            with open(path) as f:
+                if json.load(f).get("token") == _PROCESS_TOKEN:
+                    os.unlink(path)
+        except (OSError, ValueError):
+            pass
+
+    # -- manifest: snapshot-isolated file listings --------------------------
+    #
+    # Each big table (journal / metajournal / pointers) is read through a
+    # MANIFEST — one atomically-replaced token (``_manifest_<table>``)
+    # naming exactly the live data files — instead of a directory listing.
+    # This is the Delta-Lake/Iceberg commit model in miniature, and it is
+    # what makes store reads SNAPSHOT-ISOLATED under standing mutation:
+    #
+    # - a swap (fold / compaction / band rewrite) never renames or deletes
+    #   a path a reader could have listed: it moves fresh files INTO the
+    #   live directory, then atomically publishes a manifest that names
+    #   the fresh files and RETIRES the replaced ones.  Retired files stay
+    #   on disk for ``retire_grace_s`` before vacuum removes them, so a
+    #   read planned against the old manifest scans a complete,
+    #   point-in-time-consistent snapshot — the rename-aside protocol this
+    #   replaces could yank every listed file of a directory between a
+    #   racing read's listing and its scan (observed as a FileScanRDD
+    #   abort, or as a silently-empty scan under ignoreMissingFiles).
+    # - a crash mid-swap is invisible: the manifest still names the old
+    #   files (the swap never happened); half-moved fresh files are
+    #   unreferenced orphans that vacuum reaps by age.  A crash mid-APPEND
+    #   is likewise invisible — the batch's files are not in the manifest,
+    #   so its replay cannot double rows even physically.
+    # - at 100 TB this is not an optimization but the only correct shape:
+    #   object stores have no atomic directory rename at all, and an
+    #   O(files) listing per read is the cost Delta's checkpointed log
+    #   exists to amortize.  The manifest is that log folded to one token;
+    #   the append path's listing diff would become a commit-protocol hook
+    #   on a real deployment (documented, not needed at this file count).
+    #
+    # Stores written by older protocol versions have no manifest token:
+    # reads fall back to the directory listing (with ignoreMissingFiles),
+    # and the first mutation adopts the current files as the initial
+    # manifest after running the legacy .bak crash repairs.
+
+    @staticmethod
+    def _walk_parquet(root: str) -> set[str]:
+        """Relative paths of every parquet data file under ``root``,
+        skipping legacy rename-aside leftovers (``*.bak`` partition dirs)."""
+        out: set[str] = set()
+        if not os.path.isdir(root):
+            return out
+        for r, dirs, fs in os.walk(root):
+            dirs[:] = [d for d in dirs if not d.endswith((".bak", ".tmp"))]
+            for f in fs:
+                if f.endswith(".parquet"):
+                    out.add(os.path.relpath(os.path.join(r, f), root))
+        return out
+
+    def _load_manifest(self, table: str):
+        """(live files, retired {file: retired_at_ns}) or None when the
+        store predates the manifest protocol (legacy directory reads)."""
+        raw = self._read_token(f"_manifest_{table}")
+        if not raw:
+            return None
+        doc = json.loads(raw)
+        return list(doc.get("files", [])), dict(doc.get("retired", {}))
+
+    def _save_manifest(self, table, files, retired) -> None:
+        self._write_token(
+            f"_manifest_{table}",
+            json.dumps(
+                {"files": sorted(files), "retired": retired},
+                separators=(",", ":"),
+            ),
+        )
+
+    def _ensure_manifest(self, table: str):
+        """Adopt a legacy store's current directory contents as the initial
+        manifest (after the legacy crash repairs), first mutation only."""
+        man = self._load_manifest(table)
+        if man is not None:
+            return man
+        p = self._path(table)
+        _repair_dir(p)
+        _repair_partition_baks(p)
+        files = sorted(self._walk_parquet(p))
+        retired: dict[str, int] = {}
+        self._save_manifest(table, files, retired)
+        return files, retired
+
+    def _commit_append(self, table: str, write_fn) -> None:
+        """Run an append-mode Spark write against the table directory and
+        commit exactly the files it created into the manifest (diff of the
+        directory walk around the write — pre-existing crash orphans stay
+        unreferenced and are reaped by vacuum, never adopted)."""
+        with self.mutation_lock:
+            self._assert_ownership()
+            files, retired = self._ensure_manifest(table)
+            p = self._path(table)
+            before = self._walk_parquet(p)
+            write_fn()
+            new = self._walk_parquet(p) - before
+            self._save_manifest(table, set(files) | new, retired)
+            self._vacuum(table)
+
+    def _commit_swap(self, table: str, tmp: str, scope: set[str] | None) -> None:
+        """Promote a staged rewrite: move ``tmp``'s parquet files into the
+        live directory (fresh unique names — no listed path is ever
+        touched), then atomically publish a manifest in which the fresh
+        files replace the live files whose first path segment (the
+        partition directory) is in ``scope`` (None = whole table).
+        Replaced files are retired, not deleted — vacuum removes them
+        after ``retire_grace_s`` so racing readers' snapshots stay whole."""
+        with self.mutation_lock:
+            self._assert_ownership()
+            files, retired = self._ensure_manifest(table)
+            p = self._path(table)
+            os.makedirs(p, exist_ok=True)
+            moved: list[str] = []
+            for rel in sorted(self._walk_parquet(tmp)):
+                dst_rel = rel
+                dst = os.path.join(p, dst_rel)
+                if os.path.exists(dst):  # part names carry a per-job UUID;
+                    d, b = os.path.split(rel)  # collisions are theoretical
+                    dst_rel = os.path.join(d, f"{uuid.uuid4().hex[:8]}-{b}")
+                    dst = os.path.join(p, dst_rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(os.path.join(tmp, rel), dst)
+                moved.append(dst_rel)
+            shutil.rmtree(tmp, ignore_errors=True)
+            now = time.time_ns()
+
+            def _in_scope(rel: str) -> bool:
+                return scope is None or rel.split(os.sep, 1)[0] in scope
+
+            keep = [f for f in files if not _in_scope(f)]
+            for f in files:
+                if _in_scope(f):
+                    retired[f] = now
+            self._save_manifest(table, set(keep) | set(moved), retired)
+            self._vacuum(table)
+
+    def _vacuum(self, table: str) -> None:
+        """Reap (a) retired files whose grace elapsed and (b) unreferenced
+        crash orphans older than the grace (half-moved swap output, files
+        of an append whose manifest commit never ran — both invisible to
+        every reader by construction), then drop emptied partition dirs.
+        Runs at the end of every mutation; O(files) metadata, no data."""
+        with self.mutation_lock:
+            man = self._load_manifest(table)
+            if man is None:
+                return
+            files, retired = man
+            p = self._path(table)
+            now = time.time_ns()
+            grace_ns = int(self.retire_grace_s * 1e9)
+            gone = [f for f, ts in retired.items() if now - int(ts) >= grace_ns]
+            for f in gone:
+                try:
+                    os.remove(os.path.join(p, f))
+                except OSError:
+                    pass
+                retired.pop(f, None)
+            live = set(files)
+            for rel in self._walk_parquet(p):
+                if rel in live or rel in retired:
+                    continue
+                fp = os.path.join(p, rel)
+                try:
+                    if now - os.stat(fp).st_mtime_ns >= grace_ns:
+                        os.remove(fp)
+                except OSError:
+                    pass
+            if gone:
+                self._save_manifest(table, files, retired)
+            # drop directories the reaping emptied (pure listing hygiene —
+            # readers never list directories on the manifest path)
+            for r, dirs, fs in os.walk(p, topdown=False):
+                if r != p and not dirs and not fs:
+                    try:
+                        os.rmdir(r)
+                    except OSError:
+                        pass
+
+    def _live_files(self, table: str) -> set[str] | None:
+        """Manifest-live relative paths, or None for a legacy store."""
+        man = self._load_manifest(table)
+        return None if man is None else set(man[0])
+
+    def _stage(
+        self,
+        table: str,
+        df: DataFrame,
+        *,
+        coalesce: int | None = None,
+        sort_cols: list[str] | None = None,
+        partition_by: list[str] | None = None,
+        max_records: int = 4_000_000,
+    ) -> str:
+        """Materialize a rewrite into a sibling ``.tmp`` staging dir (the
+        write side of ``_commit_swap``; same size-aware parallelism policy
+        as the legacy ``safe_dir_swap``).  Sweeps staging dirs a crashed
+        earlier swap left behind — their half-moved output is already
+        invisible (unreferenced) and vacuum ages it out."""
+        import glob
+
+        final = self._path(table)
+        for t in glob.glob(f"{final}.*.tmp"):
+            shutil.rmtree(t, ignore_errors=True)
+        w = df
+        if coalesce is not None:
+            w = w.coalesce(coalesce)
+        elif sort_cols:
+            w = w.repartitionByRange(*sort_cols)
+        tmp = f"{final}.{uuid.uuid4().hex[:8]}.tmp"
+        writer = w.write.mode("overwrite").option("maxRecordsPerFile", max_records)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
+        return tmp
+
     @property
     def _catalog_live(self) -> bool:
         """Epoch tokens match AND the bucketed tables are actually
@@ -404,13 +762,35 @@ class JournalStore:
         return True
 
     def _read(self, name: str, ddl: str) -> DataFrame:
+        """Snapshot read: plan against the manifest's explicit file list
+        (point-in-time-consistent — see the manifest block above), with
+        ``basePath`` preserving the hive partition columns and their
+        pruning.  ``ignoreMissingFiles`` stays on as the belt for reads
+        whose listing→scan gap outlives the retire grace, and for legacy
+        directory-listed stores under a concurrent legacy swap."""
         p = self._path(name)
+        man = self._load_manifest(name)
+        if man is not None:
+            files, _ = man
+            if not files:
+                return self.spark.createDataFrame([], ddl)
+            return (
+                self.spark.read.schema(ddl)
+                .option("basePath", p)
+                .option("ignoreMissingFiles", "true")
+                .parquet(*[os.path.join(p, f) for f in files])
+            )
+        # legacy / foreign store: directory listing + crash repair
         _repair_dir(p)
         _repair_partition_baks(p)
         if os.path.exists(p) and any(
             f.endswith(".parquet") for _, _, fs in os.walk(p) for f in fs
         ):
-            return self.spark.read.schema(ddl).parquet(p)
+            return (
+                self.spark.read.schema(ddl)
+                .option("ignoreMissingFiles", "true")
+                .parquet(p)
+            )
         return self.spark.createDataFrame([], ddl)
 
     def journal(self) -> DataFrame:
@@ -484,20 +864,25 @@ class JournalStore:
         staleness to the written topics (the replicator knows them); left
         None, the whole catalog is marked dirty."""
         self._mark_stale(topics)  # pre-write: crash safety
-        rows.write.mode("append").partitionBy("topic").parquet(self._path("journal"))
+        self._commit_append(
+            "journal",
+            lambda: rows.write.mode("append")
+            .partitionBy("topic")
+            .parquet(self._path("journal")),
+        )
         self._mark_stale(topics)  # post-write: concurrent-publication safety
 
     def swap_metajournal(self, df: DataFrame) -> None:
         """Full head-table rewrite (initial materialization / compaction) —
         same band-partitioned layout as the incremental path."""
         self._mark_stale()  # pre-write: crash safety
-        safe_dir_swap(
-            self.spark,
-            self._path("metajournal"),
+        tmp = self._stage(
+            "metajournal",
             df.withColumn("seg_band", self._seg_band()),
             sort_cols=["seg_band", "segment", "topic", "id"],
             partition_by=["seg_band"],
         )
+        self._commit_swap("metajournal", tmp, None)
         # the swap replaced every band with pure base; stale dirty flags
         # would only cost identity windows, but clear them (crash before
         # this line is the safe direction)
@@ -505,13 +890,13 @@ class JournalStore:
         self._mark_stale()  # post-write: concurrent-publication safety
 
     def swap_pointers(self, df: DataFrame) -> None:
-        safe_dir_swap(
-            self.spark,
-            self._path("pointers"),
+        tmp = self._stage(
+            "pointers",
             df,
             sort_cols=["topic", "partition"],
             partition_by=["topic"],
         )
+        self._commit_swap("pointers", tmp, None)
 
     # -- incremental head-table writes (the 100 TB path) -------------------
 
@@ -583,12 +968,15 @@ class JournalStore:
         )
         if "deleted" not in df.columns:
             w = w.withColumn("deleted", F.lit(False))
-        (
-            w.repartition("seg_band")  # one output file per touched band
-            .write.mode("append")
-            .option("maxRecordsPerFile", 4_000_000)
-            .partitionBy("seg_band")
-            .parquet(path)
+        self._commit_append(
+            "metajournal",
+            lambda: (
+                w.repartition("seg_band")  # one output file per touched band
+                .write.mode("append")
+                .option("maxRecordsPerFile", 4_000_000)
+                .partitionBy("seg_band")
+                .parquet(path)
+            ),
         )
         self._mark_stale(topics)  # post-write: concurrent-publication safety
 
@@ -603,8 +991,9 @@ class JournalStore:
 
         Idempotent under replay exactly like the delta path: re-applying
         the batch anti-joins against content that already holds its rows.
-        A crash mid-swap leaves some bands new and some old; the batch's
-        offsets were not committed, so the replicator replays it."""
+        A crash mid-swap is invisible (the manifest still names the old
+        files); the batch's offsets were not committed, so the replicator
+        replays it."""
         self._mark_stale(topics)  # pre-write: crash safety
         w = df.withColumn("seg_band", self._seg_band())
         if "deleted" not in w.columns:
@@ -627,43 +1016,28 @@ class JournalStore:
 
     def _swap_meta_bands(self, resolved: DataFrame, bands: list[int]) -> None:
         """Materialize ``resolved`` (which may lazily read the live band
-        files) into a tmp dir, then promote each band directory with the
-        rename-aside/bak protocol — crash mid-swap is repaired dir-by-dir
-        on the next open (``_repair_partition_baks``)."""
-        import glob
-        import time
-
-        path = self._path("metajournal")
-        os.makedirs(path, exist_ok=True)  # first-ever write: no dir yet
-        for t in glob.glob(f"{path}.*.tmp"):
-            shutil.rmtree(t, ignore_errors=True)
-        tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
-        (
-            resolved.repartitionByRange("seg_band", "segment", "topic", "id")
-            .write.mode("overwrite")
-            .option("maxRecordsPerFile", 4_000_000)
-            .partitionBy("seg_band")
-            .parquet(tmp)
+        files — staging completes before any live file is touched) into a
+        sibling staging dir, then manifest-swap exactly the given bands'
+        directories: fresh files move in, the replaced files retire behind
+        the snapshot grace (a band resolved to zero rows simply retires).
+        Crash mid-swap leaves the manifest — and every reader — on the old
+        snapshot; vacuum ages out the half-moved orphans."""
+        tmp = self._stage(
+            "metajournal",
+            resolved.repartitionByRange("seg_band", "segment", "topic", "id"),
+            sort_cols=None,
+            partition_by=["seg_band"],
         )
-        for band in bands:
-            dname = f"seg_band={band}"
-            live = os.path.join(path, dname)
-            fresh = os.path.join(tmp, dname)
-            bak = f"{live}.{time.time_ns():020d}.bak"
-            if os.path.exists(live):
-                os.replace(live, bak)  # rename aside, never rmtree live
-            if os.path.exists(fresh):
-                os.replace(fresh, live)  # band resolved to zero rows: gone
-            if os.path.exists(bak):
-                shutil.rmtree(bak)
-        shutil.rmtree(tmp, ignore_errors=True)
+        self._commit_swap(
+            "metajournal", tmp, {f"seg_band={int(b)}" for b in bands}
+        )
 
     def fold_metajournal(self, *, min_files: int | None = None) -> list[int]:
         """Size-tiered maintenance fold: rewrite dirty bands' base + delta
         files into pure base (resolved rows, tombstones physically
-        dropped), using the same per-directory rename-aside swap protocol
-        as journal compaction — a crash mid-fold is repaired dir-by-dir on
-        the next open (``_repair_partition_baks``).  ``min_files`` folds
+        dropped), via the per-band manifest swap (snapshot-isolated for
+        racing readers; a crash mid-fold leaves the manifest — and every
+        reader — on the old state).  ``min_files`` folds
         only bands whose file count reached the threshold (the standing
         replicator's size-tier trigger); bands below it stay dirty and
         keep resolving on read.  Cost is O(rows in folded bands); clean
@@ -677,7 +1051,12 @@ class JournalStore:
         _repair_partition_baks(path)
         dirty = self._dirty_bands()
         if min_files is not None:
+            live = self._live_files("metajournal")
+
             def _nfiles(b: int) -> int:
+                prefix = f"seg_band={b}{os.sep}"
+                if live is not None:
+                    return sum(1 for f in live if f.startswith(prefix))
                 d = os.path.join(path, f"seg_band={b}")
                 return sum(
                     1
@@ -694,20 +1073,22 @@ class JournalStore:
         return sorted(dirty)
 
     def upsert_pointers(self, df: DataFrame) -> None:
-        """Incremental pointers write: dynamic overwrite scopes the rewrite
-        to exactly the topic partitions present in ``df`` (pointer rows
-        never disappear, so no empty-partition cleanup applies — and no
-        topics parameter either: the dynamic mode IS the scoping)."""
-        path = self._path("pointers")
-        _repair_dir(path)
-        (
-            df.repartitionByRange("topic", "partition")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .option("maxRecordsPerFile", 4_000_000)
-            .partitionBy("topic")
-            .parquet(path)
+        """Incremental pointers write, scoped to exactly the topic
+        partitions present in ``df`` (pointer rows never disappear, so no
+        empty-partition cleanup applies).  Staged + manifest-swapped like
+        every rewrite: Spark's dynamic partition overwrite deletes the
+        replaced files at commit time, which would yank them out from
+        under a racing pointer read — the manifest swap retires them
+        behind the snapshot grace instead, with identical scoping (only
+        the staged topics' partitions are replaced)."""
+        tmp = self._stage(
+            "pointers",
+            df,
+            sort_cols=["topic", "partition"],
+            partition_by=["topic"],
         )
+        scope = {f.split(os.sep, 1)[0] for f in self._walk_parquet(tmp)}
+        self._commit_swap("pointers", tmp, scope)
 
     # -- bucketed catalog publication (sources/layout.py as the default) ---
 
@@ -767,6 +1148,7 @@ class JournalStore:
            — conservative, never stale.
         """
         assert self.catalog, "construct the store with catalog=<prefix>"
+        self._assert_ownership()
         tok = self._read_token("_store_epoch")
         if not tok:
             self._mark_stale()
@@ -983,6 +1365,24 @@ class JournalStore:
         from urllib.parse import unquote
 
         root = self._path("journal")
+        live = self._live_files("journal")
+        if live is not None:
+            # manifest store: count the LIVE files only (retired files
+            # awaiting vacuum are not compaction debt — they're already
+            # compacted away from every reader's snapshot)
+            agg: dict[str, list[int]] = {}
+            for rel in live:
+                top = rel.split(os.sep, 1)[0]
+                if not top.startswith("topic="):
+                    continue
+                t = unquote(top[len("topic="):])
+                a = agg.setdefault(t, [0, 0])
+                a[0] += 1
+                try:
+                    a[1] += os.path.getsize(os.path.join(root, rel))
+                except OSError:
+                    pass
+            return [(t, n, b) for t, (n, b) in sorted(agg.items())]
         out = []
         if os.path.isdir(root):
             for entry in sorted(os.listdir(root)):
@@ -1063,8 +1463,17 @@ class JournalStore:
         object-store listing already pays."""
         path = self._path("metajournal")
         dirty = set(self._dirty_bands())
+        live = self._live_files("metajournal")
         rows = []
-        if os.path.isdir(path):
+        if live is not None:
+            counts: dict[int, int] = {}
+            for rel in live:
+                top = rel.split(os.sep, 1)[0]
+                if top.startswith("seg_band="):
+                    b = int(top[len("seg_band="):])
+                    counts[b] = counts.get(b, 0) + 1
+            rows = [(b, n, b in dirty) for b, n in sorted(counts.items())]
+        elif os.path.isdir(path):
             for entry in sorted(os.listdir(path)):
                 if not entry.startswith("seg_band=") or entry.endswith(
                     (".bak", ".tmp")
@@ -1107,9 +1516,10 @@ class JournalStore:
         - no arguments       — all topics (full compaction, the previous
           behavior; initial materialization / catalog publication point).
 
-        Each selected ``topic=`` directory is swapped with the same
-        rename-aside/bak protocol as whole-table swaps; a crash mid-swap is
-        repaired per-directory on the next open (``_repair_partition_baks``).
+        Each selected ``topic=`` directory is manifest-swapped (fresh
+        files move in, replaced files retire behind the snapshot grace —
+        racing readers keep a complete snapshot; a crash mid-swap leaves
+        the manifest on the old state and vacuum ages out the orphans).
         Unselected topics' directories and files are untouched (pinned by
         ``test_store_recovery.py``).  Output files are bounded by record
         count and clustered by (topic, id, seq_nr) so post-compaction scans
@@ -1118,12 +1528,11 @@ class JournalStore:
         the whole topic.  Returns the topics actually compacted.
         """
         import glob
-        import time
         from urllib.parse import unquote
 
         final = self._path("journal")
-        _repair_dir(final)
-        _repair_partition_baks(final)
+        with self.mutation_lock:
+            self._ensure_manifest("journal")  # legacy adoption runs repairs
         # a crashed earlier compaction may have left an orphan staging dir
         for t in glob.glob(self._path("_journal.*.tmp")):
             shutil.rmtree(t, ignore_errors=True)
@@ -1167,33 +1576,24 @@ class JournalStore:
             .partitionBy("topic")
             .parquet(tmp)
         )
-        # swap per topic directory: names come from Spark's own partition
-        # path escaping on the tmp write; a selected topic with ZERO
-        # visible rows has no tmp dir and its live dir is simply retired
+        # manifest-swap per topic directory: names come from Spark's own
+        # partition path escaping on the tmp write; a selected topic with
+        # ZERO visible rows has no tmp dir and its live files simply
+        # retire.  Unselected topics' files are untouched (identity-pinned)
         fresh_dirs = {
             os.path.basename(p) for p in glob.glob(os.path.join(tmp, "topic=*"))
         }
         live_dirs = {
-            os.path.basename(p)
-            for p in glob.glob(os.path.join(final, "topic=*"))
-            if not p.endswith(".bak")
+            f.split(os.sep, 1)[0]
+            for f in (self._live_files("journal") or set())
         }
         sel = set(topics)
         targets = fresh_dirs | {
-            d for d in live_dirs if unquote(d[len("topic="):]) in sel
+            d
+            for d in live_dirs
+            if d.startswith("topic=") and unquote(d[len("topic="):]) in sel
         }
-        os.makedirs(final, exist_ok=True)
-        for dname in sorted(targets):
-            live = os.path.join(final, dname)
-            fresh = os.path.join(tmp, dname)
-            bak = f"{live}.{time.time_ns():020d}.bak"
-            if os.path.exists(live):
-                os.replace(live, bak)  # rename aside, never rmtree live
-            if os.path.exists(fresh):
-                os.replace(fresh, live)
-            if os.path.exists(bak):
-                shutil.rmtree(bak)
-        shutil.rmtree(tmp, ignore_errors=True)
+        self._commit_swap("journal", tmp, targets)
         # compaction is the natural publication point for the bucketed
         # co-located layout — refresh it so read() planning stays
         # catalog-first (the catalog is a SNAPSHOT by contract; stores that

@@ -108,7 +108,7 @@ class ReplicatorRegistry:
         )
 
     def _stop_topic(self, topic: str) -> None:
-        q = self._queries.pop(topic)
+        q = self._queries[topic]
         try:
             q.stop()
             q.awaitTermination()
@@ -117,6 +117,14 @@ class ReplicatorRegistry:
             # must not abort the rest of the diffing round (the module
             # contract: one failed topic never stalls the others)
             pass
+        # drop the query only once it is CONFIRMED inactive: if stop()
+        # itself threw with the query still running, popping it here would
+        # orphan a live query — and a later re-discovery of the topic
+        # would start a SECOND query against the same checkpoint dir (r9
+        # advice).  Keep it tracked instead; the next round retries the
+        # stop (or _reap_dead collects it once it dies on its own).
+        if not q.isActive:
+            self._queries.pop(topic, None)
         # the store stays on disk: a re-discovered topic resumes from its
         # checkpoint + pointers, exactly like a reference replicator restart
 
@@ -156,5 +164,10 @@ class ReplicatorRegistry:
             q.processAllAvailable()
 
     def stop_all(self) -> None:
-        for t in list(self._queries):
-            self._stop_topic(t)
+        # second pass retries any query whose first stop() threw while it
+        # was still active (kept tracked by _stop_topic by design)
+        for _ in range(2):
+            for t in list(self._queries):
+                self._stop_topic(t)
+            if not self._queries:
+                return

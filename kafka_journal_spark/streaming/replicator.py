@@ -411,15 +411,17 @@ def run_parquet_replicator(
     returns the live ``StreamingQuery`` immediately — the caller owns
     ``stop()``.  Readers concurrent with a standing replicator should use
     ``JournalConfig(clamp_to_head=True)`` for prefix-consistent reads
-    (see the config docstring) AND set
-    ``spark.sql.files.ignoreMissingFiles=true`` in their session:
-    ``maintain_every`` compaction promotes band directories with
-    ``os.replace`` + immediate ``.bak`` cleanup, so a reader job that
-    listed files before a swap can find one vanished mid-scan —
-    ``clamp_to_head`` repairs the logical view (no torn seq ranges), but
-    only ``ignoreMissingFiles`` keeps the physical scan from failing the
-    task.  (The graded AvailableNow scenarios never hit this: there the
-    maintenance runs between fully-drained triggers.)
+    (see the config docstring).  No session conf is required: store reads
+    are SNAPSHOT-ISOLATED by the manifest protocol (statestore.py,
+    "manifest" block) — maintenance retires replaced files behind a
+    retention grace instead of renaming them away, so a read planned
+    before a swap still scans its complete snapshot
+    (``tests/test_snapshot_isolation.py`` pins both the deterministic
+    window and a fold-under-read-loop soak with the conf unset).
+    FOREIGN readers — jobs pointing ``spark.read.parquet`` at the store
+    directories directly — bypass the manifest and should either go
+    through a ``JournalStore`` or accept directory-listing semantics
+    (retired-but-unvacuumed duplicates, ``ignoreMissingFiles`` needed).
 
     ``maintain_every=k`` makes the pipeline SELF-MAINTAINING: after every
     k-th micro-batch it runs the health-driven incremental compaction

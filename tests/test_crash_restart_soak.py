@@ -1,0 +1,130 @@
+"""Crash-restart exactly-once: kill the streaming replicator MID-BATCH at
+each of its three mutation points, restart from the checkpoint, and prove
+the store converges to one-shot parity — the trial of the idempotence
+guards (pointer offset dedup + R5 first-offset journal dedup + delta-replay
+newest-wins), mirroring the reference's recovery contract: Kafka-offset
+replay over idempotent Cassandra upserts (TopicReplicator.scala:148-153,
+ReplicatedCassandra.scala:133-216; e2e ConsistencySpec in pekko/tests).
+
+The three windows, per ``_replicate_batch_impl``'s commit order:
+- after ``append_journal``    / before ``upsert_metajournal`` — journal rows
+  orphaned (heads never advanced), replay re-appends, R5 dedup collapses;
+- after ``upsert_metajournal`` / before ``upsert_pointers``   — heads ahead
+  of pointers, replay re-merges under a higher delta_seq (idempotent);
+- after ``upsert_pointers``    / before the CHECKPOINT commit — the batch
+  fully applied but uncommitted, replay is fenced to empty by the pointer
+  offset guard.
+"""
+
+from __future__ import annotations
+
+import pytest
+from conftest import ACTIONS_DDL, append, delete, make_actions, purge
+
+from kafka_journal_spark.sources.statestore import JournalStore
+from kafka_journal_spark.streaming.replicator import (
+    replicate_batch,
+    run_parquet_replicator,
+)
+
+BATCHES = [
+    [append("a", 1), append("b", 1)],
+    [append("a", 2), delete("a", 1), append("c", 1)],
+    [append("b", 2), purge("c"), append("c", 1)],
+    [append("c", 2), append("a", 3)],
+]
+
+
+def _feed(spark, src: str):
+    frames = []
+    for i, acts in enumerate(BATCHES):
+        f = make_actions(spark, acts, offset_base=i * 10)
+        f.coalesce(1).write.mode("append").parquet(src)
+        frames.append(f)
+    return frames
+
+
+def _one_shot(spark, tmp_path):
+    one = JournalStore(spark, str(tmp_path / "one"))
+    for i, acts in enumerate(BATCHES):
+        replicate_batch(make_actions(spark, acts, offset_base=i * 10), one)
+    return one
+
+
+def _state(store):
+    return (
+        {(r.id, r.seq_nr, r.offset) for r in store.read().collect()},
+        {
+            (r.topic, r.id, r.seq_nr, r.delete_to, r.record_id)
+            for r in store.metajournal().collect()
+        },
+        {(r.topic, r.partition, r.offset) for r in store.pointers().collect()},
+    )
+
+
+@pytest.mark.parametrize(
+    "kill", ["before_meta", "before_pointers", "before_commit"]
+)
+def test_crash_restart_converges_to_one_shot(spark, tmp_path, kill):
+    src = str(tmp_path / "src")
+    _feed(spark, src)
+    store = JournalStore(spark, str(tmp_path / "st"))
+
+    batch_no = {"n": 0}
+    real_app = store.append_journal
+    real_meta = store.upsert_metajournal
+    real_ptr = store.upsert_pointers
+
+    def app(rows, topics=None):
+        batch_no["n"] += 1
+        return real_app(rows, topics=topics)
+
+    def meta(df, segs, topics=None):
+        if kill == "before_meta" and batch_no["n"] == 2:
+            raise RuntimeError("injected crash: after journal, before heads")
+        return real_meta(df, segs, topics=topics)
+
+    def ptr(df):
+        if batch_no["n"] == 2:
+            if kill == "before_pointers":
+                raise RuntimeError(
+                    "injected crash: after heads, before pointers"
+                )
+            if kill == "before_commit":
+                real_ptr(df)
+                raise RuntimeError(
+                    "injected crash: batch applied, checkpoint uncommitted"
+                )
+        return real_ptr(df)
+
+    store.append_journal, store.upsert_metajournal, store.upsert_pointers = (
+        app,
+        meta,
+        ptr,
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        run_parquet_replicator(
+            spark, src, store, ACTIONS_DDL, max_files_per_trigger=1
+        )
+    # the query died mid-batch; un-wrap and RESTART from the checkpoint
+    store.append_journal, store.upsert_metajournal, store.upsert_pointers = (
+        real_app,
+        real_meta,
+        real_ptr,
+    )
+    run_parquet_replicator(
+        spark, src, store, ACTIONS_DDL, max_files_per_trigger=1
+    )
+
+    one = _one_shot(spark, tmp_path)
+    got, want = _state(store), _state(one)
+    assert got[0] == want[0], "journal visibility diverged"
+    assert got[1] == want[1], "metajournal diverged"
+    assert got[2] == want[2], "pointers diverged"
+    # physical convergence too: compaction drops any crash-duplicated
+    # appends and the visible state is unchanged (compact both — the
+    # one-shot store also holds purge-orphaned rows physically)
+    store.compact()
+    one.compact()
+    assert _state(store)[0] == want[0]
+    assert store.journal().count() == one.journal().count()

@@ -264,9 +264,12 @@ def test_concurrent_write_survives_publication_dirty_reset(spark, tmp_path):
         ).localCheckpoint(eager=True)
         store._mark_stale(["journal"])               # writer: pre-mark
         store.publish_catalog()                      # concurrent publication
-        rows.write.mode("append").partitionBy("topic").parquet(
-            store._path("journal")
-        )                                            # writer: data lands
+        store._commit_append(                        # writer: data lands
+            "journal",
+            lambda: rows.write.mode("append")
+            .partitionBy("topic")
+            .parquet(store._path("journal")),
+        )
         store._mark_stale(["journal"])               # writer: post-mark
 
         # the publication that raced the write must grade stale, and the

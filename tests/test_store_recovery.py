@@ -211,11 +211,14 @@ def test_incremental_compact_rewrites_only_debt_topics(spark, tmp_path):
 
 def test_partition_bak_repair_restores_crashed_topic_swap(spark, tmp_path):
     """A crash between rename-aside and promote of ONE topic directory is
-    repaired on the next open, exactly like whole-table swaps."""
+    repaired on the next open — the LEGACY (pre-manifest) protocol's crash
+    state, which only a pre-manifest store can be in: drop the manifest
+    token to model a store written by the old version."""
     root = str(tmp_path / "pbak")
     store = JournalStore(spark, root)
     replicate_batch(make_actions(spark, [append("a", 1), append("b", 1)]), store)
     before = {(r.id, r.seq_nr) for r in store.read().collect()}
+    os.remove(os.path.join(root, "_manifest_journal"))  # legacy store
     live = os.path.join(root, "journal", "topic=journal")
     # simulate the crash: live dir renamed aside, promote never happened
     os.replace(live, f"{live}.00000000000000000042.bak")

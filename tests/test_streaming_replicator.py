@@ -194,7 +194,9 @@ def test_self_maintaining_replicator_bounds_file_count(spark, tmp_path):
             spark, [append(f"k{i}", 1), append(f"k{i}", 2)], offset_base=i * 10
         ).coalesce(1).write.mode("append").parquet(str(src))
 
-    store = JournalStore(spark, str(tmp_path / "st"))
+    # retire_grace_s=0: this test pins the PHYSICAL file count, so retired
+    # snapshot files must reap at the end of the mutation that retired them
+    store = JournalStore(spark, str(tmp_path / "st"), retire_grace_s=0)
     run_parquet_replicator(
         spark,
         str(src),
@@ -210,6 +212,9 @@ def test_self_maintaining_replicator_bounds_file_count(spark, tmp_path):
     # 8 appends uncompacted would leave >= 8 files; the in-loop compaction
     # merged them (the last 2 batches may still be un-merged)
     assert len(files) <= 4, files
+    # and the manifest's live view agrees with the physical state
+    live = store._live_files("journal")
+    assert live is not None and len(live) == len(files)
 
     # reads equal a one-shot replication of the same actions
     one = JournalStore(spark, str(tmp_path / "one"))

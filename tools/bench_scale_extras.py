@@ -52,11 +52,22 @@ def main():
     spark = get_spark("bench-scale-extras", cpus=cpus)
     qs = {**E.queries(), **E.extra_queries()}
     timings = {}
+    # KJ_PAIR_TAU overrides the pair family's similarity threshold — the
+    # REALISTIC corpus (gen_scale.py dup_mode=realistic) must be graded at
+    # tau >= 0.7: its non-duplicate rows are isotropic 64-dim vectors
+    # whose random-pair cosine tail at 0.35 would count coincidences as
+    # true pairs (see the generate() docstring for the math)
+    tau = os.environ.get("KJ_PAIR_TAU")
+    TAU_AWARE = {"d_embedding_neardup", "e_embedding_clusters"}
     for name in names:
         if name not in qs:
             continue
         t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        if tau is not None and name in TAU_AWARE:
+            df = qs[name](spark, sf_dir, tau=float(tau))
+        else:
+            df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
     out = {
@@ -80,7 +91,11 @@ def main():
                 pair_efficiency_stats,
             )
 
-            out["pair_efficiency"] = pair_efficiency_stats(spark, sf_dir)
+            out["pair_efficiency"] = (
+                pair_efficiency_stats(spark, sf_dir, tau=float(tau))
+                if tau is not None
+                else pair_efficiency_stats(spark, sf_dir)
+            )
     print(json.dumps(out))
     spark.stop()
 
