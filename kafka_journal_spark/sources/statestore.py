@@ -41,6 +41,8 @@ seq_nr lower bound, plus the R5 defensive dedup (first offset per
 
 from __future__ import annotations
 
+import contextlib
+import itertools
 import json
 import math
 import os
@@ -48,6 +50,7 @@ import shutil
 import threading
 import time
 import uuid
+import weakref
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -133,20 +136,53 @@ META_FOLD_TIER = 8
 #: replaced it in the manifest, in seconds.  This is the store's snapshot
 #: retention: a reader plans against the manifest's file list, and any
 #: file that list names is guaranteed to exist for at least this long
-#: after a later swap retires it — so a racing read's listing→scan gap is
+#: after a later swap retires it — so a racing read's plan→scan gap is
 #: safe as long as it is shorter than the grace (the same contract as
-#: Delta Lake's VACUUM retention; theirs defaults to 7 days, ours to one
-#: minute because local-mode plans materialize in seconds).  Readers keep
-#: ``ignoreMissingFiles`` as the belt for gaps beyond the grace.
-RETIRE_GRACE_S = 60.0
+#: Delta Lake's VACUUM retention; theirs defaults to 7 days).
+#:
+#: SIZING RULE: the grace must exceed the worst-case wall between a read
+#: PLANNING (manifest load) and the scan's last byte, times a safety
+#: factor.  Local-mode plans materialize in seconds; the sf100-projection
+#: probes measured single-operator scans of 100–400 s — hence a 15-minute
+#: default (~2x that worst case) rather than the earlier 60 s, which a
+#: long scan under standing maintenance could outlive.  Deployments with
+#: longer analytic scans should raise it (`retire_grace_s=`) toward
+#: Delta's days-scale retention — the only cost is retired bytes on disk.
+#:
+#: Two belts close the window beyond the grace:
+#: - IN-PROCESS, vacuum never reaps a file referenced by a registered
+#:   read snapshot: every manifest read registers its file list for as
+#:   long as the returned DataFrame object is referenced (weakref-scoped),
+#:   and ``pin_reads()`` pins all tables' current snapshots for a whole
+#:   block of derived-plan work (see ``_register_snapshot``);
+#: - CROSS-PROCESS, manifest-planned scans run with
+#:   ``ignoreMissingFiles=false``, so a foreign vacuum racing past the
+#:   grace makes the scan FAIL LOUDLY instead of silently dropping rows
+#:   (only legacy directory-listing reads keep ignoreMissingFiles, where
+#:   the listing itself is already racy).
+RETIRE_GRACE_S = 900.0
 
 #: ownership lease TTL: a foreign owner whose heartbeat (lockfile mtime)
 #: is older than this AND whose liveness cannot be confirmed is considered
 #: crashed, and a new claimant takes the store over.  On the same host a
-#: dead pid is detected immediately (no wait); the TTL is the fallback for
-#: owners on other hosts of a shared filesystem, where mtime is the only
-#: liveness signal.
-OWNER_TTL_S = 60.0
+#: dead pid is detected immediately (no wait) and a LIVE owner is verified
+#: by process identity (pid + /proc start time), so a recycled pid can
+#: never wedge the store and an idle-but-alive owner is never preempted;
+#: the TTL is the fallback for owners on other hosts of a shared
+#: filesystem (mtime is the only liveness signal there) and for platforms
+#: without /proc.
+#:
+#: SIZING RULE: the heartbeat refreshes on every MUTATION, so set the TTL
+#: comfortably above the longest expected gap between mutations (e.g. a
+#: standing replicator's trigger interval, or the wall of one long Spark
+#: stage inside a mutation) — a 30 s-trigger replicator is fine at the
+#: 300 s default, an hourly batch job should raise ``owner_ttl_s``.
+#: A WRONG takeover (owner alive but its heartbeat lapsed) is loud, not
+#: silent: every token commit re-verifies the lease (``_fence_lease``),
+#: so the fenced-out owner's in-flight mutation raises
+#: :class:`StoreOwnershipError` instead of clobbering the new owner's
+#: committed files.
+OWNER_TTL_S = 300.0
 
 #: one token per PROCESS (not per instance): two JournalStore objects in
 #: one process legitimately share ownership — and share one mutation lock
@@ -162,6 +198,73 @@ def _root_lock(root: str) -> threading.RLock:
     key = os.path.realpath(root)
     with _ROOT_LOCKS_GUARD:
         return _ROOT_LOCKS.setdefault(key, threading.RLock())
+
+
+def _proc_started(pid: int) -> int | None:
+    """Kernel start time of ``pid`` (clock ticks since boot, field 22 of
+    ``/proc/<pid>/stat``) — the identity that distinguishes a crashed
+    owner's RECYCLED pid from the owner itself.  None where /proc is
+    unavailable (non-Linux) or the process is gone."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            stat = f.read()
+        # comm (field 2) is parenthesized and may contain spaces/parens —
+        # fields 3+ start after the LAST ')'
+        return int(stat.rsplit(b")", 1)[1].split()[19])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+#: in-process read-snapshot registry: (realpath(root), table) -> snap_id ->
+#: frozenset of manifest-relative file paths some live read plan references.
+#: ``_vacuum`` never reaps a retired file named by a registered snapshot —
+#: the in-process belt that lets a scan outlive ``retire_grace_s`` under
+#: standing maintenance (see RETIRE_GRACE_S).  Entries are released by the
+#: reader DataFrame's weakref finalizer or by ``pin_reads()`` exit.
+_ACTIVE_SNAPSHOTS: dict[tuple[str, str], dict[int, frozenset[str]]] = {}
+_ACTIVE_SNAPSHOTS_GUARD = threading.Lock()
+_SNAP_COUNTER = itertools.count(1)
+
+
+def _register_snapshot(root: str, table: str, files) -> int:
+    snap_id = next(_SNAP_COUNTER)
+    key = (os.path.realpath(root), table)
+    with _ACTIVE_SNAPSHOTS_GUARD:
+        _ACTIVE_SNAPSHOTS.setdefault(key, {})[snap_id] = frozenset(files)
+    return snap_id
+
+
+def _release_snapshot(root: str, table: str, snap_id: int) -> None:
+    key = (os.path.realpath(root), table)
+    with _ACTIVE_SNAPSHOTS_GUARD:
+        reg = _ACTIVE_SNAPSHOTS.get(key)
+        if reg is not None:
+            reg.pop(snap_id, None)
+            if not reg:
+                _ACTIVE_SNAPSHOTS.pop(key, None)
+
+
+def _snapshot_referenced(root: str, table: str) -> frozenset[str]:
+    key = (os.path.realpath(root), table)
+    with _ACTIVE_SNAPSHOTS_GUARD:
+        reg = _ACTIVE_SNAPSHOTS.get(key)
+        if not reg:
+            return frozenset()
+        out: set[str] = set()
+        for files in reg.values():
+            out |= files
+        return frozenset(out)
+
+
+def _maybe_crash(point: str) -> None:
+    """Test-only crash injection: when ``KJS_STORE_CRASH`` names this
+    point, die HARD (no atexit, no finally — the closest a test can get
+    to a power cut) so ``tests/test_manifest_crash.py`` can prove the
+    manifest protocol's claim that a crash between a mutation's file
+    writes and its manifest publish is physically invisible to readers.
+    One dict lookup when unset."""
+    if os.environ.get("KJS_STORE_CRASH") == point:
+        os._exit(137)
 
 
 class StoreOwnershipError(RuntimeError):
@@ -371,11 +474,52 @@ class JournalStore:
         except OSError:
             return ""
 
+    def _fence_lease(self) -> None:
+        """Raise if ANOTHER process's lease is on the root — the fencing
+        check every token commit runs (tokens are the store's commit
+        points: manifests, epochs, dirty bands, delta seq).  This is what
+        makes a TTL takeover of a live-but-idle owner LOUD: the old
+        owner's in-flight mutation computed against pre-takeover state,
+        and publishing it would clobber the new owner's committed files —
+        instead its commit raises here.  No lease at all is fine (tests /
+        single-writer flows before the first ``_assert_ownership``); a
+        check-then-write window of a few microseconds remains — closing
+        it needs a compare-and-swap the filesystem doesn't offer, and the
+        window is bounded by the claimant's own fence on its next commit."""
+        try:
+            with open(self._path("_owner.lock")) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            return
+        if doc.get("token") != _PROCESS_TOKEN:
+            raise StoreOwnershipError(
+                f"lease on {self.root!r} was taken over by pid "
+                f"{doc.get('pid')} on {doc.get('host')!r} while this "
+                f"process's mutation was in flight — refusing to commit "
+                f"state computed under the old lease"
+            )
+
     def _write_token(self, name: str, value: str) -> None:
+        """Atomic, DURABLE token publish: fsync the temp file before the
+        rename (a power loss can otherwise surface a zero-length token at
+        the final name — os.replace is atomic in the namespace, not for
+        unflushed data pages) and fsync the directory after it so the
+        rename itself survives; fenced against lease takeover."""
+        self._fence_lease()
         tmp = self._path(f"{name}.{uuid.uuid4().hex[:8]}.tok")
         with open(tmp, "w") as f:
             f.write(value)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, self._path(name))
+        try:
+            dfd = os.open(self.root, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        except OSError:
+            pass  # platforms/filesystems without directory fsync
 
     def _mark_stale(self, topics: list[str] | None = None) -> None:
         """Stamp a fresh store epoch AND record which topics the write
@@ -396,7 +540,13 @@ class JournalStore:
           but the post-mark re-dirties the topic (surviving the reset,
           which happened earlier) and moves the epoch past the
           publication's captured token — so that catalog grades stale and
-          the next publication republishes the topic with the data."""
+          the next publication republishes the topic with the data.
+
+        The PRE-write mark is every mutation's first token write, so the
+        lease is asserted here — a foreign-owned store refuses the
+        mutation with the canonical ownership error before any state
+        (even a token) changes."""
+        self._assert_ownership()
         import json
 
         cur = self._read_token("_catalog_dirty")
@@ -459,14 +609,20 @@ class JournalStore:
         or raise :class:`StoreOwnershipError` if another live process holds
         it.  Called by every mutating entry point; readers never touch it.
 
-        Takeover: a lease whose owner pid is provably dead (same host) or
-        whose heartbeat is older than ``owner_ttl_s`` (foreign host — the
-        mtime is the only liveness signal a shared filesystem gives) is
-        stale; claimants race on an O_EXCL create after unlinking it, so
-        exactly one wins and the losers raise against the winner's fresh
-        lease.  A hung-but-alive same-host owner is never preempted —
-        matching the reference's structural single-owner rule rather than
-        guessing."""
+        Takeover: a lease whose owner is provably dead — same host, pid
+        gone (ESRCH) or pid RECYCLED (the lease records the owner's /proc
+        start time; a liveness hit with a different start time is an
+        unrelated process wearing the pid) — or whose heartbeat is older
+        than ``owner_ttl_s`` when liveness cannot be verified (foreign
+        host, or same host without /proc identity) is stale; claimants
+        race on an O_EXCL create after unlinking it, so exactly one wins
+        and the losers raise against the winner's fresh lease.  A
+        same-host owner whose IDENTITY is verified alive is never
+        preempted however old its heartbeat (idle != crashed) — matching
+        the reference's structural single-owner rule; an owner preempted
+        by the TTL fallback while merely idle fails LOUDLY at its next
+        commit (``_fence_lease``), never silently.  EPERM from the probe
+        means the pid EXISTS under another uid — alive, not dead."""
         import socket
 
         path = self._path("_owner.lock")
@@ -474,6 +630,7 @@ class JournalStore:
             "pid": os.getpid(),
             "host": socket.gethostname(),
             "token": _PROCESS_TOKEN,
+            "started": _proc_started(os.getpid()),
         }
         for _ in range(50):
             try:
@@ -494,16 +651,41 @@ class JournalStore:
                 os.utime(path)  # heartbeat
                 return
             same_host = doc.get("host") == me["host"]
-            alive = True
-            if same_host:
-                try:
-                    os.kill(int(doc.get("pid", -1)), 0)
-                except (OSError, ValueError, TypeError):
-                    alive = False
             stale = (
                 time.time_ns() - st.st_mtime_ns > int(self.owner_ttl_s * 1e9)
             )
-            if (same_host and alive) or (not same_host and not stale):
+            alive = None  # unknown (foreign host / unprobeable)
+            if same_host:
+                try:
+                    os.kill(int(doc.get("pid", -1)), 0)
+                    alive = True
+                except ProcessLookupError:
+                    alive = False  # ESRCH: provably dead
+                except PermissionError:
+                    alive = True  # EPERM: EXISTS under another uid = alive
+                except (OSError, ValueError, TypeError):
+                    alive = None
+            if alive is False:
+                owned = False
+            elif alive:
+                lease_started = doc.get("started")
+                now_started = _proc_started(int(doc.get("pid", -1)))
+                if lease_started is not None and now_started is not None:
+                    # identity verdict beats the TTL both ways: a
+                    # verified-same process is owned even when idle past
+                    # the TTL; a RECYCLED pid (start-time mismatch) is
+                    # dead immediately — it can never wedge the store
+                    owned = lease_started == now_started
+                else:
+                    # pid alive but identity unverifiable (no /proc, or a
+                    # pre-identity lease): the TTL fallback keeps a
+                    # recycled pid from wedging the store forever, and a
+                    # wrongly-preempted idle owner fails loudly at its
+                    # next commit (_fence_lease) instead of clobbering
+                    owned = not stale
+            else:
+                owned = not stale  # heartbeat is the only signal
+            if owned:
                 raise StoreOwnershipError(
                     f"store root {self.root!r} is owned for writing by "
                     f"pid {doc.get('pid')} on {doc.get('host')!r} "
@@ -582,12 +764,35 @@ class JournalStore:
 
     def _load_manifest(self, table: str):
         """(live files, retired {file: retired_at_ns}) or None when the
-        store predates the manifest protocol (legacy directory reads)."""
+        store predates the manifest protocol (legacy directory reads).
+
+        A manifest token that EXISTS but does not parse is treated as
+        legacy too — reads fall back to the directory listing and the
+        next mutation's ``_ensure_manifest`` adopts the walk as a fresh
+        manifest (repair).  ``_write_token`` fsyncs before its atomic
+        rename, so a power loss cannot tear the token — this branch
+        guards external corruption (manual edits, foreign tooling), where
+        a best-effort degraded read beats every read raising forever.
+        The degraded read may see retired-but-ungraced duplicates of
+        swapped files; the warning says so."""
         raw = self._read_token(f"_manifest_{table}")
         if not raw:
             return None
-        doc = json.loads(raw)
-        return list(doc.get("files", [])), dict(doc.get("retired", {}))
+        try:
+            doc = json.loads(raw)
+            return list(doc.get("files", [])), dict(doc.get("retired", {}))
+        except ValueError:
+            import warnings
+
+            warnings.warn(
+                f"manifest token _manifest_{table} in {self.root!r} is "
+                f"corrupt — falling back to directory listing (may "
+                f"double-read files retired within the grace); the next "
+                f"mutation re-adopts the directory as a fresh manifest",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return None
 
     def _save_manifest(self, table, files, retired) -> None:
         self._write_token(
@@ -623,6 +828,7 @@ class JournalStore:
             p = self._path(table)
             before = self._walk_parquet(p)
             write_fn()
+            _maybe_crash(f"append_precommit_{table}")
             new = self._walk_parquet(p) - before
             self._save_manifest(table, set(files) | new, retired)
             self._vacuum(table)
@@ -657,6 +863,7 @@ class JournalStore:
             def _in_scope(rel: str) -> bool:
                 return scope is None or rel.split(os.sep, 1)[0] in scope
 
+            _maybe_crash(f"swap_precommit_{table}")
             keep = [f for f in files if not _in_scope(f)]
             for f in files:
                 if _in_scope(f):
@@ -664,12 +871,36 @@ class JournalStore:
             self._save_manifest(table, set(keep) | set(moved), retired)
             self._vacuum(table)
 
+    @contextlib.contextmanager
+    def pin_reads(self):
+        """Pin every table's CURRENT snapshot against this process's
+        vacuum for the duration of the block — the explicit tool for long
+        derived-plan work (a plan built from ``journal()`` etc. does not
+        keep the base DataFrame object alive, so its weakref-scoped
+        registration can lapse before the scan runs).  Cross-process
+        protection stays the retire grace; beyond it a foreign vacuum
+        makes the scan fail loudly (see ``_read``)."""
+        pins: list[tuple[str, int]] = []
+        for table in ("journal", "metajournal", "pointers"):
+            man = self._load_manifest(table)
+            if man is not None:
+                pins.append(
+                    (table, _register_snapshot(self.root, table, man[0]))
+                )
+        try:
+            yield self
+        finally:
+            for table, snap_id in pins:
+                _release_snapshot(self.root, table, snap_id)
+
     def _vacuum(self, table: str) -> None:
-        """Reap (a) retired files whose grace elapsed and (b) unreferenced
-        crash orphans older than the grace (half-moved swap output, files
-        of an append whose manifest commit never ran — both invisible to
-        every reader by construction), then drop emptied partition dirs.
-        Runs at the end of every mutation; O(files) metadata, no data."""
+        """Reap (a) retired files whose grace elapsed AND no registered
+        in-process read snapshot still references (see RETIRE_GRACE_S)
+        and (b) unreferenced crash orphans older than the grace
+        (half-moved swap output, files of an append whose manifest commit
+        never ran — both invisible to every reader by construction), then
+        drop emptied partition dirs.  Runs at the end of every mutation;
+        O(files) metadata, no data."""
         with self.mutation_lock:
             man = self._load_manifest(table)
             if man is None:
@@ -678,7 +909,12 @@ class JournalStore:
             p = self._path(table)
             now = time.time_ns()
             grace_ns = int(self.retire_grace_s * 1e9)
-            gone = [f for f, ts in retired.items() if now - int(ts) >= grace_ns]
+            pinned = _snapshot_referenced(self.root, table)
+            gone = [
+                f
+                for f, ts in retired.items()
+                if now - int(ts) >= grace_ns and f not in pinned
+            ]
             for f in gone:
                 try:
                     os.remove(os.path.join(p, f))
@@ -765,21 +1001,33 @@ class JournalStore:
         """Snapshot read: plan against the manifest's explicit file list
         (point-in-time-consistent — see the manifest block above), with
         ``basePath`` preserving the hive partition columns and their
-        pruning.  ``ignoreMissingFiles`` stays on as the belt for reads
-        whose listing→scan gap outlives the retire grace, and for legacy
-        directory-listed stores under a concurrent legacy swap."""
+        pruning.
+
+        Two guarantees close the beyond-grace window (RETIRE_GRACE_S):
+        the snapshot's file list is REGISTERED against this process's
+        vacuum for as long as the returned DataFrame object lives
+        (weakref-scoped — hold the frame, or a ``pin_reads()`` block, for
+        long derived-plan work), and the scan runs with
+        ``ignoreMissingFiles=false`` so a FOREIGN process vacuuming past
+        the grace makes this scan raise instead of silently dropping a
+        file's rows.  Legacy directory-listed stores keep
+        ignoreMissingFiles=true — their listing is inherently racy under
+        a concurrent legacy swap and predates the snapshot contract."""
         p = self._path(name)
         man = self._load_manifest(name)
         if man is not None:
             files, _ = man
             if not files:
                 return self.spark.createDataFrame([], ddl)
-            return (
+            df = (
                 self.spark.read.schema(ddl)
                 .option("basePath", p)
-                .option("ignoreMissingFiles", "true")
+                .option("ignoreMissingFiles", "false")
                 .parquet(*[os.path.join(p, f) for f in files])
             )
+            snap_id = _register_snapshot(self.root, name, files)
+            weakref.finalize(df, _release_snapshot, self.root, name, snap_id)
+            return df
         # legacy / foreign store: directory listing + crash repair
         _repair_dir(p)
         _repair_partition_baks(p)

@@ -142,3 +142,114 @@ def test_release_and_reacquire(spark, tmp_path):
     _foreign_lock(root, pid=1, host="other-host")
     store.release_ownership()
     assert os.path.exists(os.path.join(root, "_owner.lock"))
+
+
+def test_eperm_pid_is_alive_not_dead(spark, tmp_path, monkeypatch):
+    """EPERM from os.kill(pid, 0) means the pid EXISTS under another uid —
+    a LIVE owner, never a takeover target (treating it as dead would run
+    two writers: exactly the split-brain the lease prevents)."""
+    import kafka_journal_spark.sources.statestore as ss
+
+    root = str(tmp_path / "s")
+    store = JournalStore(spark, root)
+    replicate_batch(make_actions(spark, [append("a", 1)]), store)
+    store.release_ownership()
+    _foreign_lock(root, pid=424242)
+
+    def kill_eperm(pid, sig):
+        raise PermissionError
+
+    monkeypatch.setattr(ss.os, "kill", kill_eperm)
+    # identity can't confirm a foreign-uid process; fresh heartbeat = owned
+    with pytest.raises(StoreOwnershipError):
+        store.compact()
+    # ...but the TTL fallback still applies: a stale heartbeat is taken
+    # over (loud-commit fencing protects a wrongly-preempted idle owner)
+    store.owner_ttl_s = 0.2
+    _foreign_lock(root, pid=424242, age_s=5.0)
+    store.compact()
+
+
+def test_recycled_pid_is_taken_over_immediately(spark, tmp_path):
+    """A lease whose pid is alive but whose recorded /proc start time does
+    not match the CURRENT process wearing that pid is a crashed owner's
+    recycled pid — taken over at once, no TTL wait (the wedge the r10
+    ADVICE flagged: bare-pid liveness let a recycled pid hold the store
+    forever)."""
+    from kafka_journal_spark.sources.statestore import _proc_started
+
+    root = str(tmp_path / "s")
+    store = JournalStore(spark, root, owner_ttl_s=3600.0)
+    replicate_batch(make_actions(spark, [append("a", 1)]), store)
+    store.release_ownership()
+
+    path = os.path.join(root, "_owner.lock")
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "pid": os.getpid(),  # alive pid...
+                "host": __import__("socket").gethostname(),
+                "token": "not-this-process",
+                "started": 1,  # ...but a different incarnation wore it
+            },
+            f,
+        )
+    assert _proc_started(os.getpid()) not in (None, 1)
+    store.compact()  # takeover despite the huge TTL and the live pid
+    with open(path) as f:
+        assert json.load(f)["token"] != "not-this-process"
+
+
+def test_idle_verified_owner_survives_stale_heartbeat(spark, tmp_path):
+    """A same-host owner whose identity verifies alive is NEVER preempted,
+    however old its heartbeat (idle != crashed) — the TTL is only the
+    fallback for unverifiable liveness."""
+    import subprocess as sp
+
+    from kafka_journal_spark.sources.statestore import _proc_started
+
+    root = str(tmp_path / "s")
+    store = JournalStore(spark, root, owner_ttl_s=0.2)
+    replicate_batch(make_actions(spark, [append("a", 1)]), store)
+    store.release_ownership()
+
+    owner = sp.Popen(["sleep", "60"])
+    try:
+        path = os.path.join(root, "_owner.lock")
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "pid": owner.pid,
+                    "host": __import__("socket").gethostname(),
+                    "token": "not-this-process",
+                    "started": _proc_started(owner.pid),
+                },
+                f,
+            )
+        old = time.time_ns() - int(30 * 1e9)  # heartbeat 30s >> TTL 0.2s
+        os.utime(path, ns=(old, old))
+        with pytest.raises(StoreOwnershipError):
+            store.compact()
+    finally:
+        owner.kill()
+        owner.wait()
+
+
+def test_fence_refuses_commit_after_midflight_takeover(spark, tmp_path):
+    """An owner whose lease is taken over WHILE a mutation is in flight
+    (TTL lapse during a long Spark stage) must fail its commit loudly —
+    publishing a manifest computed under the old lease would clobber the
+    new owner's committed files."""
+    root = str(tmp_path / "s")
+    store = JournalStore(spark, root)
+    replicate_batch(make_actions(spark, [append("a", 1)]), store)
+    man_pre = store._load_manifest("journal")
+
+    def write_then_lose_lease():
+        # the mutation's data write... during which the lease flips
+        _foreign_lock(root, pid=1, host="other-host")
+
+    with pytest.raises(StoreOwnershipError, match="taken over"):
+        store._commit_append("journal", write_then_lose_lease)
+    # nothing was committed under the stolen lease
+    assert store._load_manifest("journal") == man_pre
