@@ -741,7 +741,13 @@ GATE_ORDER = [
     # d_minhash_lsh in the gate window
     "d_lsh_recall",
     "d_dedup_clusters",
-    "d_simhash_sigs",
+    # the union-scheme gate replays BOTH pair-candidate families in SQL
+    # (the full multiprobe bucket join + the IVF sample/assign/split) and
+    # the canonical-report fold on top — strictly more engine surface per
+    # driver row than d_simhash_sigs' signature recompute, which moves to
+    # the 120+-query local surface (still value-graded at BOTH SFs by
+    # tools/check_correctness.py, like d_embedding_neardup itself)
+    "d_neardup_union",
     # embedding similarity (e_ann_recall's oracle recomputes BOTH the
     # exact and the multiprobe definitions and grades their division PLUS
     # per-query score checksums over both sides — a probe regression that

