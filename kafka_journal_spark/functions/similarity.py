@@ -449,8 +449,14 @@ IVF_UNION_MIN_N = 100_000
 #: regions get proportionally more sampled centroids)
 IVF_TARGET_CELL = 64
 #: cells each vector is assigned to (multi-assign: a near-dup pair split
-#: by one Voronoi boundary still shares its second-nearest cell)
-IVF_ASSIGN = 2
+#: by one Voronoi boundary still shares its second-nearest cell).  Raised
+#: 2 -> 3 in r11: at A=2 even the FLAT assignment sat at 0.954 pair
+#: recall on the 2M realistic point — zero margin over the 0.95 bar for
+#: any approximation on top.  Measured at 500k (md5 sampling): flat A=2
+#: 0.9688, two-level P=5 A=2 0.9547, two-level P=5 A=3 0.9795 at ~1.33x
+#: the union wall (candidate volume scales with A^2; r10 measured flat
+#: A=3 at 0.9911).
+IVF_ASSIGN = 3
 #: occupancy cap: hotter cells hash-split.  Splitting LOSES within-cell
 #: pairs across the split — safe here because a cell only exceeds ~8x the
 #: expected size when its vectors are near-identical ties (sampling is
@@ -477,9 +483,12 @@ IVF_TWO_LEVEL_MIN_K = 4096
 #: in a coarse cell it does not probe gets its next-best reachable fine —
 #: its near-dup partner, being nearly the same point, almost always makes
 #: the same substitution, so PAIR recall degrades far slower than
-#: single-vector assignment fidelity (measured on the realistic corpus,
-#: see BENCH_SCALE_realistic_r11.json)
-IVF_COARSE_PROBE = 3
+#: single-vector assignment fidelity.  Tuned on the 500k realistic point:
+#: P=3 lost 2.6 recall points vs flat, P=5 only 1.4 (A=2) / gained the
+#: margin back with A=3 — and the coarse-scoring stage is N·K₁·dim
+#: either way, so P only scales the per-cell stage
+#: (see BENCH_SCALE_realistic_r11.json)
+IVF_COARSE_PROBE = 5
 
 
 def _ivf_h64(salt: str, col) -> Column:
