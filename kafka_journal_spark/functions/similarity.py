@@ -489,6 +489,14 @@ IVF_TWO_LEVEL_MIN_K = 4096
 #: either way, so P only scales the per-cell stage
 #: (see BENCH_SCALE_realistic_r11.json)
 IVF_COARSE_PROBE = 5
+#: vectors per two-level scoring task: a coarse cell attracts ~N·P/K₁
+#: probing vectors (~1.3M rows ≈ 330 MB of vectors at N = 10⁹ — a
+#: single-task memory hazard in a cogrouped pandas kernel), so the
+#: vector side hash-chunks within each coarse cell and the cell's fine
+#: centroids (only ~√K rows) are replicated into every chunk.  Each
+#: vector still scores ALL of its probed cells' fines, so results are
+#: bit-identical to the unchunked kernel (pinned in test_pipeline_ops).
+IVF_COARSE_CHUNK = 200_000
 
 
 def _ivf_h64(salt: str, col) -> Column:
@@ -676,6 +684,28 @@ def _ivf_assign_two_level(
     probed = emb.select("vec_id", "vec").mapInPandas(
         probe(p), "vec_id long, coarse long"
     ).join(emb.select("vec_id", "vec"), "vec_id")
+    # bound the per-task group: chunk the VECTOR side within each coarse
+    # cell and replicate the cell's (tiny) fine set into every chunk —
+    # per-vector scoring is independent, so the output is bit-identical
+    chunks = probed.groupBy("coarse").agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(IVF_COARSE_CHUNK))
+        .cast("long")
+        .alias("_nc")
+    )
+    probed = (
+        probed.join(F.broadcast(chunks), "coarse")
+        .withColumn(
+            "chunk", F.pmod(_ivf_h64("ivfk:", F.col("vec_id")), F.col("_nc"))
+        )
+        .drop("_nc")
+    )
+    fine_asg = (
+        fine_asg.join(F.broadcast(chunks), "coarse")
+        .withColumn(
+            "chunk", F.explode(F.sequence(F.lit(0), F.col("_nc") - 1))
+        )
+        .drop("_nc")
+    )
 
     def score_cell(left, right):
         import numpy as np  # noqa: PLC0415 — worker-side import
@@ -708,8 +738,8 @@ def _ivf_assign_two_level(
         )
 
     scored = (
-        probed.groupBy("coarse")
-        .cogroup(fine_asg.groupBy("coarse"))
+        probed.groupBy("coarse", "chunk")
+        .cogroup(fine_asg.groupBy("coarse", "chunk"))
         .applyInPandas(score_cell, "vec_id long, cell long, s double")
     )
     # global top-A over the probed cells' union: a fine centroid lives in

@@ -946,3 +946,10 @@ def test_two_level_ivf_assignment_engages_and_keeps_recall(spark, monkeypatch):
     assert un == brute, (un, brute)
     un2 = {(r.i, r.j) for r in _neardup_pairs_from(emb, 0.99, "union").collect()}
     assert un == un2  # deterministic coarse sample + probes + top-A
+
+    # the per-task chunking of the scoring cogroup is a pure partitioning
+    # of independent per-vector work — forcing tiny chunks must be
+    # bit-identical to the one-group-per-cell run above
+    monkeypatch.setattr(sim, "IVF_COARSE_CHUNK", 64)
+    un3 = {(r.i, r.j) for r in _neardup_pairs_from(emb, 0.99, "union").collect()}
+    assert un == un3
