@@ -686,25 +686,27 @@ def _ivf_assign_two_level(
     ).join(emb.select("vec_id", "vec"), "vec_id")
     # bound the per-task group: chunk the VECTOR side within each coarse
     # cell and replicate the cell's (tiny) fine set into every chunk —
-    # per-vector scoring is independent, so the output is bit-identical
-    chunks = probed.groupBy("coarse").agg(
-        F.ceil(F.count(F.lit(1)) / F.lit(IVF_COARSE_CHUNK))
-        .cast("long")
-        .alias("_nc")
+    # per-vector scoring is independent, so the output is bit-identical.
+    # The chunk count is GLOBAL and analytic (expected per-cell occupancy
+    # N·P/K₁ over the target), NOT a per-cell occupancy aggregate: an
+    # aggregate would consume `probed` a second time and re-run the
+    # corpus through the Python probe pass (the same double-pass the
+    # assignment checkpoint note measured at 2x) — and coarse cells are
+    # density-proportional samples, so expected occupancy is uniform the
+    # same way fine cells' is.  emb.count() is a metadata-only
+    # parquet count.
+    n_vecs = emb.count()
+    nc = max(
+        1,
+        math.ceil(
+            n_vecs * p / max(len(coarse_rows), 1) / IVF_COARSE_CHUNK
+        ),
     )
-    probed = (
-        probed.join(F.broadcast(chunks), "coarse")
-        .withColumn(
-            "chunk", F.pmod(_ivf_h64("ivfk:", F.col("vec_id")), F.col("_nc"))
-        )
-        .drop("_nc")
+    probed = probed.withColumn(
+        "chunk", F.pmod(_ivf_h64("ivfk:", F.col("vec_id")), F.lit(nc))
     )
-    fine_asg = (
-        fine_asg.join(F.broadcast(chunks), "coarse")
-        .withColumn(
-            "chunk", F.explode(F.sequence(F.lit(0), F.col("_nc") - 1))
-        )
-        .drop("_nc")
+    fine_asg = fine_asg.withColumn(
+        "chunk", F.explode(F.sequence(F.lit(0), F.lit(nc - 1)))
     )
 
     def score_cell(left, right):
