@@ -702,12 +702,32 @@ def _ivf_assign_two_level(
             n_vecs * p / max(len(coarse_rows), 1) / IVF_COARSE_CHUNK
         ),
     )
+    # both chunk columns are EXPLICIT longs: cogroup aligns its two sides
+    # by raw grouping-key value and does NOT coerce types — an int chunk
+    # on one side and a long on the other hash-partitions the same
+    # logical key to different shuffle partitions, silently mismatching
+    # most groups (found at the 4M probe point: 236 of 240 coarse cells
+    # lost their fines and pair recall fell to the multiprobe floor;
+    # invisible at pytest scale where the partition count is small, so
+    # the guard below fails FAST at plan time instead)
     probed = probed.withColumn(
-        "chunk", F.pmod(_ivf_h64("ivfk:", F.col("vec_id")), F.lit(nc))
+        "chunk",
+        F.pmod(_ivf_h64("ivfk:", F.col("vec_id")), F.lit(nc)).cast("long"),
     )
     fine_asg = fine_asg.withColumn(
-        "chunk", F.explode(F.sequence(F.lit(0), F.lit(nc - 1)))
+        "chunk",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(nc - 1).cast("long"))
+        ),
     )
+    for key in ("coarse", "chunk"):
+        lt = probed.schema[key].dataType
+        rt = fine_asg.schema[key].dataType
+        if lt != rt:
+            raise AssertionError(
+                f"cogroup key {key!r} type drift: {lt} vs {rt} — the "
+                f"cogroup would silently misalign groups at scale"
+            )
 
     def score_cell(left, right):
         import numpy as np  # noqa: PLC0415 — worker-side import

@@ -953,3 +953,14 @@ def test_two_level_ivf_assignment_engages_and_keeps_recall(spark, monkeypatch):
     monkeypatch.setattr(sim, "IVF_COARSE_CHUNK", 64)
     un3 = {(r.i, r.j) for r in _neardup_pairs_from(emb, 0.99, "union").collect()}
     assert un == un3
+
+    # COMPLETENESS of the assignment, not just pair equality: every
+    # vector must receive exactly IVF_ASSIGN cells.  This is the pin for
+    # the 4M-probe finding — a chunk-key TYPE mismatch (int vs long)
+    # made the cogroup silently drop most coarse cells' fines, which the
+    # pair-set equality above cannot see on a corpus whose pairs the
+    # multiprobe side already covers.
+    asg = sim._ivf_cell_assignments(emb)
+    n = emb.count()
+    assert asg.count() == n * sim.IVF_ASSIGN
+    assert asg.select("vec_id").distinct().count() == n
