@@ -25,6 +25,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_journal_spark.functions.dedup import HASH64_SQL, hash64
 from kafka_journal_spark.functions.numeric import round6
 
 N_QUERIES = 8  # queries = vec_id < N_QUERIES
@@ -500,20 +501,18 @@ IVF_COARSE_CHUNK = 200_000
 
 
 def _ivf_h64(salt: str, col) -> Column:
-    """Portable 32-bit-range hash of ``salt || vec_id`` (first 8 md5 hex
-    chars as bigint) — the SAME primitive the dedup family uses
-    (``dedup.py``), chosen over xxhash64 so the DuckDB oracle can replay
-    the IVF fine sample / coarse sample / occupancy split bit-for-bit
-    (the ``d_neardup_union`` gate).  SQL twin: ``_IVF_H64_SQL``."""
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("long")
+    """Portable 32-bit-range hash of ``salt || vec_id`` — a salted wrapper
+    over the dedup family's :func:`~kafka_journal_spark.functions.dedup.hash64`
+    primitive (one definition, one DuckDB twin), chosen over xxhash64 so
+    the oracle can replay the IVF fine sample / coarse sample / occupancy
+    split bit-for-bit (the ``d_neardup_union`` gate).  SQL twin:
+    ``_IVF_H64_SQL``."""
+    return hash64(F.concat(F.lit(salt), col.cast("string")))
 
 
-#: DuckDB twin of :func:`_ivf_h64` — format with salt and column expr
-_IVF_H64_SQL = "('0x' || substr(md5('{salt}' || CAST({x} AS VARCHAR)), 1, 8))::BIGINT"
+#: DuckDB twin of :func:`_ivf_h64` — format with salt and column expr;
+#: derived from the dedup family's HASH64_SQL so the two can never drift
+_IVF_H64_SQL = HASH64_SQL.format(x="'{salt}' || CAST({x} AS VARCHAR)")
 
 
 def _unit_rows(M):
@@ -578,11 +577,23 @@ def _ivf_cell_assignments(emb: DataFrame) -> DataFrame:
             == 0
         )
         .select("vec_id", "vec")
+        # materialize the sample ONCE: count, flat collect, coarse
+        # sub-sample, and both sides of the fine→coarse pre-assignment
+        # each consume it — uncached, every one is a full corpus scan
+        .localCheckpoint(eager=False)
     )
     k = fine.count()
-    if k < 2:
-        # corpus too small to sample a centroid set — one cell, i.e. the
-        # exact join (only reachable far below IVF_UNION_MIN_N)
+    if k == 0:
+        # no fine sample at all — IVF contributes ZERO candidates, exactly
+        # like the d_neardup_union oracle's empty `fine` CTE (its asg/ipairs
+        # CTEs are empty, so upairs = the multiprobe family alone).  Only
+        # reachable far below IVF_UNION_MIN_N, where multiprobe already
+        # covers the corpus; a one-cell fallback here would diverge from
+        # the oracle's value set.
+        return emb.select("vec_id", F.lit(0).cast("long").alias("cell")).limit(0)
+    if k == 1:
+        # one centroid — every vector's top-1 (and only) assignment is that
+        # single all-corpus cell, same as the oracle's one-row `fine` CTE
         return emb.select("vec_id", F.lit(0).cast("long").alias("cell"))
     if k >= IVF_TWO_LEVEL_MIN_K:
         two = _ivf_assign_two_level(emb, fine, k)
@@ -794,7 +805,9 @@ def _neardup_candidates_ivf_scored(emb: DataFrame) -> DataFrame:
     share one of their ``IVF_ASSIGN`` nearest centroids.
 
     Construction (all deterministic): centroids are the corpus vectors
-    whose xxhash64(vec_id) lands in a 1-in-``IVF_TARGET_CELL`` sample —
+    whose salted md5 hash (:func:`_ivf_h64` — the portable primitive the
+    ``d_neardup_union`` oracle replays) lands in a
+    1-in-``IVF_TARGET_CELL`` sample —
     density-proportional, so E[cell size] = IVF_TARGET_CELL everywhere
     with no training step; each vector is assigned to its
     ``IVF_ASSIGN`` nearest centroids (flat matmul below
@@ -1764,14 +1777,16 @@ SIM_ORACLES["d_embedding_neardup"] = f"""
 # ENTIRE union semantics in SQL: the multiprobe pair join (shared
 # _NEARDUP_PAIRS_SQL) UNION the IVF-cell pair join — fine-centroid md5
 # sample (the Spark side samples with the same portable md5 primitive,
-# :func:`_ivf_h64`, exactly so this replay is possible), exact top-2
-# assignment by (cosine DESC, centroid id ASC) — the flat path's
+# :func:`_ivf_h64`, exactly so this replay is possible), exact
+# top-``IVF_ASSIGN`` assignment by (cosine DESC, centroid id ASC) — the
+# flat path's
 # first-index argmax tie-break — occupancy ceil-split, and the same
 # hash-sub equi-join.  Graded corpora stay far below IVF_TWO_LEVEL_MIN_K,
 # so the replayed flat assignment IS the executed one (the two-level
 # approximation is pinned by test_pipeline_ops + the realistic-corpus
 # recall probe instead).  The only cross-engine risk is float32 (numpy
-# assignment) vs float64 (DuckDB) near-ties in the top-2 selection;
+# assignment) vs float64 (DuckDB) near-ties in the top-``IVF_ASSIGN``
+# selection;
 # centroid gaps on the graded corpora are ~0.1, seven orders above f32
 # error, and the data is frozen.
 _IVF_COS_SQL = (

@@ -648,7 +648,14 @@ class JournalStore:
                 time.sleep(0.02)  # claimed-but-unwritten or just vacated
                 continue
             if doc.get("token") == _PROCESS_TOKEN:
-                os.utime(path)  # heartbeat
+                try:
+                    os.utime(path)  # heartbeat
+                except OSError:
+                    # a claimant deemed our lapsed lease stale and
+                    # unlinked it between our read and the touch — loop
+                    # back and re-acquire instead of dying on ENOENT
+                    time.sleep(0.02)
+                    continue
                 return
             same_host = doc.get("host") == me["host"]
             stale = (
@@ -788,13 +795,28 @@ class JournalStore:
                 f"manifest token _manifest_{table} in {self.root!r} is "
                 f"corrupt — falling back to directory listing (may "
                 f"double-read files retired within the grace); the next "
-                f"mutation re-adopts the directory as a fresh manifest",
+                f"mutation repairs the manifest from the walk + the "
+                f".prev safety net (known-retired files stay retired)",
                 RuntimeWarning,
                 stacklevel=2,
             )
             return None
 
     def _save_manifest(self, table, files, retired) -> None:
+        # preserve the manifest being superseded as `.prev` FIRST: the
+        # last-known-good safety net `_ensure_manifest` repairs from when
+        # the main token is externally corrupted.  Only a parseable
+        # current token is preserved (prev must always be a GOOD
+        # manifest); the extra small-token fsync is noise next to the
+        # Spark write every mutation just did.
+        cur = self._read_token(f"_manifest_{table}")
+        if cur:
+            try:
+                json.loads(cur)
+            except ValueError:
+                pass
+            else:
+                self._write_token(f"_manifest_{table}.prev", cur)
         self._write_token(
             f"_manifest_{table}",
             json.dumps(
@@ -803,17 +825,70 @@ class JournalStore:
             ),
         )
 
+    def _load_prev_manifest(self, table: str):
+        """The `.prev` safety-net token (the manifest the last
+        ``_save_manifest`` superseded), or None — parsed with the same
+        shape as ``_load_manifest`` but silently (it is only consulted
+        during corrupt-token repair)."""
+        raw = self._read_token(f"_manifest_{table}.prev")
+        if not raw:
+            return None
+        try:
+            doc = json.loads(raw)
+            return list(doc.get("files", [])), dict(doc.get("retired", {}))
+        except ValueError:
+            return None
+
     def _ensure_manifest(self, table: str):
         """Adopt a legacy store's current directory contents as the initial
-        manifest (after the legacy crash repairs), first mutation only."""
+        manifest (after the legacy crash repairs), first mutation only.
+
+        When the main token EXISTS but does not parse (external corruption
+        — our own writes are fsynced pre-rename), a blind walk-adoption
+        would resurrect retired-within-grace swap duplicates and crash
+        orphans as permanently live files.  The `.prev` token (last GOOD
+        superseded manifest) restores what is provable: walked files it
+        lists as retired re-enter the repaired manifest RETIRED (original
+        timestamps — vacuum still reaps them on schedule), not live.
+        Files newer than `.prev` (the one mutation between it and the
+        corrupt token, or orphans of a crash inside that window) are
+        indistinguishable from committed appends and are adopted live —
+        no data loss, at worst one mutation's worth of swap duplicates,
+        loudly warned."""
         man = self._load_manifest(table)
         if man is not None:
             return man
         p = self._path(table)
         _repair_dir(p)
         _repair_partition_baks(p)
-        files = sorted(self._walk_parquet(p))
+        walk = sorted(self._walk_parquet(p))
         retired: dict[str, int] = {}
+        if os.path.exists(self._path(f"_manifest_{table}")):
+            prev = self._load_prev_manifest(table)
+            if prev is not None:
+                walked = set(walk)
+                retired = {
+                    f: ts for f, ts in prev[1].items() if f in walked
+                }
+                walk = [f for f in walk if f not in retired]
+            import warnings
+
+            warnings.warn(
+                f"manifest token _manifest_{table} in {self.root!r} was "
+                f"corrupt — repaired from the directory walk"
+                + (
+                    f" with {len(retired)} known-retired file(s) kept "
+                    f"retired via the .prev manifest"
+                    if retired
+                    else " (no usable .prev manifest — files retired "
+                    "within the grace may have been re-adopted live; "
+                    "compact() the affected topics to restore "
+                    "single-copy reads)"
+                ),
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        files = walk
         self._save_manifest(table, files, retired)
         return files, retired
 

@@ -124,3 +124,62 @@ def test_kill_mid_commit_is_invisible_then_vacuumed(
         reopened._live_files("journal") or set()
     )
     assert _state(reopened) == pre
+
+
+def test_corrupt_token_repair_keeps_retired_files_retired(spark, tmp_path):
+    """EXTERNAL corruption of the manifest token (manual edit, foreign
+    tooling — our own writes are fsynced pre-rename) must not resurrect
+    retired-within-grace swap duplicates as live files: the next
+    mutation repairs from the directory walk + the ``.prev`` safety net
+    (the last GOOD superseded manifest), keeping known-retired files
+    RETIRED — original timestamps, so vacuum still reaps them on
+    schedule — while adopting everything newer live (no data loss).
+    ``.prev`` is one save behind, so the net covers every retirement
+    except the single mutation immediately before the corruption
+    (documented window)."""
+    root = str(tmp_path / "s")
+    store = JournalStore(spark, root)
+    replicate_batch(
+        make_actions(spark, [append("a", 1), append("b", 1)]), store
+    )
+    pre_rows = {(r.id, r.seq_nr) for r in store.read().collect()}
+
+    store.compact(["journal"])  # retires the replaced files (grace 900 s)
+    _, retired = store._load_manifest("journal")
+    assert retired, "compact must have retired the replaced files"
+    # one more mutation so .prev (one save behind) carries the retired map
+    replicate_batch(
+        make_actions(spark, [append("c", 1)], offset_base=10), store
+    )
+
+    with open(store._path("_manifest_journal"), "w") as f:
+        f.write("{this is not json")
+
+    with pytest.warns(RuntimeWarning):
+        replicate_batch(
+            make_actions(spark, [append("d", 1)], offset_base=20), store
+        )
+
+    files2, retired2 = store._load_manifest("journal")
+    assert set(retired) <= set(retired2), "known-retired files were dropped"
+    assert set(retired2).isdisjoint(files2)
+    assert not (set(files2) & set(retired)), (
+        "retired files re-adopted as live — permanent duplicates"
+    )
+    for f, ts in retired.items():
+        assert retired2[f] == ts, "retirement timestamps must survive repair"
+    # no duplicated rows after the repair
+    rows = sorted(
+        (r.id, r.seq_nr) for r in store.read().collect()
+    )
+    assert rows == sorted(pre_rows | {("c", 1), ("d", 1)})
+
+    # the preserved timestamps mean vacuum reaps on the ORIGINAL schedule
+    store.retire_grace_s = 0
+    replicate_batch(
+        make_actions(spark, [append("e", 1)], offset_base=30), store
+    )
+    _, retired3 = store._load_manifest("journal")
+    assert not set(retired) & set(retired3), "aged retired files not reaped"
+    jdir = store._path("journal")
+    assert not (store._walk_parquet(jdir) & set(retired))

@@ -964,3 +964,37 @@ def test_two_level_ivf_assignment_engages_and_keeps_recall(spark, monkeypatch):
     n = emb.count()
     assert asg.count() == n * sim.IVF_ASSIGN
     assert asg.select("vec_id").distinct().count() == n
+
+
+def test_ivf_empty_and_singleton_fine_sample_match_oracle_semantics(spark):
+    """The k==0 / k==1 fine-sample edge cases (reachable only far below
+    IVF_UNION_MIN_N, i.e. under a FORCED scheme="union"): with NO sampled
+    centroid the IVF family contributes zero candidates — exactly the
+    d_neardup_union oracle's empty `fine` CTE (union degrades to the
+    multiprobe family alone); with ONE centroid every vector lands in
+    that single all-corpus cell, like the oracle's one-row CTE.  vec_ids
+    below are chosen by the same md5 sample the engine uses: of 0-6 only
+    4 samples (hash64('ivf:4') % 64 == 0)."""
+    from kafka_journal_spark.functions.similarity import (
+        _ivf_cell_assignments,
+        _neardup_pairs_from,
+    )
+
+    non_sampling = [0, 1, 2, 3, 5, 6]
+    base = [0.9, 0.1, 0.3, -0.4]
+    rows_k0 = [(i, [x + i * 0.01 for x in base]) for i in non_sampling]
+    emb0 = _mk_emb(spark, rows_k0).select("vec_id", "vec")
+    assert _ivf_cell_assignments(emb0).count() == 0
+
+    # union == multiprobe when IVF contributes nothing
+    mp = {(r.i, r.j) for r in _neardup_pairs_from(
+        _mk_emb(spark, rows_k0), 0.5, "multiprobe").collect()}
+    un = {(r.i, r.j) for r in _neardup_pairs_from(
+        _mk_emb(spark, rows_k0), 0.5, "union").collect()}
+    assert un == mp
+
+    rows_k1 = rows_k0 + [(4, [x + 0.04 for x in base])]
+    emb1 = _mk_emb(spark, rows_k1).select("vec_id", "vec")
+    asg = _ivf_cell_assignments(emb1).collect()
+    assert len(asg) == len(rows_k1)
+    assert len({r.cell for r in asg}) == 1, "one centroid -> one cell"

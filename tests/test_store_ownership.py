@@ -253,3 +253,43 @@ def test_fence_refuses_commit_after_midflight_takeover(spark, tmp_path):
         store._commit_append("journal", write_then_lose_lease)
     # nothing was committed under the stolen lease
     assert store._load_manifest("journal") == man_pre
+
+
+def test_heartbeat_survives_lease_vanishing_underneath(
+    spark, tmp_path, monkeypatch
+):
+    """A claimant that deems our lapsed lease stale can unlink it between
+    our token read and the heartbeat touch — the owner must loop back and
+    RE-ACQUIRE (O_EXCL create of a fresh lease) instead of propagating
+    the ENOENT from ``os.utime`` out of the mutation."""
+    store = JournalStore(spark, str(tmp_path / "s"))
+    replicate_batch(
+        make_actions(spark, [append("a", 1)]), store
+    )  # acquires the lease
+    lock = store._path("_owner.lock")
+    assert os.path.exists(lock)
+
+    real_utime = os.utime
+    vanished = {"n": 0}
+
+    def vanishing_utime(path, *a, **kw):
+        if os.fspath(path) == lock and vanished["n"] == 0:
+            vanished["n"] += 1
+            os.remove(lock)  # the racing claimant's unlink
+            raise FileNotFoundError(2, "lease vanished", path)
+        return real_utime(path, *a, **kw)
+
+    monkeypatch.setattr(os, "utime", vanishing_utime)
+    replicate_batch(
+        make_actions(spark, [append("a", 2)], offset_base=10), store
+    )
+    monkeypatch.undo()
+
+    assert vanished["n"] == 1, "the vanish must have been exercised"
+    with open(lock) as f:
+        doc = json.load(f)
+    assert doc["pid"] == os.getpid(), "owner must have re-acquired"
+    assert {(r.id, r.seq_nr) for r in store.read().collect()} == {
+        ("a", 1),
+        ("a", 2),
+    }
