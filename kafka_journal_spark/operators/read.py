@@ -26,10 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from kafka_journal_spark.operators.replicate import (
-    explode_events,
-    materialize_journal,
-)
+from kafka_journal_spark.operators.replicate import explode_events
 
 READ_COLUMNS = [
     "id",
@@ -241,6 +238,37 @@ def recovery_merge(
     The result must equal a full materialization of *all* actions — the
     consistency property JournalSpec's model checks; the DuckDB oracle takes
     that independent path.
+
+    SINGLE-PASS PLAN (optimization round 11).  The round-10 form composed
+    ``materialize_journal(prefix) + prefix watermark + stitch_tail(tail)``
+    as four independent DataFrame branches; Spark cannot share subtrees
+    across branches, so the action relation (and, for derived streams like
+    the bench's, the seq-nr derivation window feeding it) was scanned,
+    shuffled, sorted and windowed once PER BRANCH — 8 scans and 8 Window
+    nodes, with two SortMergeJoins re-attaching the per-key folds
+    (plans/r11/j_recovery_merge_before.txt).  Every per-key quantity those
+    branches computed is a max-over-the-key-partition with a row condition:
+
+    - prefix purge horizon      max(offset  | prefix ∧ purge)
+    - prefix delete watermark   max(delete_to | prefix ∧ delete ∧ post-purge)
+    - tail purge horizon        max(offset  | tail ∧ purge)
+    - tail delete watermark     max(delete_to | tail ∧ delete ∧ post-purge)
+
+    so ONE Window node over the (topic, id) partitioning the input already
+    has (guide §2.4: two operations keyed the same way share one exchange)
+    computes all four, and the visibility rules become row-local filters —
+    no joins, no re-scans: 2 scans (stream + the split-point aggregate),
+    3 Window nodes, 1 broadcast join (plans/r11/j_recovery_merge_after.txt).
+    The visibility semantics are the stitch_tail composition, spelled
+    row-local (each filter annotated with its origin); equivalence is held
+    by tests/test_recovery_merge.py (the consistency property at every
+    split point, redelivery clamp, purge incarnations) and the driver's
+    DuckDB oracle.  One deliberate semantic note: per-key folds now see
+    NULL-keyed rows as their own (topic, id) group — exactly how
+    materialize_journal's window treats them — where the join form's
+    equi-join gave NULL-keyed rows no fold at all; the derived stream has
+    no NULL ids, and the model (full materialization) uses the window
+    semantics, so this is the more faithful reading.
     """
     # per-(topic, partition) split point as a map-side-combined aggregate
     # broadcast back, NOT a window: partitionBy("topic","partition") would
@@ -264,38 +292,88 @@ def recovery_merge(
         F.col("topic").eqNullSafe(F.col("_mt"))
         & F.col("partition").eqNullSafe(F.col("_mp")),
     ).drop("_mt", "_mp")
-    prefix_actions = acts.filter(F.col("offset") <= F.col("_split")).drop("_split")
-    tail = acts.filter(F.col("offset") > F.col("_split")).drop("_split")
 
-    # "Cassandra" side: replicated prefix.  materialize_journal already
-    # applies the prefix's purge horizon and delete watermark to the
-    # PREFIX rows; the same RAW effective watermark additionally clamps
-    # TAIL rows (see stitch_tail: a tail append re-delivering seq numbers
-    # below a replicated delete must not resurrect deleted events).  Raw
-    # (max effective delete_to), not the metajournal's clamped+gap form,
-    # because materialize_journal IS the consistency model and it filters
-    # by raw.  The watermark subtree reads ONLY delete/purge rows (the
-    # action_type predicate pushes into the scan, pruning the dominant
-    # append volume), and its window/aggregate run on that tiny relation.
-    eventual = materialize_journal(prefix_actions).select(*READ_COLUMNS)
-    dp = prefix_actions.filter(F.col("action_type").isin("delete", "purge"))
-    wk_wm = Window.partitionBy("topic", "id")
-    prefix_wm = (
-        dp.withColumn(
-            "_po",
-            F.max(F.when(F.col("action_type") == "purge", F.col("offset"))).over(wk_wm),
+    pre = F.col("offset") <= F.col("_split")
+    is_purge = F.col("action_type") == "purge"
+    is_delete = F.col("action_type") == "delete"
+
+    # all four per-key folds in TWO Window nodes over one spec (the purge
+    # horizons first; the watermarks reference them, so they land in a
+    # second node) — both ride the (topic, id) partitioning the seq-nr
+    # derivation already established: no exchange, no sort.  Each pair is
+    # emitted in ONE select so CollapseWindow keeps them in one node
+    # (chained withColumn planned four).
+    wk = Window.partitionBy("topic", "id")
+    df = acts.select(
+        "*",
+        F.max(F.when(pre & is_purge, F.col("offset"))).over(wk).alias("_p_purge"),
+        F.max(F.when(~pre & is_purge, F.col("offset"))).over(wk).alias("_t_purge"),
+    )
+    df = df.select(
+        "*",
+        F.max(
+            F.when(
+                pre
+                & is_delete
+                & (F.col("offset") > F.coalesce(F.col("_p_purge"), F.lit(-1))),
+                F.col("delete_to"),
+            )
         )
+        .over(wk)
+        .alias("_p_del"),
+        F.max(
+            F.when(
+                (~pre)
+                & is_delete
+                & (F.col("offset") > F.coalesce(F.col("_t_purge"), F.lit(-1))),
+                F.col("delete_to"),
+            )
+        )
+        .over(wk)
+        .alias("_t_del"),
+    )
+
+    apps = df.filter(F.col("action_type") == "append")
+    # prefix appends obey the replicated materialization
+    # (materialize_journal's _eff + batch-level watermark prune); tail
+    # appends are the raw Kafka records, untouched here
+    keep_batch = F.when(
+        pre,
+        (F.col("offset") > F.coalesce(F.col("_p_purge"), F.lit(-1)))
+        & (F.col("seq_nr_to") > F.coalesce(F.col("_p_del"), F.lit(0))),
+    ).otherwise(F.lit(True))
+    rows = explode_events(
+        apps.filter(keep_batch),
+        extra_cols=("_split", "_p_del", "_t_purge", "_t_del"),
+    )
+
+    pre_r = F.col("offset") <= F.col("_split")
+    visible = (
+        rows
+        # prefix materialization's per-event delete watermark
         .filter(
-            (F.col("action_type") == "delete")
-            & (F.col("offset") > F.coalesce(F.col("_po"), F.lit(-1)))
+            F.when(
+                pre_r, F.col("seq_nr") > F.coalesce(F.col("_p_del"), F.lit(0))
+            ).otherwise(F.lit(True))
         )
-        .groupBy("topic", "id")
-        .agg(F.max("delete_to").alias("delete_to"))
-        .filter(F.col("delete_to").isNotNull())
+        # tail purge erases the replicated prefix and earlier tail appends
+        .filter(F.col("offset") > F.coalesce(F.col("_t_purge"), F.lit(-1)))
+        # tail delete watermark tightens the read lower bound
+        .filter(F.col("seq_nr") > F.coalesce(F.col("_t_del"), F.lit(0)))
+        .filter(F.col("seq_nr") >= F.lit(from_seq_nr))
+        # the REPLICATED watermark clamps tail redeliveries too (an
+        # at-least-once retry re-keying offsets must not resurrect deleted
+        # events) — voided by a tail purge: rows surviving the purge filter
+        # belong to the fresh incarnation
+        .filter(
+            F.col("seq_nr")
+            > F.when(F.col("_t_purge").isNotNull(), F.lit(0)).otherwise(
+                F.coalesce(F.col("_p_del"), F.lit(0))
+            )
+        )
     )
-    return stitch_tail(
-        eventual, tail, from_seq_nr, seq_nr_uniqueness, prefix_watermarks=prefix_wm
-    )
+    # R5 monotonic-dedup guard under the configured integrity mode
+    return apply_seq_nr_uniqueness(visible, seq_nr_uniqueness).select(*READ_COLUMNS)
 
 
 def stitch_tail(

@@ -105,15 +105,18 @@ def test_recovery_merge_plan_is_lean(spark):
     from kafka_journal_spark.operators.read import recovery_merge
 
     p = _plan(recovery_merge(journal_actions(spark, SF)))
-    # the events source feeds prefix + tail (+ the tail visibility fold,
-    # + the prefix delete-watermark clamp): at most 4 scans of it — the
-    # watermark scan is action_type-pruned to delete/purge rows only —
-    # plus at most one column-pruned scan per consumer for the
-    # split-point aggregate (the round-9 shape: a map-side-combined max
-    # broadcast back replaced a window that shuffle-SORTED the full
-    # relation per consumer — 240.6 -> 55.4 s at 100M actions; the pruned
-    # scans read 3 columns and never exchange)
-    assert p.count("Scan parquet") <= 8
+    # round-11 single-pass shape: the events source is scanned exactly
+    # TWICE — once for the merged stream, once (column-pruned) for the
+    # split-point aggregate broadcast back.  All four per-key folds
+    # (prefix/tail purge horizons + delete watermarks) are conditional
+    # maxes in ONE Window node over the (topic, id) partitioning the
+    # seq-nr derivation already established, so the round-10 form's
+    # 8 scans / 8 Windows / 2 SortMergeJoins are gone (the r9 note
+    # stands: the split point stays a map-side-combined max broadcast
+    # back, never a window by (topic, partition) — 240.6 -> 55.4 s at
+    # 100M actions)
+    assert p.count("Scan parquet") <= 2
+    assert "SortMergeJoin" not in p
 
 
 def test_store_catalog_read_is_colocated_and_correct(spark, tmp_path):
