@@ -102,11 +102,15 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     = a single partition = one core doing all the work): repartition first.
     """
     par = spark.sparkContext.defaultParallelism
+    # tokens hoisted into their own projection: shingles_col references its
+    # input 2(n-1)+2 times, so passing `tokens_col()` textually evaluated
+    # the split+filter ~6x per row (see _dup_gram_hits for the mechanism)
     df = (
         _docs(spark, sf_dir)
         .select("doc_id", "text")
         .repartition(par, "doc_id")
-        .select("doc_id", shingles_col(tokens_col(), 3).alias("sh"))
+        .select("doc_id", tokens_col().alias("_tk"))
+        .select("doc_id", shingles_col(F.col("_tk"), 3).alias("sh"))
     )
     return df.select("doc_id", F.explode("sh").alias("shingle"))
 
@@ -697,10 +701,11 @@ def decontaminate(
     docs = _docs(spark, sf_dir)
     if benchmark is None:
         benchmark = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    # tokens hoisted (one split per row, not ~10 — see _dup_gram_hits)
     bench_sh = (
-        benchmark.select(
-            F.explode(shingles_col(toks, DECON_NGRAM)).alias("shingle")
-        ).distinct()
+        benchmark.select(tokens_col().alias("_tk"))
+        .select(F.explode(shingles_col(F.col("_tk"), DECON_NGRAM)).alias("shingle"))
+        .distinct()
     )
     bench_ids = benchmark.select("doc_id").distinct().withColumn(
         "_isb", F.lit(True)
@@ -712,7 +717,10 @@ def decontaminate(
         docs
         .select("doc_id", "text")
         .repartition(par, "doc_id")
-        .select("doc_id", F.explode(shingles_col(toks, DECON_NGRAM)).alias("shingle"))
+        .select("doc_id", tokens_col().alias("_tk"))
+        .select(
+            "doc_id", F.explode(shingles_col(F.col("_tk"), DECON_NGRAM)).alias("shingle")
+        )
     )
     overlap = (
         sh.join(F.broadcast(bench_sh), "shingle")
@@ -1298,13 +1306,22 @@ def _dup_gram_hits(
     par = spark.sparkContext.defaultParallelism
     from pyspark.sql import Window
 
+    # tokens and the gram array are HOISTED into their own projections so
+    # each is evaluated ONCE per row: passing `tokens_col()` textually into
+    # `_pos_grams` inlined the split+filter ~15x per row (n shifted slices
+    # + size guards — HOF expressions get no codegen subexpression
+    # elimination inside Generate), measured as 16 `split(text)` nodes in
+    # the physical plan vs 1 after the hoist (plans/r11/d_span_dedup_*).
+    # Attribute references are cheap, so CollapseProject keeps the two
+    # projections separate; InferFiltersFromGenerate is excluded in
+    # session.py so no pushed-down filter re-inlines the expressions.
     grams = (
         (_docs(spark, sf_dir) if docs is None else docs)
         .select("doc_id", "text")
         .repartition(par, "doc_id")
-        .select(
-            "doc_id", F.posexplode(_pos_grams(tokens_col(), l)).alias("pos", "gram")
-        )
+        .select("doc_id", tokens_col().alias("_tk"))
+        .select("doc_id", _pos_grams(F.col("_tk"), l).alias("_pg"))
+        .select("doc_id", F.posexplode("_pg").alias("pos", "gram"))
         .select("doc_id", "pos", hash60(F.col("gram")).alias("gh"))
     )
     return (

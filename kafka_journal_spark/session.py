@@ -41,6 +41,21 @@ def get_spark(app_name: str = "kafka-journal-spark", cpus: int | None = None) ->
         # CPU-dense file still lands on 2 cores; 128 KB keeps small-file
         # packing sane while letting minPartitionNum actually take effect
         .config("spark.sql.files.openCostInBytes", str(128 * 1024))
+        # InferFiltersFromGenerate adds `size(e)>0 AND isnotnull(e)` above
+        # every explode; PushDownPredicates then substitutes the generator
+        # input's aliases into that filter cost-blind, so an explode over a
+        # computed array (every shingle/gram/probe explode in this engine)
+        # re-evaluates the WHOLE array expression twice per row below the
+        # scan — measured 33 tokenize evaluations per document on the
+        # 8-gram span relation vs 1 after exclusion (plans/r11/
+        # d_span_dedup_*).  The rule only ever adds redundant filters
+        # (semantics unchanged); none of our generators read stored arrays
+        # where the inferred filter could prune a scan.  Scale-independent:
+        # this is per-row CPU on every executor at any corpus size.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # local-mode heap serves all executor threads: 8g across 32 tasks
         # is 250 MB each and the sf10 probe logged GCLocker retry warnings
