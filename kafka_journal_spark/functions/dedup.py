@@ -456,14 +456,20 @@ def _cc_label(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int, bool]:
     round every node takes the min label among itself and its neighbors.
     O(component diameter) rounds — right for shallow near-dup clusters.
     Returns (labels(node, label), rounds, converged)."""
+    # init IS the first propagation round (r11 optimization): the original
+    # form checkpointed label=self and spent a full round reaching
+    # min(self, neighbors) — the same shuffle the distinct paid anyway.
+    # Every node appears as `s` in the symmetric relation, so the groupBy
+    # covers the node set exactly like the distinct did, and the
+    # trajectory from here on is identical (labels_k == original
+    # labels_{k+1}).
     labels = (
-        edges.select(F.col("s").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
+        edges.groupBy(F.col("s").alias("node"))
+        .agg(F.least(F.col("s"), F.min("d")).alias("label"))
         .localCheckpoint(eager=True)
     )
-    rounds, converged = 0, False
-    for _ in range(max_iter):
+    rounds, converged = 1, False
+    for _ in range(max_iter - 1):
         rounds += 1
         nbr_min = (
             edges.join(
@@ -473,6 +479,9 @@ def _cc_label(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int, bool]:
             .groupBy(F.col("d").alias("node"))
             .agg(F.min("_sl").alias("_nl"))
         )
+        # the changed flag rides the checkpointed frame, so the
+        # convergence probe is a filter+count over checkpoint-local data —
+        # the original form paid a join of new-vs-old labels per round
         new = (
             labels.join(nbr_min, "node", "left")
             .select(
@@ -480,15 +489,12 @@ def _cc_label(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int, bool]:
                 F.least(F.col("label"), F.coalesce("_nl", F.col("label"))).alias(
                     "label"
                 ),
+                (F.coalesce("_nl", F.col("label")) < F.col("label")).alias("_ch"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.join(labels.select("node", F.col("label").alias("_old")), "node")
-            .filter(F.col("label") != F.col("_old"))
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("_ch")).count()
+        labels = new.drop("_ch")
         if changed == 0:
             converged = True
             break
