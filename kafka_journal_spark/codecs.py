@@ -182,6 +182,30 @@ def duration_to_secs(col: Column) -> Column:
     )
 
 
+def duration_to_secs_sql(expr: str) -> str:
+    """SQL-string twin of :func:`duration_to_secs` (r11: the Column form's
+    unit CASE chain is ~25 py4j calls per use and decode uses it twice).
+    Same tree; parity pinned in test_codecs.py over the wire fixtures.
+    Regex literals are spelled with doubled backslashes — Spark SQL string
+    literals process escapes by default."""
+    raw = f"trim({expr})"
+    num = (
+        f"CAST(nullif(regexp_extract({raw}, "
+        "'^([0-9]+(?:\\\\.[0-9]+)?)', 1), '') AS DOUBLE)"
+    )
+    unit = f"lower(regexp_extract({raw}, '^[0-9.]+\\\\s*([A-Za-zµ]+)$', 1))"
+    branches = " ".join(
+        f"WHEN {unit} IN ({', '.join(repr(w) for w in words)}) THEN {secs!r}"
+        for words, secs in _DURATION_UNIT_SECS
+    )
+    factor = f"CASE {branches} END"
+    return (
+        f"CAST(CASE WHEN {raw} RLIKE '^[0-9]+$' "
+        f"THEN FLOOR(CAST({raw} AS DOUBLE) / 1000) "
+        f"ELSE FLOOR({num} * {factor}) END AS BIGINT)"
+    )
+
+
 def action_header_json(df: DataFrame) -> Column:
     """Encode action columns into the one-of header JSON (E3 forward).
 
@@ -1163,68 +1187,58 @@ def decode_kafka_to_actions(kafka_df: DataFrame) -> DataFrame:
     # action shape, `tags_list` carries the full per-event alignment that
     # explode_events zips positionally
     # per-event field vectors via GetArrayStructFields (codegen), not
-    # transform(events, e -> e[f]) lambdas (interpreted) — same values
-    tags_list = F.when(is_bin, F.col("_blob_bin.events")["tags"]).when(
-        is_app, F.col("_blob.events")["tags"]
+    # transform(events, e -> e[f]) lambdas (interpreted) — same values.
+    # The projection is selectExpr SQL strings (r11: the Column form cost
+    # ~0.5 s of py4j churn per build; the duplicated tags_list text is
+    # folded by codegen subexpression elimination at runtime).
+    is_app_s = "(_type = 'append')"
+    is_bin_s = f"({is_app_s} AND _hdr.append.payloadType = 'binary')"
+    tags_list_s = (
+        f"CASE WHEN {is_bin_s} THEN _blob_bin.events.tags "
+        f"WHEN {is_app_s} THEN _blob.events.tags END"
     )
-    return df.select(
-        F.col("topic"),
-        F.col("partition"),
-        F.col("offset"),
-        F.col("key").cast("string").alias("id"),
-        F.col("_type").alias("action_type"),
-        F.col("timestamp"),
-        F.coalesce(
-            F.col("_hdr.append.origin"),
-            F.col("_hdr.delete.origin"),
-            F.col("_hdr.purge.origin"),
-            F.col("_hdr.mark.origin"),
-        ).alias("origin"),
-        F.coalesce(
-            F.col("_hdr.append.version"),
-            F.col("_hdr.delete.version"),
-            F.col("_hdr.purge.version"),
-            F.col("_hdr.mark.version"),
-        ).alias("version"),
-        F.col("_hdr.append.range.from").alias("seq_nr_from"),
-        F.col("_hdr.append.range.to").alias("seq_nr_to"),
-        F.col("_hdr.append.payloadType").alias("payload_type"),
-        F.when(is_app & ~is_bin, F.col("_blob.events")[0]["payload"]).alias("payload"),
-        F.get(tags_list, 0).alias("tags"),
-        tags_list.alias("tags_list"),
-        F.when(is_app & ~is_bin, F.col("_blob.events")["payload"]).alias("payloads"),
-        F.when(is_bin, F.col("_blob_bin.events")[0]["payload"]).alias("payload_bin"),
-        F.when(is_bin, F.col("_blob_bin.events")["payload"]).alias("payloads_bin"),
-        F.when(is_bin, F.col("_blob_bin.metadata")).alias("metadata"),
+    return df.selectExpr(
+        "topic",
+        "partition",
+        "offset",
+        "CAST(key AS STRING) AS id",
+        "_type AS action_type",
+        "timestamp",
+        "coalesce(_hdr.append.origin, _hdr.delete.origin, "
+        "_hdr.purge.origin, _hdr.mark.origin) AS origin",
+        "coalesce(_hdr.append.version, _hdr.delete.version, "
+        "_hdr.purge.version, _hdr.mark.version) AS version",
+        "_hdr.append.range.`from` AS seq_nr_from",
+        "_hdr.append.range.`to` AS seq_nr_to",
+        "_hdr.append.payloadType AS payload_type",
+        f"CASE WHEN {is_app_s} AND NOT {is_bin_s} "
+        "THEN _blob.events[0].payload END AS payload",
+        f"get({tags_list_s}, 0) AS tags",
+        f"{tags_list_s} AS tags_list",
+        f"CASE WHEN {is_app_s} AND NOT {is_bin_s} "
+        "THEN _blob.events.payload END AS payloads",
+        f"CASE WHEN {is_bin_s} THEN _blob_bin.events[0].payload END AS payload_bin",
+        f"CASE WHEN {is_bin_s} THEN _blob_bin.events.payload END AS payloads_bin",
+        f"CASE WHEN {is_bin_s} THEN _blob_bin.metadata END AS metadata",
         # PayloadMetadata.expireAfter round-trips from either envelope: the
         # JSON document's field or the binary envelope's metadata tail, in
         # the reference's duration-string-or-millis form (duration_to_secs),
         # with legacy expireAfterMs tolerance for pre-r5 blobs of this engine
-        F.coalesce(
-            duration_to_secs(F.col("_blob.metadata.expireAfter")),
-            duration_to_secs(
-                F.get_json_object(F.col("_blob_bin.metadata"), "$.expireAfter")
-            ),
-            F.floor(
-                F.coalesce(
-                    F.col("_blob.metadata.expireAfterMs"),
-                    F.get_json_object(
-                        F.col("_blob_bin.metadata"), "$.expireAfterMs"
-                    ).cast("long"),
-                )
-                / F.lit(1000)
-            ).cast("long"),
-        ).alias("expire_after_secs"),
+        "coalesce("
+        + duration_to_secs_sql("_blob.metadata.expireAfter")
+        + ", "
+        + duration_to_secs_sql(
+            "get_json_object(_blob_bin.metadata, '$.expireAfter')"
+        )
+        + ", CAST(FLOOR(coalesce(_blob.metadata.expireAfterMs, "
+        "CAST(get_json_object(_blob_bin.metadata, '$.expireAfterMs') AS BIGINT)"
+        ") / 1000) AS BIGINT)) AS expire_after_secs",
         # user headers: everything except the journal.action dispatch header
         # (EventRecord.scala:65-82)
-        F.map_from_entries(
-            F.transform(
-                F.filter(F.col("headers"), lambda h: h["key"] != KAFKA_HEADER_KEY),
-                lambda h: F.struct(
-                    h["key"].alias("key"), h["value"].cast("string").alias("value")
-                ),
-            )
-        ).alias("headers"),
-        F.col("_hdr.delete.to").alias("delete_to"),
-        F.col("_hdr.mark.id").alias("mark_id"),
+        "map_from_entries(transform("
+        f"filter(headers, h -> h.key != '{KAFKA_HEADER_KEY}'), "
+        "h -> named_struct('key', h.key, 'value', CAST(h.value AS STRING))"
+        ")) AS headers",
+        "_hdr.delete.`to` AS delete_to",
+        "_hdr.mark.id AS mark_id",
     )

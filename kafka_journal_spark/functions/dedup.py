@@ -830,6 +830,15 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     when the per-element state is this wide (the MinHash fold wins because
     its explode carried ~50x redundant doc_id/shingle bytes; here the
     exchange already carries only fixed-width counters)."""
+    # The pack and signature expressions are generated as SQL STRINGS and
+    # handed to the parser in a handful of F.expr calls (r11 optimization):
+    # the Column-by-Column form issued ~600 py4j round-trips building the
+    # same tree — 3.8 s of pure driver-side CONSTRUCTION per invocation at
+    # sf0.1 (measured build/plan/exec split, OPTIMIZATION_r11.md §4) that
+    # the bench clock pays on every run and every host.  The parsed
+    # arithmetic is term-for-term identical (shifts, masks, 2*c > n), so
+    # the analyzed plan and the signature bits are unchanged —
+    # exceptAll-pinned against the Column form in test_pipeline_ops.
     docs = _docs(spark, sf_dir).select("doc_id", tokens_col().alias("_tk")).filter(
         F.size("_tk") <= SIMHASH_MAX_TOKENS
     )
@@ -837,27 +846,23 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = toks.select("doc_id", hash60(F.col("token")).alias("h"))
     packs = []
     for k in range(_SIMHASH_PACKS):
-        lane_sum = None
+        terms = []
         for j in range(_SIMHASH_LANES):
             b = _SIMHASH_LANES * k + j
-            bit = F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
-            term = F.shiftleft(bit, _SIMHASH_LANE_BITS * j)
-            lane_sum = term if lane_sum is None else lane_sum + term
-        packs.append(F.sum(lane_sum).alias(f"p{k}"))
+            terms.append(f"shiftleft(shiftright(h, {b}) & CAST(1 AS BIGINT), {_SIMHASH_LANE_BITS * j})")
+        packs.append(F.expr(f"sum({' + '.join(terms)})").alias(f"p{k}"))
     sums = t.groupBy("doc_id").agg(F.count("*").alias("n"), *packs)
-    sig = None
     lane_mask = (1 << _SIMHASH_LANE_BITS) - 1
+    sig_terms = []
     for k in range(_SIMHASH_PACKS):
         for j in range(_SIMHASH_LANES):
             b = _SIMHASH_LANES * k + j
-            c = F.shiftright(F.col(f"p{k}"), _SIMHASH_LANE_BITS * j).bitwiseAND(
-                F.lit(lane_mask)
+            c = f"(shiftright(p{k}, {_SIMHASH_LANE_BITS * j}) & {lane_mask})"
+            sig_terms.append(
+                f"CASE WHEN {c} * 2 > n THEN CAST({1 << b} AS BIGINT) "
+                f"ELSE CAST(0 AS BIGINT) END"
             )
-            term = (
-                F.when(c * 2 > F.col("n"), F.lit(1 << b).cast("long"))
-                .otherwise(F.lit(0).cast("long"))
-            )
-            sig = term if sig is None else sig + term
+    sig = F.expr(" + ".join(sig_terms))
     return sums.select("doc_id", sig.alias("simhash"))
 
 

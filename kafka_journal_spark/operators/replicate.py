@@ -93,20 +93,44 @@ def meta_segment(col: Column, segments: int) -> Column:
     return F.abs(java_string_hash(F.lower(col)) % F.lit(segments))
 
 
+def java_string_hash_sql(expr: str) -> str:
+    """SQL-string spelling of :func:`java_string_hash` (r11 optimization:
+    the lambda-chain Column form costs ~30 py4j round-trips per use; this
+    is ONE parser call).  Term-for-term the same tree — parity with the
+    Column form is pinned by ``test_replicate.py`` over the UTF-16 property
+    corpus (BMP, surrogate pairs, Integer.MIN_VALUE probe)."""
+    return (
+        f"aggregate(transform(split({expr}, ''), c -> CAST(ascii(c) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, cp) -> pmod("
+        "CASE WHEN cp < 65536 THEN acc * 31 + cp "
+        "ELSE acc * 961 + (55296 + FLOOR((cp - 65536) / 1024)) * 31 "
+        "+ (56320 + pmod(cp - 65536, 1024)) END "
+        f"+ {_M31}, {_M32}) - {_M31})"
+    )
+
+
+def meta_segment_sql(expr: str, segments: int) -> str:
+    """SQL-string spelling of :func:`meta_segment`."""
+    return f"abs({java_string_hash_sql(f'lower({expr})')} % {segments})"
+
+
 def with_fold_columns(actions: DataFrame) -> DataFrame:
     """Annotate each action with the per-key fold state (purge horizon,
-    effective flag, effective delete_to)."""
-    wk = Window.partitionBy("topic", "id")
-    purge_off = F.max(
-        F.when(F.col("action_type") == "purge", F.col("offset"))
-    ).over(wk)
-    df = actions.withColumn("_purge_off", purge_off)
-    eff = F.col("offset") > F.coalesce(F.col("_purge_off"), F.lit(-1))
-    df = df.withColumn("_eff", eff)
-    del_to = F.max(
-        F.when((F.col("action_type") == "delete") & F.col("_eff"), F.col("delete_to"))
-    ).over(wk)
-    return df.withColumn("_del_to", del_to)
+    effective flag, effective delete_to).  Spelled as selectExpr strings
+    (r11: one parser call per stage instead of ~15 py4j Column calls);
+    the window frames and predicates are unchanged."""
+    wk = "OVER (PARTITION BY topic, id)"
+    df = actions.selectExpr(
+        "*",
+        "max(CASE WHEN action_type = 'purge' THEN offset END) " + wk +
+        " AS _purge_off",
+    )
+    return df.selectExpr(
+        "*",
+        "offset > coalesce(_purge_off, -1) AS _eff",
+        "max(CASE WHEN action_type = 'delete' AND offset > coalesce(_purge_off, -1) "
+        "THEN delete_to END) " + wk + " AS _del_to",
+    )
 
 
 def explode_events(appends: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
@@ -275,49 +299,42 @@ def materialize_metajournal(
     # a delete overshooting the head must not inflate pointer() to seq_nrs
     # never appended; a delete-only journal keeps the raw watermark
     # (ReplicatedCassandra.scala:298-307: head created with seqNr = deleteTo)
-    # (F.least skips nulls, so guard both sides explicitly)
-    d_clamped = F.when(
-        F.col("_d").isNotNull() & F.col("_max_app_seq").isNotNull(),
-        F.least(F.col("_d"), F.col("_max_app_seq")),
-    ).otherwise(F.col("_d"))
-    seq_nr = F.greatest(F.coalesce(F.col("_max_app_seq"), F.lit(0)), F.coalesce(d_clamped, F.lit(0)))
-    delete_to = F.nullif(
-        F.greatest(
-            F.coalesce(d_clamped, F.lit(0)),
-            F.coalesce(F.col("_first_app_seq"), F.lit(1)) - 1,
-        ),
-        F.lit(0),
+    # (least skips nulls, so guard both sides explicitly).  The projection
+    # is selectExpr SQL strings (r11: the Column form — notably the
+    # segment hash's lambda chain — cost ~0.5 s of py4j churn per build).
+    d_clamped = (
+        "CASE WHEN _d IS NOT NULL AND _max_app_seq IS NOT NULL "
+        "THEN least(_d, _max_app_seq) ELSE _d END"
     )
     if has_expiry:
         # interval add (works for TIMESTAMP and TIMESTAMP_NTZ alike) keeps
         # the append timestamp's fractional seconds — unix_timestamp() would
         # truncate them, diverging from the reference's DURATION math
-        exp_on_ts = F.when(
-            F.col("_exp_secs").isNotNull(),
-            F.col("_last_app_ts")
-            + F.make_dt_interval(
-                F.lit(0), F.lit(0), F.lit(0), F.col("_exp_secs").cast("double")
-            ),
+        exp_on_ts = (
+            "CASE WHEN _exp_secs IS NOT NULL THEN _last_app_ts "
+            "+ make_dt_interval(0, 0, 0, CAST(_exp_secs AS DOUBLE)) END"
         )
         exp_cols = [
-            F.col("_exp_secs").cast("long").alias("expire_after_secs"),
-            exp_on_ts.alias("expire_on_ts"),
-            F.to_date(exp_on_ts).alias("expire_on"),
+            "CAST(_exp_secs AS BIGINT) AS expire_after_secs",
+            f"{exp_on_ts} AS expire_on_ts",
+            f"to_date({exp_on_ts}) AS expire_on",
         ]
     else:
         exp_cols = []
-    return agg.select(
-        F.col("topic"),
-        meta_segment(F.col("id"), segments).alias("segment"),
-        F.col("id"),
-        F.col("partition"),
-        F.col("offset"),
-        F.lit(segment_size).cast("int").alias("segment_size"),
-        seq_nr.cast("long").alias("seq_nr"),
-        delete_to.cast("long").alias("delete_to"),
-        F.col("created"),
-        F.to_date("created").alias("created_date"),
-        F.col("updated"),
+    return agg.selectExpr(
+        "topic",
+        f"{meta_segment_sql('id', segments)} AS segment",
+        "id",
+        "partition",
+        "offset",
+        f"CAST({segment_size} AS INT) AS segment_size",
+        "CAST(greatest(coalesce(_max_app_seq, 0), "
+        f"coalesce({d_clamped}, 0)) AS BIGINT) AS seq_nr",
+        f"CAST(nullif(greatest(coalesce({d_clamped}, 0), "
+        "coalesce(_first_app_seq, 1) - 1), 0) AS BIGINT) AS delete_to",
+        "created",
+        "to_date(created) AS created_date",
+        "updated",
         *exp_cols,
     )
 

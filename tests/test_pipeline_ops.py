@@ -1019,3 +1019,58 @@ def test_ivf_assign_schedule_grows_per_decade_with_graded_floor():
     assert ivf_assign_for(20_000_000) == 4
     assert ivf_assign_for(21_000_000) == 5
     assert ivf_assign_for(1_000_000_000) == 6
+
+
+def test_simhash_sql_string_form_matches_column_form(spark):
+    """The r11 optimization generates the pack/signature arithmetic as SQL
+    strings (one parser call) instead of ~600 py4j Column calls — 4.9 s of
+    driver-side construction per invocation at sf0.1 became 0.55 s.  The
+    parsed tree must stay term-for-term identical, so the signatures are
+    pinned against the original Column-by-Column construction."""
+    from kafka_journal_spark.functions.dedup import (
+        _SIMHASH_LANES,
+        _SIMHASH_PACKS,
+        _SIMHASH_LANE_BITS,
+        SIMHASH_MAX_TOKENS,
+        _docs,
+        hash60,
+        simhash_signatures,
+    )
+    from kafka_journal_spark.functions.text import tokens_col
+
+    docs = (
+        _docs(spark, SF)
+        .select("doc_id", tokens_col().alias("_tk"))
+        .filter(F.size("_tk") <= SIMHASH_MAX_TOKENS)
+    )
+    t = docs.select("doc_id", F.explode("_tk").alias("token")).select(
+        "doc_id", hash60(F.col("token")).alias("h")
+    )
+    packs = []
+    for k in range(_SIMHASH_PACKS):
+        lane_sum = None
+        for j in range(_SIMHASH_LANES):
+            b = _SIMHASH_LANES * k + j
+            bit = F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
+            term = F.shiftleft(bit, _SIMHASH_LANE_BITS * j)
+            lane_sum = term if lane_sum is None else lane_sum + term
+        packs.append(F.sum(lane_sum).alias(f"p{k}"))
+    sums = t.groupBy("doc_id").agg(F.count("*").alias("n"), *packs)
+    sig = None
+    lane_mask = (1 << _SIMHASH_LANE_BITS) - 1
+    for k in range(_SIMHASH_PACKS):
+        for j in range(_SIMHASH_LANES):
+            b = _SIMHASH_LANES * k + j
+            c = F.shiftright(F.col(f"p{k}"), _SIMHASH_LANE_BITS * j).bitwiseAND(
+                F.lit(lane_mask)
+            )
+            term = (
+                F.when(c * 2 > F.col("n"), F.lit(1 << b).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            )
+            sig = term if sig is None else sig + term
+    column_form = sums.select("doc_id", sig.alias("simhash"))
+
+    sql_form = simhash_signatures(spark, SF)
+    assert column_form.exceptAll(sql_form).count() == 0
+    assert sql_form.exceptAll(column_form).count() == 0

@@ -71,6 +71,21 @@ def test_meta_segment_matches_java_hashcode(spark):
         # abs of the Java remainder == abs(h) % segments for positive divisors
         assert got[s][1] == abs(jhash(s.lower())) % SEGMENTS_DEFAULT, s
 
+    # the r11 SQL-string twin (one parser call instead of ~30 py4j calls;
+    # used by materialize_metajournal) must agree term-for-term
+    from kafka_journal_spark.operators.replicate import (
+        java_string_hash_sql,
+        meta_segment_sql,
+    )
+
+    df2 = spark.createDataFrame([(s,) for s in samples], "id string").selectExpr(
+        "id",
+        f"{java_string_hash_sql('id')} AS h",
+        f"{meta_segment_sql('id', SEGMENTS_DEFAULT)} AS seg",
+    )
+    got2 = {r.id: (r.h, r.seg) for r in df2.collect()}
+    assert got2 == got
+
 
 def test_append_only(spark):
     df = make_actions(spark, [append("a", 1), append("a", 2), append("a", 3)])
