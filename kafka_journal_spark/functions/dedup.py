@@ -55,7 +55,9 @@ MINHASH_B = [(i * 40503 * 65537 + 17) % (1 << 30) for i in range(MINHASH_K)]
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    from kafka_journal_spark.sources.tables import read_parquet_cached_schema
+
+    return read_parquet_cached_schema(spark, os.path.join(sf_dir, "documents.parquet"))
 
 
 def hash64(col: Column) -> Column:
@@ -463,10 +465,13 @@ def _cc_label(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int, bool]:
     # covers the node set exactly like the distinct did, and the
     # trajectory from here on is identical (labels_k == original
     # labels_{k+1}).
-    labels = (
-        edges.groupBy(F.col("s").alias("node"))
-        .agg(F.least(F.col("s"), F.min("d")).alias("label"))
-        .localCheckpoint(eager=True)
+    # init stays LAZY: its lineage is one tiny aggregate over the (already
+    # checkpointed) edge relation, so round 1's checkpoint absorbs it —
+    # an eager init checkpoint was one more driver-sequenced job per call
+    # for nothing (the aggregate recomputes in round 1's two consumers for
+    # ~ms; job overhead is the bigger cost at every scale)
+    labels = edges.groupBy(F.col("s").alias("node")).agg(
+        F.least(F.col("s"), F.min("d")).alias("label")
     )
     rounds, converged = 1, False
     for _ in range(max_iter - 1):

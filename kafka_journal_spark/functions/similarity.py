@@ -39,7 +39,9 @@ TARGET_BUCKET_OCCUPANCY = 32
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    from kafka_journal_spark.sources.tables import read_parquet_cached_schema
+
+    df = read_parquet_cached_schema(spark, os.path.join(sf_dir, "embeddings.parquet"))
     return df.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("vec"),

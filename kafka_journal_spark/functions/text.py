@@ -32,7 +32,9 @@ LANG_PROFILES = {
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    from kafka_journal_spark.sources.tables import read_parquet_cached_schema
+
+    return read_parquet_cached_schema(spark, os.path.join(sf_dir, "documents.parquet"))
 
 
 def tokens_col(text: Column = None) -> Column:
