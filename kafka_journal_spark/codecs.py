@@ -213,27 +213,22 @@ def action_header_json(df: DataFrame) -> Column:
     (``ignoreNullFields`` default), so exactly the active branch appears —
     identical bytes to serializing each branch separately, with a quarter of
     the generated serializer code."""
-    is_append = F.col("action_type") == "append"
-    is_delete = F.col("action_type") == "delete"
-    is_purge = F.col("action_type") == "purge"
-    append_doc = F.struct(
-        F.struct(
-            F.col("seq_nr_from").alias("from"), F.col("seq_nr_to").alias("to")
-        ).alias("range"),
-        F.col("origin"),
-        F.col("version"),
-        F.col("payload_type").alias("payloadType"),
-    )
-    delete_doc = F.struct(F.col("delete_to").alias("to"), F.col("origin"), F.col("version"))
-    purge_doc = F.struct(F.col("origin"), F.col("version"))
-    mark_doc = F.struct(F.col("mark_id").alias("id"), F.col("origin"), F.col("version"))
-    return F.to_json(
-        F.struct(
-            F.when(is_append, append_doc).alias("append"),
-            F.when(is_delete, delete_doc).alias("delete"),
-            F.when(is_purge, purge_doc).alias("purge"),
-            F.when(~(is_append | is_delete | is_purge), mark_doc).alias("mark"),
-        )
+    # SQL-string form (r11: ~35 py4j calls -> one parser call); the struct
+    # field names and branch conditions are unchanged, so the emitted JSON
+    # bytes are identical — pinned by the golden wire fixtures.
+    return F.expr(
+        "to_json(named_struct("
+        "'append', CASE WHEN action_type = 'append' THEN named_struct("
+        "'range', named_struct('from', seq_nr_from, 'to', seq_nr_to), "
+        "'origin', origin, 'version', version, "
+        "'payloadType', payload_type) END, "
+        "'delete', CASE WHEN action_type = 'delete' THEN named_struct("
+        "'to', delete_to, 'origin', origin, 'version', version) END, "
+        "'purge', CASE WHEN action_type = 'purge' THEN named_struct("
+        "'origin', origin, 'version', version) END, "
+        "'mark', CASE WHEN NOT (action_type = 'append' OR "
+        "action_type = 'delete' OR action_type = 'purge') THEN named_struct("
+        "'id', mark_id, 'origin', origin, 'version', version) END))"
     )
 
 
@@ -243,30 +238,23 @@ def events_payload_json(df: DataFrame) -> Column:
     Works from either a ``payloads`` array (multi-event batch) or the single
     ``payload`` column; tags default to empty.
     """
+    # SQL-string form (r11): same structs, same field names, same bytes —
+    # golden-fixture-pinned like action_header_json above.
     tags = (
-        F.coalesce(F.col("tags"), F.array().cast("array<string>"))
+        "coalesce(tags, CAST(array() AS ARRAY<STRING>))"
         if "tags" in df.columns
-        else F.array().cast("array<string>")
+        else "CAST(array() AS ARRAY<STRING>)"
     )
     if "payloads" in df.columns:
-        events = F.zip_with(
-            F.sequence("seq_nr_from", "seq_nr_to"),
-            F.col("payloads"),
-            lambda s, p: F.struct(
-                s.alias("seqNr"),
-                tags.alias("tags"),
-                F.col("payload_type").alias("payloadType"),
-                p.alias("payload"),
-            ),
+        events = (
+            "zip_with(sequence(seq_nr_from, seq_nr_to), payloads, "
+            f"(s, p) -> named_struct('seqNr', s, 'tags', {tags}, "
+            "'payloadType', payload_type, 'payload', p))"
         )
     else:
-        events = F.array(
-            F.struct(
-                F.col("seq_nr_from").alias("seqNr"),
-                tags.alias("tags"),
-                F.col("payload_type").alias("payloadType"),
-                F.col("payload").alias("payload"),
-            )
+        events = (
+            f"array(named_struct('seqNr', seq_nr_from, 'tags', {tags}, "
+            "'payloadType', payload_type, 'payload', payload))"
         )
     # PayloadMetadata rides the document (PayloadMetadata.scala:181
     # expireAfter): actions carrying a TTL serialize it; to_json drops the
@@ -277,18 +265,15 @@ def events_payload_json(df: DataFrame) -> Column:
     # would also be readable but the string matches the committed golden
     # fixtures' shape (Payload-text-many.json: "expireAfter": "1 day")
     expire_str = (
-        F.when(
-            F.col("expire_after_secs").isNotNull(),
-            F.concat(F.col("expire_after_secs").cast("string"), F.lit(" seconds")),
-        )
+        "CASE WHEN expire_after_secs IS NOT NULL THEN "
+        "concat(CAST(expire_after_secs AS STRING), ' seconds') END"
         if "expire_after_secs" in df.columns
-        else F.lit(None).cast("string")
+        else "CAST(NULL AS STRING)"
     )
-    doc = F.struct(
-        events.alias("events"),
-        F.struct(expire_str.alias("expireAfter")).alias("metadata"),
+    return F.expr(
+        f"to_json(named_struct('events', {events}, "
+        f"'metadata', named_struct('expireAfter', {expire_str})))"
     )
-    return F.to_json(doc)
 
 
 # ---------------------------------------------------------------------------
