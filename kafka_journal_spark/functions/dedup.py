@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_journal_spark.functions.numeric import round6, round6_sql
@@ -179,14 +179,18 @@ def ngram_jaccard_pairs(
     # checkpoints pinned), and the lineage cut stops the three consumers
     # from re-running the frequency aggregate (measured: per-consumer
     # aggregates cost ~15% at sf10)
+    # |hot| rides the checkpoint job (observe) — r10 paid a separate
+    # count job per invocation for the branch decision below
+    _hot_obs = Observation()
     hot = (
         gh_all.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("_df"))
         .filter(F.col("_df") > SHINGLE_DOC_FREQ_CAP)
         .select("gh")
+        .observe(_hot_obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    n_hot = hot.count()
+    n_hot = int(_hot_obs.get["n"])
     if n_hot == 0:
         # every measured corpus up to sf100p lands here: no join at all
         sh = gh_all
@@ -392,8 +396,13 @@ def minhash_lsh_pairs_incremental(
     try:
         for b in range(n_batches):
             batch = _band_relation(sigs.filter(F.col("_batch") == b).drop("_batch"))
-            batch = batch.localCheckpoint(eager=True)
-            if batch.isEmpty():
+            # batch row count rides the checkpoint job (observe) — the
+            # r10 form paid a separate isEmpty job per batch
+            obs = Observation()
+            batch = batch.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(
+                eager=True
+            )
+            if int(obs.get["n"]) == 0:
                 # an empty increment writes nothing — an all-empty-so-far index
                 # dir would otherwise fail schema inference on the probe read
                 continue
@@ -484,9 +493,12 @@ def _cc_label(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int, bool]:
             .groupBy(F.col("d").alias("node"))
             .agg(F.min("_sl").alias("_nl"))
         )
-        # the changed flag rides the checkpointed frame, so the
-        # convergence probe is a filter+count over checkpoint-local data —
-        # the original form paid a join of new-vs-old labels per round
+        # the changed count rides the CHECKPOINT JOB itself (r11: an
+        # ``observe`` aggregate is collected while the checkpoint
+        # materializes), so each round is ONE driver-sequenced job — the
+        # r10 form paid a second filter+count job per round, and the r9
+        # form a join of new-vs-old labels on top of that
+        obs = Observation()
         new = (
             labels.join(nbr_min, "node", "left")
             .select(
@@ -496,9 +508,13 @@ def _cc_label(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int, bool]:
                 ),
                 (F.coalesce("_nl", F.col("label")) < F.col("label")).alias("_ch"),
             )
+            .observe(
+                obs,
+                F.coalesce(F.sum(F.col("_ch").cast("long")), F.lit(0)).alias("n"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = new.filter(F.col("_ch")).count()
+        changed = int(obs.get["n"])
         labels = new.drop("_ch")
         if changed == 0:
             converged = True
@@ -506,17 +522,23 @@ def _cc_label(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int, bool]:
     return labels, rounds, converged
 
 
-def _edge_checksum(edges_c: DataFrame) -> tuple[int, int]:
-    """(count, order-independent hash-sum) of a canonical edge set — the
-    O(1)-driver convergence probe for star contraction (a full set-equality
+def _checkpoint_with_checksum(edges_c: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
+    """Eagerly localCheckpoint a canonical edge set and return it together
+    with its (count, order-independent hash-sum) convergence checksum —
+    collected by an ``observe`` aggregate DURING the checkpoint job (r11:
+    one driver-sequenced job instead of checkpoint + a separate collect;
+    the probe itself has been O(1)-driver since r8 — a full set-equality
     check would cost an extra join per round)."""
-    row = edges_c.agg(
+    obs = Observation()
+    out = edges_c.observe(
+        obs,
         F.count(F.lit(1)).alias("n"),
         F.coalesce(
             F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")), F.lit(0)
         ).alias("h"),
-    ).collect()[0]
-    return int(row.n), int(row.h)
+    ).localCheckpoint(eager=True)
+    m = obs.get
+    return out, (int(m["n"]), int(m["h"]))
 
 
 def _cc_star(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int, bool]:
@@ -530,7 +552,8 @@ def _cc_star(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int, bool]:
     as one label round); edges are kept canonical (a > b) and
     ``localCheckpoint`` cuts lineage per round.  Convergence is detected by
     an order-independent (count, hash-sum) checksum staying fixed across a
-    full large+small cycle — one tiny aggregate per round instead of a
+    full large+small cycle — collected during the checkpoint job itself
+    (``observe``), so the probe costs zero extra jobs instead of a
     set-difference join — and then CONFIRMED with one exact set-equality
     join on the round the checksum first repeats, so an xxhash64-sum
     collision cannot silently return partial labels (the 'never return
@@ -539,15 +562,11 @@ def _cc_star(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int, bool]:
     (labels(node, label), rounds, converged).
     """
     # canonical undirected form: (a, b) with a > b
-    edges_c = (
-        edges.filter(F.col("s") != F.col("d"))
-        .select(
+    edges_c, prev = _checkpoint_with_checksum(
+        edges.filter(F.col("s") != F.col("d")).select(
             F.greatest("s", "d").alias("a"), F.least("s", "d").alias("b")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+        ).distinct()
     )
-    prev = _edge_checksum(edges_c)
     rounds, converged = 0, False
     for _ in range(max_iter):
         rounds += 1
@@ -568,16 +587,14 @@ def _cc_star(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int, bool]:
         # small-star: every node a connects its SMALLER neighbors (and
         # itself) to the min of those — path-halving toward the root
         smins = ls.groupBy("a").agg(F.min("b").alias("_m"))
-        ss = (
+        ss, cur = _checkpoint_with_checksum(
             ls.join(smins, "a")
             .select(F.col("b").alias("a"), F.col("_m").alias("b"))
             .filter(F.col("a") != F.col("b"))
             .unionByName(smins.select("a", F.col("_m").alias("b")))
             .distinct()
-            .localCheckpoint(eager=True)
         )
         prev_edges, edges_c = edges_c, ss
-        cur = _edge_checksum(edges_c)
         if cur == prev:
             # the cheap probe matched — confirm the fixed point exactly:
             # counts already agree (part of the checksum) and both sides

@@ -182,6 +182,26 @@ def test_star_contraction_is_logarithmic_on_chains(spark):
     assert not lp_converged
 
 
+def test_cc_observe_probes_handle_empty_and_self_loop_graphs(spark):
+    # r11: the per-round convergence probes (label changed-count, star
+    # edge checksum) ride the checkpoint job as ``observe`` aggregates.
+    # An empty relation makes those sums NULL — pin that both algorithms
+    # still converge cleanly (coalesce-to-0 path) instead of hanging or
+    # raising, for the empty edge set and the self-loop-only set that
+    # canonicalizes to empty.
+    from kafka_journal_spark.functions.dedup import connected_components
+
+    empty = _edges_df(spark, [])
+    loops = _edges_df(spark, [(3, 3), (9, 9)])
+    for edges, want in ((empty, set()), (loops, {(3, 3), (9, 9)})):
+        for algo in ("label", "star"):
+            got = {
+                (r.node, r.label)
+                for r in connected_components(edges, algorithm=algo).collect()
+            }
+            assert got == want, (algo, got)
+
+
 def test_nonconvergence_raises_not_partial(spark):
     import pytest as _pytest
 
