@@ -164,6 +164,45 @@ ACTIONS_SQL = f"""
 """
 
 
+#: footer-schema cache for the events table, keyed by (abs path -> (file
+#: signature, schema)).  Unlike the immutable corpus tables (see
+#: sources/tables.read_parquet_cached_schema) an events dir CAN mutate
+#: between reads (replicated stores append between micro-batches), so a
+#: bare path key would serve stale schemas there — the cache key therefore
+#: includes a recursive (name, mtime_ns, size) listing of the dir: any
+#: file added/removed/rewritten re-infers.  The signature costs ~4 us for
+#: the handful of files a local events dir has (vs ~95 ms of footer
+#: inference per DataFrame construction, paid by every journal-family and
+#: events-analytics query on every bench run); dirs beyond 256 entries
+#: skip caching entirely (at that scale a real deployment reads through a
+#: catalog/table format where schema is metadata — guide §6).
+_EVENTS_SCHEMA_CACHE: dict[str, tuple[tuple, object]] = {}
+
+_SIG_MAX_ENTRIES = 256
+
+
+def _events_dir_signature(path: str) -> tuple | None:
+    """(relpath, mtime_ns, size) for every file under ``path`` (sorted), or
+    None when the tree is too large to stat cheaply / vanished mid-walk."""
+    import os
+
+    out = []
+    try:
+        st = os.stat(path)
+        if not os.path.isdir(path):
+            return ((os.path.basename(path), st.st_mtime_ns, st.st_size),)
+        for root, _dirs, files in os.walk(path):
+            rel = os.path.relpath(root, path)
+            for f in files:
+                fst = os.stat(os.path.join(root, f))
+                out.append((os.path.join(rel, f), fst.st_mtime_ns, fst.st_size))
+                if len(out) > _SIG_MAX_ENTRIES:
+                    return None
+    except OSError:
+        return None
+    return tuple(sorted(out))
+
+
 def load_events(spark, sf_dir: str) -> DataFrame:
     """Load the ``events`` table, tolerating nanosecond parquet timestamps.
 
@@ -172,12 +211,26 @@ def load_events(spark, sf_dir: str) -> DataFrame:
     microseconds — exactly DuckDB's TIMESTAMP_NS -> TIMESTAMP coercion, so
     oracles agree.  Integer ``DIV`` avoids double-precision loss on the
     1.7e18 nano values.
+
+    Schema comes from the signature-keyed footer cache above when the dir
+    is byte-identical to the last read; the DATA is read from parquet on
+    every run either way.
     """
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if dict(df.dtypes)["ts"] == "bigint":
+    p = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    sig = _events_dir_signature(p)
+    cached = _EVENTS_SCHEMA_CACHE.get(p) if sig is not None else None
+    if cached is not None and cached[0] == sig:
+        schema = cached[1]
+        df = spark.read.schema(schema).parquet(p)
+    else:
+        df = spark.read.parquet(p)
+        schema = df.schema
+        if sig is not None:
+            _EVENTS_SCHEMA_CACHE[p] = (sig, schema)
+    if schema["ts"].dataType.simpleString() == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
 

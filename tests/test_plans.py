@@ -398,3 +398,38 @@ def test_span_keep_first_explodes_merged_intervals_once(spark):
     # two gram-hash exchanges with identical children (the count/rank
     # windows differ only ABOVE the exchange)
     assert p.count("hashpartitioning(gh") == 2, p
+
+
+def test_load_events_schema_cache_is_mutation_safe(spark, tmp_path):
+    """load_events caches the parquet footer schema keyed by a
+    (relpath, mtime_ns, size) signature of the events dir: a warm read
+    skips inference but must return identical rows, and ANY file change
+    (a replicated store appending between micro-batches, gen_scale
+    regenerating a dir) must invalidate the entry — a stale schema would
+    silently mis-type the ts column.  Oversize dirs skip caching."""
+    import os
+
+    from kafka_journal_spark.operators import actions as A
+
+    src = A.load_events(spark, SF)
+    dst = str(tmp_path / "events.parquet")
+    src.limit(40).repartition(2).write.parquet(dst)
+
+    d1 = A.load_events(spark, str(tmp_path))
+    key = os.path.abspath(dst)
+    assert key in A._EVENTS_SCHEMA_CACHE
+    sig0 = A._EVENTS_SCHEMA_CACHE[key][0]
+
+    d2 = A.load_events(spark, str(tmp_path))  # warm: cache hit
+    assert A._EVENTS_SCHEMA_CACHE[key][0] == sig0
+    assert d1.schema == d2.schema
+    assert sorted(map(tuple, d1.collect())) == sorted(map(tuple, d2.collect()))
+
+    src.limit(3).repartition(1).write.mode("append").parquet(dst)
+    d3 = A.load_events(spark, str(tmp_path))
+    assert d3.count() == d1.count() + 3  # stale schema list would miss files
+    assert A._EVENTS_SCHEMA_CACHE[key][0] != sig0
+
+    for i in range(A._SIG_MAX_ENTRIES + 5):
+        (tmp_path / "events.parquet" / f"_pad_{i}.crc").touch()
+    assert A._events_dir_signature(dst) is None
