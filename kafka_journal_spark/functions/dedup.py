@@ -293,6 +293,15 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: candidates come from a groupBy on (band index, band hash) — the
     classic shingle->minhash->band->bucket-join pipeline; no all-pairs step.
     """
+    return _band_candidates(spark, sf_dir).dropDuplicates(["doc_a", "doc_b"])
+
+
+def _band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-dedup LSH band candidates: one row per (band collision, pair),
+    scored with the signature-agreement estimate.  ``minhash_lsh_pairs``
+    dedups this to the pair set; ``dedup_clusters`` filters it by threshold
+    BEFORE its dedup (``est_jaccard`` is deterministic per pair, so filter
+    and dedup commute — the filter just shrinks the dedup exchange)."""
     # the band bucket-join is a self-join on identical subplans: AQE's
     # shuffle-stage reuse computes the band exchange ONCE and feeds both
     # sides from the same shuffle files (measured at sf10: checkpointed
@@ -316,19 +325,15 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double")
         / F.lit(float(MINHASH_K))
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            round6(est).alias("est_jaccard"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    return a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        round6(est).alias("est_jaccard"),
     )
 
 
@@ -645,8 +650,17 @@ def connected_components(
         )
     # contract: EVERY endpoint gets a row, including nodes touched only by
     # self-loops — star contraction drops self-loop edges up front and
-    # would otherwise silently omit such nodes (label propagation keeps
-    # them); a hypothesis counterexample [(0,2),(1,1)] pinned this
+    # would otherwise silently omit such nodes; a hypothesis counterexample
+    # [(0,2),(1,1)] pinned this.  Label propagation needs NO closure join:
+    # its init groups by ``s`` over the symmetric relation, where every
+    # endpoint (self-loops included) appears as ``s``, so ``labels``
+    # already carries exactly one non-null row per endpoint — the former
+    # nodes-distinct + left-join was a full extra exchange, two extra
+    # scans of the checkpointed edges and a SortMergeJoin per call for an
+    # identity mapping (r11 optimization; the engine-parity property tests
+    # pin label == star on random graphs with self-loops).
+    if algorithm == "label":
+        return labels
     nodes = sym.select(F.col("s").alias("node")).distinct()
     return nodes.join(labels, "node", "left").select(
         "node", F.coalesce("label", F.col("node")).alias("label")
@@ -677,13 +691,7 @@ def dedup_clusters(
     component; singletons map to themselves) and the canonical
     ``keep`` decision.
     """
-    pairs = minhash_lsh_pairs(spark, sf_dir).filter(
-        F.col("est_jaccard") >= F.lit(threshold)
-    )
-    edges = pairs.select(
-        F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
-    ).localCheckpoint(eager=True)
-    labels = connected_components(edges, algorithm=algorithm, max_iter=max_iter)
+    labels = _cluster_labels(spark, sf_dir, threshold, max_iter, algorithm)
     return (
         _docs(spark, sf_dir)
         .select("doc_id")
@@ -694,6 +702,33 @@ def dedup_clusters(
         )
         .withColumn("keep", F.col("cluster_id") == F.col("doc_id"))
     )
+
+
+def _cluster_labels(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float,
+    max_iter: int,
+    algorithm: str,
+) -> DataFrame:
+    """(node, label) over the thresholded LSH pair graph — the component
+    relation :func:`dedup_clusters` and the fused pipeline projection
+    attach to the document set (nodes absent here are singletons)."""
+    # threshold BELOW the pair dedup (r11): est_jaccard is deterministic
+    # per pair, so filtering the pre-dedup band candidates first is
+    # set-identical to filtering minhash_lsh_pairs after — but the dedup
+    # exchange now carries only above-threshold pairs, projected to the
+    # bare 16-byte edge (the est column is dropped map-side too).  At
+    # corpus scale the sub-threshold candidates LSH surfaces are the
+    # majority of the band collisions; here they no longer shuffle twice.
+    edges = (
+        _band_candidates(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= F.lit(threshold))
+        .select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .dropDuplicates(["s", "d"])
+        .localCheckpoint(eager=True)
+    )
+    return connected_components(edges, algorithm=algorithm, max_iter=max_iter)
 
 
 # ---------------------------------------------------------------------------
@@ -725,7 +760,29 @@ def decontaminate(
     count.  The corpus never shuffles on shingle, which is what makes this
     viable where the full self-join of near-dup detection is not needed.
     """
-    toks = tokens_col()
+    overlap, bench_ids = _decon_parts(spark, sf_dir, benchmark)
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .join(overlap, "doc_id", "left")
+        .join(F.broadcast(bench_ids), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.coalesce("_isb", F.lit(False)).alias("is_benchmark"),
+            (
+                F.coalesce("n_overlap", F.lit(0)) > 0
+            ).alias("contaminated"),
+        )
+    )
+
+
+def _decon_parts(
+    spark: SparkSession, sf_dir: str, benchmark: DataFrame | None
+) -> tuple[DataFrame, DataFrame]:
+    """(overlap(doc_id, n_overlap), bench_ids(doc_id, _isb)) — the two
+    relations behind :func:`decontaminate`, shared with the fused pipeline
+    projection so both attach the identical plan."""
     docs = _docs(spark, sf_dir)
     if benchmark is None:
         benchmark = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
@@ -755,20 +812,7 @@ def decontaminate(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
-    return (
-        docs
-        .select("doc_id")
-        .join(overlap, "doc_id", "left")
-        .join(F.broadcast(bench_ids), "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
-            F.coalesce("_isb", F.lit(False)).alias("is_benchmark"),
-            (
-                F.coalesce("n_overlap", F.lit(0)) > 0
-            ).alias("contaminated"),
-        )
-    )
+    return overlap, bench_ids
 
 
 DEDUP_EXTRA_ORACLES: dict[str, str] = {
@@ -1133,26 +1177,45 @@ def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup cluster representative × benchmark decontamination ×
     deterministic source mixing).
 
-    Plan: five independent per-doc relations joined on doc_id.  Quality /
-    lang / sampling are map-only; decontamination broadcasts the benchmark
-    set; clusters is the one iterative piece.  At 100 TB each stage's scale
-    story is its own (documented per operator) — the composition adds only
-    doc_id-keyed joins, which AQE plans as broadcasts while verdict tables
-    stay narrow.
+    Plan (r11 fused form): the three map-only verdicts (quality, lang,
+    sampling) plus the span gate's token count are ONE projection over ONE
+    docs scan — they were separate relations inner-joined on doc_id, which
+    planned as a SortMergeJoin chain (two exchanges + a sort per stage)
+    purely to re-associate columns that never left the row.  The
+    expressions are the same builders the standalone operators use
+    (``_quality_raw_cols``/``_quality_score_col``, ``_lang_hit_cols``/
+    ``_lang_pred_col``, ``_sample_bucket_rate_cols``), so values are
+    term-for-term identical, and every standalone join was 1:1 and total
+    (each stage emits exactly one row per document), so the fused row set
+    is identical too.  The genuinely relational stages keep their joins:
+    cluster labels (iterative), decon overlap (aggregate), span removal
+    (aggregate) attach by doc_id LEFT joins exactly as their standalone
+    operators attach to the document set.  At 100 TB the fusion removes
+    two full-corpus exchanges and three extra corpus scans from the
+    composition.
     """
     from kafka_journal_spark.functions.text import (
-        d_lang_id,
-        d_quality,
-        sample_sources,
+        _lang_hit_cols,
+        _lang_pred_col,
+        _quality_raw_cols,
+        _quality_score_col,
+        _sample_bucket_rate_cols,
     )
 
-    q = d_quality(spark, sf_dir).select("doc_id", "quality_score")
-    l = d_lang_id(spark, sf_dir).select("doc_id", "is_match")
-    c = dedup_clusters(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("_canon")
+    raw = _quality_raw_cols()
+    hits = _lang_hit_cols(tokens_col())
+    bucket, rate = _sample_bucket_rate_cols()
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        (round6(_quality_score_col(raw)) >= 0.5).alias("quality_ok"),
+        (_lang_pred_col(hits) == F.col("lang")).alias("lang_ok"),
+        (bucket < rate).alias("_sampled"),
+        F.coalesce(F.size(tokens_col()), F.lit(0)).alias("_nt"),
     )
-    dec = decontaminate(spark, sf_dir).select("doc_id", "contaminated", "is_benchmark")
-    s = sample_sources(spark, sf_dir).select("doc_id", F.col("keep").alias("_sampled"))
+    labels = _cluster_labels(
+        spark, sf_dir, CLUSTER_THRESHOLD, 20, "label"
+    ).withColumnRenamed("node", "doc_id")
+    overlap, bench_ids = _decon_parts(spark, sf_dir, None)
     # span-boilerplate gate (round 6): drop documents more than half
     # covered by corpus-duplicated passages — the substring-level verdict
     # doc-level near-dup cannot see.  Strict-policy removed-token count ==
@@ -1164,35 +1227,27 @@ def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("span_tokens").alias("_rm"))
     )
-    sp = (
-        _docs(spark, sf_dir)
-        .select(
-            "doc_id",
-            F.coalesce(F.size(tokens_col()), F.lit(0)).alias("_nt"),
-        )
+    out = (
+        base.join(labels, "doc_id", "left")
+        .join(overlap, "doc_id", "left")
+        .join(F.broadcast(bench_ids), "doc_id", "left")
         .join(span_rm, "doc_id", "left")
         .select(
             "doc_id",
+            "quality_ok",
+            "lang_ok",
+            (F.coalesce("label", F.col("doc_id")) == F.col("doc_id")).alias(
+                "canonical"
+            ),
+            (
+                ~(F.coalesce("n_overlap", F.lit(0)) > 0)
+                & ~F.coalesce("_isb", F.lit(False))
+            ).alias("clean"),
+            F.col("_sampled").alias("sampled"),
             (
                 (F.coalesce("_rm", F.lit(0)) * 2 < F.col("_nt"))
                 | (F.col("_nt") == 0)
-            ).alias("_span_ok"),
-        )
-    )
-    out = (
-        q.join(l, "doc_id")
-        .join(c, "doc_id")
-        .join(dec, "doc_id")
-        .join(s, "doc_id")
-        .join(sp, "doc_id")
-        .select(
-            "doc_id",
-            (F.col("quality_score") >= 0.5).alias("quality_ok"),
-            F.col("is_match").alias("lang_ok"),
-            F.col("_canon").alias("canonical"),
-            (~F.col("contaminated") & ~F.col("is_benchmark")).alias("clean"),
-            F.col("_sampled").alias("sampled"),
-            F.col("_span_ok").alias("span_ok"),
+            ).alias("span_ok"),
         )
     )
     return out.withColumn(

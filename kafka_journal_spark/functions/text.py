@@ -109,34 +109,63 @@ def d_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def d_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: length, punctuation ratio, stopword ratio, mean token
-    length, and a composite score — per-row double arithmetic (identical
-    operation order in the oracle), rounded for cross-engine stability."""
+def _quality_raw_cols() -> dict[str, Column]:
+    """The raw (pre-round) quality metric expressions over a ``text``
+    column — the single definition both :func:`d_quality` and the fused
+    pipeline projection (``pipeline_e2e``) build from, so the double
+    arithmetic is term-for-term identical in every consumer."""
     toks = tokens_col()
-    df = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.length("text").alias("_len"),
-        F.size(toks).alias("n_tokens"),
-        (
+    return {
+        "n_tokens": F.size(toks),
+        "punct_ratio": (
             F.length(F.regexp_replace("text", r"[^.,;:!?]", "")).cast("double")
             / F.greatest(F.length("text"), F.lit(1)).cast("double")
-        ).alias("punct_ratio"),
-        (
-            F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS_EN))).cast("double")
+        ),
+        "stopword_ratio": (
+            F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS_EN))).cast(
+                "double"
+            )
             / F.greatest(F.size(toks), F.lit(1)).cast("double")
-        ).alias("stopword_ratio"),
-        (
+        ),
+        "avg_token_len": (
             F.aggregate(
                 toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
             )
             / F.greatest(F.size(toks), F.lit(1)).cast("double")
-        ).alias("avg_token_len"),
+        ),
+    }
+
+
+def _quality_score_col(raw: dict[str, Column]) -> Column:
+    """Composite score over the raw metric expressions (same tree the
+    optimizer produces by inlining d_quality's aliased intermediates)."""
+    return (
+        F.least(raw["n_tokens"].cast("double") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(raw["stopword_ratio"] * 2.0, F.lit(1.0))) * 0.3
+        + F.least(raw["avg_token_len"] / 8.0, F.lit(1.0)) * 0.3
     )
-    score = (
-        F.least(F.col("n_tokens").cast("double") / F.lit(100.0), F.lit(1.0)) * 0.4
-        + (F.lit(1.0) - F.least(F.col("stopword_ratio") * 2.0, F.lit(1.0))) * 0.3
-        + F.least(F.col("avg_token_len") / 8.0, F.lit(1.0)) * 0.3
+
+
+def d_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, punctuation ratio, stopword ratio, mean token
+    length, and a composite score — per-row double arithmetic (identical
+    operation order in the oracle), rounded for cross-engine stability."""
+    raw = _quality_raw_cols()
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length("text").alias("_len"),
+        raw["n_tokens"].alias("n_tokens"),
+        raw["punct_ratio"].alias("punct_ratio"),
+        raw["stopword_ratio"].alias("stopword_ratio"),
+        raw["avg_token_len"].alias("avg_token_len"),
+    )
+    score = _quality_score_col(
+        {
+            "n_tokens": F.col("n_tokens"),
+            "punct_ratio": F.col("punct_ratio"),
+            "stopword_ratio": F.col("stopword_ratio"),
+            "avg_token_len": F.col("avg_token_len"),
+        }
     )
     return df.select(
         "doc_id",
@@ -148,29 +177,44 @@ def d_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def d_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic: stopword-profile hit counts, argmax by count
-    then lexicographic language code; compared against the labeled lang."""
-    toks = tokens_col()
-    df = _docs(spark, sf_dir).select("doc_id", "lang", toks.alias("_toks"))
+def _lang_hit_cols(toks: Column) -> dict[str, Column]:
+    """Per-language stopword-profile hit counts over a token array."""
+
     def _hit_counter(words):
         # closure helper: pyspark counts the lambda's parameters, so the
         # word list must be captured, not passed as a default argument
         return lambda t: F.lower(t).isin(*words)
 
-    hits = [
-        F.size(F.filter(F.col("_toks"), _hit_counter(words))).alias(f"_h_{lang}")
+    return {
+        lang: F.size(F.filter(toks, _hit_counter(words)))
         for lang, words in sorted(LANG_PROFILES.items())
-    ]
-    df = df.select("doc_id", "lang", *hits)
-    # argmax with deterministic ties: highest count, then lang code asc —
-    # a chained CASE over the sorted codes picks the first one at the max
+    }
+
+
+def _lang_pred_col(hits: dict[str, Column]) -> Column:
+    """argmax with deterministic ties: highest count, then lang code asc —
+    a chained CASE over the sorted codes picks the first one at the max."""
     langs = sorted(LANG_PROFILES)
-    max_hits = F.greatest(*[F.col(f"_h_{lang}") for lang in langs])
+    max_hits = F.greatest(*[hits[lang] for lang in langs])
     expr = None
     for lang in langs:
-        cond = F.col(f"_h_{lang}") == max_hits
+        cond = hits[lang] == max_hits
         expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return expr
+
+
+def d_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-profile hit counts, argmax by count
+    then lexicographic language code; compared against the labeled lang."""
+    toks = tokens_col()
+    df = _docs(spark, sf_dir).select("doc_id", "lang", toks.alias("_toks"))
+    hits = _lang_hit_cols(F.col("_toks"))
+    df = df.select(
+        "doc_id", "lang", *[hits[lang].alias(f"_h_{lang}") for lang in sorted(hits)]
+    )
+    expr = _lang_pred_col(
+        {lang: F.col(f"_h_{lang}") for lang in LANG_PROFILES}
+    )
     return df.select(
         "doc_id",
         "lang",
@@ -804,16 +848,9 @@ SAMPLE_RATE_EVEN = 1000
 SAMPLE_RATE_ODD = 300
 
 
-def sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic per-source weighted sampling: each doc's keep decision
-    is ``md5-bucket(doc_id) < rate(source)`` — a pure map-side filter that
-    is reproducible across runs, engines, AND task retries (the property
-    ``F.rand``-based sampling loses: a recomputed partition would draw a
-    different sample, corrupting downstream exactly-once writes).
-
-    At 100 TB this is the corpus-mixing primitive: rates live in a tiny
-    broadcast map (here a parity rule), the scan is map-only, and the same
-    seed always yields the same corpus."""
+def _sample_bucket_rate_cols() -> tuple[Column, Column]:
+    """The (bucket, rate) expressions behind the deterministic sampler —
+    shared by :func:`sample_sources` and the fused pipeline projection."""
     from kafka_journal_spark.functions.dedup import hash64
 
     bucket = F.pmod(hash64(F.col("doc_id").cast("string")), F.lit(1000))
@@ -826,6 +863,20 @@ def sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate = F.when(src_num % 2 == 0, F.lit(SAMPLE_RATE_EVEN)).otherwise(
         F.lit(SAMPLE_RATE_ODD)
     )
+    return bucket, rate
+
+
+def sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source weighted sampling: each doc's keep decision
+    is ``md5-bucket(doc_id) < rate(source)`` — a pure map-side filter that
+    is reproducible across runs, engines, AND task retries (the property
+    ``F.rand``-based sampling loses: a recomputed partition would draw a
+    different sample, corrupting downstream exactly-once writes).
+
+    At 100 TB this is the corpus-mixing primitive: rates live in a tiny
+    broadcast map (here a parity rule), the scan is map-only, and the same
+    seed always yields the same corpus."""
+    bucket, rate = _sample_bucket_rate_cols()
     return _docs(spark, sf_dir).select(
         "doc_id",
         "source",
