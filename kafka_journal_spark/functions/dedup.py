@@ -25,7 +25,15 @@ from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_journal_spark.functions.numeric import round6, round6_sql
-from kafka_journal_spark.functions.text import TOKS_SQL, shingles_col, shingles_sql, tokens_col
+from kafka_journal_spark.functions.text import (
+    TOKS_SQL,
+    _zip_grams_spark_sql,
+    shingles_col,
+    shingles_spark_sql,
+    shingles_sql,
+    tokens_col,
+    tokens_spark_sql,
+)
 
 MINHASH_K = 16  # number of hash functions
 LSH_BANDS = 4  # bands of 4 rows each
@@ -73,6 +81,12 @@ def hash60(col: Column) -> Column:
 HASH64_SQL = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
 HASH60_SQL = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
+#: Spark-SQL twins of hash64/hash60 (the ::BIGINT forms above are DuckDB):
+#: same substring(md5)->conv->cast tree as the Column builders, parity
+#: pinned by the SQL-vs-Column tests in test_pipeline_ops.
+HASH64_SPARK_SQL = "CAST(conv(substring(md5({x}), 1, 8), 16, 10) AS BIGINT)"
+HASH60_SPARK_SQL = "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -106,13 +120,15 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     # tokens hoisted into their own projection: shingles_col references its
     # input 2(n-1)+2 times, so passing `tokens_col()` textually evaluated
-    # the split+filter ~6x per row (see _dup_gram_hits for the mechanism)
+    # the split+filter ~6x per row (see _dup_gram_hits for the mechanism).
+    # Expressions are SQL strings (r11 §4 pattern): the Column form cost
+    # ~0.1 s of py4j churn per build — same tree through the parser.
     df = (
         _docs(spark, sf_dir)
         .select("doc_id", "text")
         .repartition(par, "doc_id")
-        .select("doc_id", tokens_col().alias("_tk"))
-        .select("doc_id", shingles_col(F.col("_tk"), 3).alias("sh"))
+        .selectExpr("doc_id", tokens_spark_sql() + " AS _tk")
+        .selectExpr("doc_id", shingles_spark_sql("_tk", 3) + " AS sh")
     )
     return df.select("doc_id", F.explode("sh").alias("shingle"))
 
@@ -250,33 +266,30 @@ def minhash_signatures(spark: SparkSession, sf_dir: str, k: int = MINHASH_K) -> 
     CollapseProject inlines the alias) — measured cheaper than any barrier
     that would prevent it.
     """
-    from kafka_journal_spark.functions.text import shingles_col, tokens_col
-
     par = spark.sparkContext.defaultParallelism
     docs = (
         _docs(spark, sf_dir).select("doc_id", "text").repartition(par, "doc_id")
     )
-    toks = docs.select("doc_id", tokens_col().alias("_tk")).filter(
+    toks = docs.selectExpr("doc_id", tokens_spark_sql() + " AS _tk").filter(
         F.size("_tk") >= 3
     )
-    hs = F.transform(shingles_col(F.col("_tk"), 3), lambda s: hash64(s))
-    consts = F.array(
-        *[
-            F.struct(F.lit(MINHASH_A[i]).alias("a"), F.lit(MINHASH_B[i]).alias("b"))
-            for i in range(k)
-        ]
+    # the fold as ONE SQL string (r11 §4 pattern): the Column form issued
+    # ~100 py4j calls (~0.4 s per build, paid by d_minhash_lsh,
+    # d_dedup_clusters and d_pipeline_e2e on every run); the parsed tree is
+    # term-for-term the Column tree — parity pinned in test_pipeline_ops
+    hs = (
+        f"transform({shingles_spark_sql('_tk', 3)}, "
+        f"s -> {HASH64_SPARK_SQL.format(x='s')})"
     )
-    init = F.array(*([F.lit(MINHASH_P).cast("long")] * k))
-    sig = F.aggregate(
-        hs,
-        init,
-        lambda acc, h: F.zip_with(
-            acc,
-            consts,
-            lambda m, c: F.least(m, (c["a"] * h + c["b"]) % F.lit(MINHASH_P)),
-        ),
+    consts = "array(" + ", ".join(
+        f"named_struct('a', {MINHASH_A[i]}, 'b', {MINHASH_B[i]})" for i in range(k)
+    ) + ")"
+    init = "array(" + ", ".join([f"CAST({MINHASH_P} AS BIGINT)"] * k) + ")"
+    sig = (
+        f"aggregate({hs}, {init}, (acc, h) -> "
+        f"zip_with(acc, {consts}, (m, c) -> least(m, (c.a * h + c.b) % {MINHASH_P})))"
     )
-    return toks.select("doc_id", sig.alias("sig"))
+    return toks.selectExpr("doc_id", sig + " AS sig")
 
 
 def minhash_signatures_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -786,10 +799,14 @@ def _decon_parts(
     docs = _docs(spark, sf_dir)
     if benchmark is None:
         benchmark = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
-    # tokens hoisted (one split per row, not ~10 — see _dup_gram_hits)
+    # tokens hoisted (one split per row, not ~10 — see _dup_gram_hits);
+    # expressions as SQL strings (r11 §4 pattern, ~0.4 s of py4j churn per
+    # build in the two Column shingle pipelines), same parsed tree
     bench_sh = (
-        benchmark.select(tokens_col().alias("_tk"))
-        .select(F.explode(shingles_col(F.col("_tk"), DECON_NGRAM)).alias("shingle"))
+        benchmark.selectExpr(tokens_spark_sql() + " AS _tk")
+        .selectExpr(
+            f"explode({shingles_spark_sql('_tk', DECON_NGRAM)}) AS shingle"
+        )
         .distinct()
     )
     bench_ids = benchmark.select("doc_id").distinct().withColumn(
@@ -802,9 +819,10 @@ def _decon_parts(
         docs
         .select("doc_id", "text")
         .repartition(par, "doc_id")
-        .select("doc_id", tokens_col().alias("_tk"))
-        .select(
-            "doc_id", F.explode(shingles_col(F.col("_tk"), DECON_NGRAM)).alias("shingle")
+        .selectExpr("doc_id", tokens_spark_sql() + " AS _tk")
+        .selectExpr(
+            "doc_id",
+            f"explode({shingles_spark_sql('_tk', DECON_NGRAM)}) AS shingle",
         )
     )
     overlap = (
@@ -1194,23 +1212,32 @@ def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     two full-corpus exchanges and three extra corpus scans from the
     composition.
     """
+    from kafka_journal_spark.functions.numeric import round6_sql_spark
     from kafka_journal_spark.functions.text import (
-        _lang_hit_cols,
-        _lang_pred_col,
-        _quality_raw_cols,
-        _quality_score_col,
-        _sample_bucket_rate_cols,
+        _lang_hit_sql,
+        _lang_pred_sql,
+        _quality_raw_sql,
+        _quality_score_sql,
+        _sample_bucket_rate_sql,
     )
 
-    raw = _quality_raw_cols()
-    hits = _lang_hit_cols(tokens_col())
-    bucket, rate = _sample_bucket_rate_cols()
-    base = _docs(spark, sf_dir).select(
+    # SQL-string build over a HOISTED token column (r11 §4): the Column
+    # form cost ~0.45 s of py4j churn per build AND inlined the tokenize
+    # ~11x per row (score + 5 lang profiles + token count, each a full
+    # split+filter re-evaluation — the same mechanism the span family
+    # fixed); values are term-for-term identical (same shared SQL twins
+    # the standalone operators build from)
+    raw = _quality_raw_sql()
+    hits = _lang_hit_sql("_tk")
+    bucket, rate = _sample_bucket_rate_sql()
+    base = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "lang", "source", "text", tokens_spark_sql() + " AS _tk"
+    ).selectExpr(
         "doc_id",
-        (round6(_quality_score_col(raw)) >= 0.5).alias("quality_ok"),
-        (_lang_pred_col(hits) == F.col("lang")).alias("lang_ok"),
-        (bucket < rate).alias("_sampled"),
-        F.coalesce(F.size(tokens_col()), F.lit(0)).alias("_nt"),
+        f"({round6_sql_spark(_quality_score_sql(raw))} >= 0.5) AS quality_ok",
+        f"(({_lang_pred_sql(hits)}) = lang) AS lang_ok",
+        f"(({bucket}) < ({rate})) AS _sampled",
+        "coalesce(size(_tk), 0) AS _nt",
     )
     labels = _cluster_labels(
         spark, sf_dir, CLUSTER_THRESHOLD, 20, "label"
@@ -1369,6 +1396,16 @@ def _pos_grams(toks: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _pos_grams_sql(tk: str, n: int) -> str:
+    """Spark-SQL twin of :func:`_pos_grams` (same zip_with fold through the
+    parser) — parity pinned by the SQL-vs-Column tests."""
+    return (
+        f"CASE WHEN size({tk}) >= {n} THEN "
+        f"filter({_zip_grams_spark_sql(tk, n)}, x -> x IS NOT NULL) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
 def _dup_gram_hits(
     spark: SparkSession,
     sf_dir: str,
@@ -1403,14 +1440,17 @@ def _dup_gram_hits(
     # Attribute references are cheap, so CollapseProject keeps the two
     # projections separate; InferFiltersFromGenerate is excluded in
     # session.py so no pushed-down filter re-inlines the expressions.
+    # expressions as SQL strings (r11 §4 pattern — ~0.25 s of py4j churn
+    # per build in the Column zip_with loop); same parsed tree, parity
+    # pinned by the SQL-vs-Column tests
     grams = (
         (_docs(spark, sf_dir) if docs is None else docs)
         .select("doc_id", "text")
         .repartition(par, "doc_id")
-        .select("doc_id", tokens_col().alias("_tk"))
-        .select("doc_id", _pos_grams(F.col("_tk"), l).alias("_pg"))
+        .selectExpr("doc_id", tokens_spark_sql() + " AS _tk")
+        .selectExpr("doc_id", _pos_grams_sql("_tk", l) + " AS _pg")
         .select("doc_id", F.posexplode("_pg").alias("pos", "gram"))
-        .select("doc_id", "pos", hash60(F.col("gram")).alias("gh"))
+        .selectExpr("doc_id", "pos", HASH60_SPARK_SQL.format(x="gram") + " AS gh")
     )
     return (
         grams.withColumn(

@@ -33,6 +33,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+def _docs_cached(spark, path):
+    # footer-schema cache for the immutable documents corpus (guide §6) —
+    # schema is per-path metadata; the data is read from parquet every run
+    from kafka_journal_spark.sources.tables import read_parquet_cached_schema
+
+    return read_parquet_cached_schema(spark, path)
+
+
 MEDIA_SCHEMA = (
     "media_id long, mime string, width int, height int, duration_ms long, blob binary"
 )
@@ -54,7 +62,7 @@ def synth_media(
     filter, never ``limit``)."""
     import os
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).filter(
+    docs = _docs_cached(spark, os.path.join(sf_dir, "documents.parquet")).filter(
         F.col("doc_id") < n
     )
     blob = (
@@ -151,7 +159,7 @@ def synth_wav_media(spark: SparkSession, sf_dir: str, n: int = 64) -> DataFrame:
     import wave
 
     docs = (
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        _docs_cached(spark, os.path.join(sf_dir, "documents.parquet"))
         .filter(F.col("doc_id") < n)
         .select(F.col("doc_id").alias("media_id"))
     )
@@ -300,7 +308,7 @@ def synth_bmp_media(spark: SparkSession, sf_dir: str, n: int = 64) -> DataFrame:
     import numpy as np
 
     docs = (
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        _docs_cached(spark, os.path.join(sf_dir, "documents.parquet"))
         .filter(F.col("doc_id") < n)
         .select(F.col("doc_id").alias("media_id"))
     )
@@ -454,7 +462,7 @@ def synth_png_media(spark: SparkSession, sf_dir: str, n: int = 64) -> DataFrame:
     import numpy as np
 
     docs = (
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        _docs_cached(spark, os.path.join(sf_dir, "documents.parquet"))
         .filter(F.col("doc_id") < n)
         .select(F.col("doc_id").alias("media_id"))
     )

@@ -33,3 +33,10 @@ def round6_sql(x: str) -> str:
     """The DuckDB-side twin of :func:`round6` (same non-negative-input
     assumption)."""
     return f"(FLOOR(({x}) * 1000000.0 + 0.5) / 1000000.0)"
+
+
+def round6_sql_spark(x: str) -> str:
+    """The Spark-SQL-string twin of :func:`round6` (r11 §4 pattern): the
+    ``D`` suffixes pin the literals to DOUBLE exactly like ``F.lit(1e6)``,
+    so the parsed tree is the Column tree term for term."""
+    return f"(floor(({x}) * 1000000.0D + 0.5D) / 1000000.0D)"

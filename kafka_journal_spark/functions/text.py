@@ -18,7 +18,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_journal_spark.functions.numeric import round6, round6_sql
+from kafka_journal_spark.functions.numeric import round6, round6_sql, round6_sql_spark
 
 # tiny fixed stopword profiles (shared constants for Spark + SQL oracles)
 STOPWORDS_EN = ("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
@@ -45,6 +45,15 @@ def tokens_col(text: Column = None) -> Column:
 
 
 TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+
+def tokens_spark_sql(text_expr: str = "text") -> str:
+    """Spark-SQL twin of :func:`tokens_col` (same expression tree through
+    the parser, a handful of py4j calls instead of dozens — the r11
+    SQL-string pattern; TOKS_SQL above is the DuckDB spelling).  The
+    ``'\\\\s+'`` literal unescapes to the same ``\\s+`` Java regex the
+    Column form passes — pinned by the SQL-vs-Column parity tests."""
+    return f"filter(split({text_expr}, '\\\\s+'), x -> x != '')"
 
 #: BM25 retrieval constants (shared by the operator and its oracle)
 BM25_K1, BM25_B, BM25_TOPK, BM25_QTERMS = 1.2, 0.75, 10, 3
@@ -88,6 +97,30 @@ def shingles_col(toks: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _zip_grams_spark_sql(tk: str, n: int) -> str:
+    """The shared zip_with n-gram fold of :func:`shingles_col` /
+    ``_pos_grams`` as a Spark-SQL string — same tree as the Column loop."""
+    sh = tk
+    for k in range(1, n):
+        shifted = f"slice({tk}, {k + 1}, greatest(size({tk}) - {k}, 0))"
+        sh = (
+            f"zip_with({sh}, {shifted}, (a, b) -> "
+            "CASE WHEN a IS NOT NULL AND b IS NOT NULL "
+            "THEN concat(a, ' ', b) END)"
+        )
+    return sh
+
+
+def shingles_spark_sql(tk: str, n: int = 3) -> str:
+    """Spark-SQL twin of :func:`shingles_col` (``shingles_sql`` below is
+    the DuckDB spelling) — parity pinned by the SQL-vs-Column tests."""
+    return (
+        f"CASE WHEN size({tk}) >= {n} THEN "
+        f"array_distinct(filter({_zip_grams_spark_sql(tk, n)}, x -> x IS NOT NULL)) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
 def shingles_sql(toks_expr: str = "toks", n: int = 3) -> str:
     return (
         f"CASE WHEN len({toks_expr}) >= {n} THEN "
@@ -106,6 +139,41 @@ def d_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
         F.size(shingles_col(toks)).alias("n_shingles"),
         F.length("text").alias("n_chars_computed"),
+    )
+
+
+def _quality_raw_sql(tk: str = "_tk", text: str = "text") -> dict[str, str]:
+    """Spark-SQL twins of :func:`_quality_raw_cols` over a HOISTED token
+    column ``tk`` (one tokenize per row instead of ~5 inlined copies) —
+    the single definition d_quality and the fused pipeline projection
+    build from (r11 §4 SQL-string pattern; parity pinned in
+    test_text_ops)."""
+    in_list = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    return {
+        "n_tokens": f"size({tk})",
+        "punct_ratio": (
+            f"CAST(length(regexp_replace({text}, '[^.,;:!?]', '')) AS DOUBLE)"
+            f" / CAST(greatest(length({text}), 1) AS DOUBLE)"
+        ),
+        "stopword_ratio": (
+            f"CAST(size(filter({tk}, t -> lower(t) IN ({in_list}))) AS DOUBLE)"
+            f" / CAST(greatest(size({tk}), 1) AS DOUBLE)"
+        ),
+        "avg_token_len": (
+            f"aggregate({tk}, CAST(0.0 AS DOUBLE), "
+            f"(acc, t) -> acc + CAST(length(t) AS DOUBLE))"
+            f" / CAST(greatest(size({tk}), 1) AS DOUBLE)"
+        ),
+    }
+
+
+def _quality_score_sql(raw: dict[str, str]) -> str:
+    """SQL twin of :func:`_quality_score_col` — same literals, same
+    association order, so the double arithmetic is bit-identical."""
+    return (
+        f"least(CAST({raw['n_tokens']} AS DOUBLE) / 100.0D, 1.0D) * 0.4D"
+        f" + (1.0D - least({raw['stopword_ratio']} * 2.0D, 1.0D)) * 0.3D"
+        f" + least({raw['avg_token_len']} / 8.0D, 1.0D) * 0.3D"
     )
 
 
@@ -150,31 +218,56 @@ def d_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length, punctuation ratio, stopword ratio, mean token
     length, and a composite score — per-row double arithmetic (identical
     operation order in the oracle), rounded for cross-engine stability."""
-    raw = _quality_raw_cols()
-    df = _docs(spark, sf_dir).select(
+    # SQL-string build over a hoisted token column (r11 §4): one tokenize
+    # per row (the Column form inlined it ~5x) and a handful of py4j calls;
+    # the arithmetic trees are the _quality_raw_sql/_quality_score_sql
+    # twins of the Column builders — identical literals and association
+    raw = _quality_raw_sql()
+    df = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "text", tokens_spark_sql() + " AS _tk"
+    ).selectExpr(
         "doc_id",
-        F.length("text").alias("_len"),
-        raw["n_tokens"].alias("n_tokens"),
-        raw["punct_ratio"].alias("punct_ratio"),
-        raw["stopword_ratio"].alias("stopword_ratio"),
-        raw["avg_token_len"].alias("avg_token_len"),
+        raw["n_tokens"] + " AS n_tokens",
+        raw["punct_ratio"] + " AS punct_ratio",
+        raw["stopword_ratio"] + " AS stopword_ratio",
+        raw["avg_token_len"] + " AS avg_token_len",
     )
-    score = _quality_score_col(
+    score = _quality_score_sql(
         {
-            "n_tokens": F.col("n_tokens"),
-            "punct_ratio": F.col("punct_ratio"),
-            "stopword_ratio": F.col("stopword_ratio"),
-            "avg_token_len": F.col("avg_token_len"),
+            "n_tokens": "n_tokens",
+            "punct_ratio": "punct_ratio",
+            "stopword_ratio": "stopword_ratio",
+            "avg_token_len": "avg_token_len",
         }
     )
-    return df.select(
+    return df.selectExpr(
         "doc_id",
         "n_tokens",
-        round6(F.col("punct_ratio")).alias("punct_ratio"),
-        round6(F.col("stopword_ratio")).alias("stopword_ratio"),
-        round6(F.col("avg_token_len")).alias("avg_token_len"),
-        round6(score).alias("quality_score"),
+        round6_sql_spark("punct_ratio") + " AS punct_ratio",
+        round6_sql_spark("stopword_ratio") + " AS stopword_ratio",
+        round6_sql_spark("avg_token_len") + " AS avg_token_len",
+        round6_sql_spark(score) + " AS quality_score",
     )
+
+
+def _lang_hit_sql(tk: str) -> dict[str, str]:
+    """SQL twins of :func:`_lang_hit_cols` over a token column name."""
+    return {
+        lang: (
+            f"size(filter({tk}, t -> lower(t) IN "
+            f"({', '.join(repr(w) for w in words)})))"
+        )
+        for lang, words in sorted(LANG_PROFILES.items())
+    }
+
+
+def _lang_pred_sql(hits: dict[str, str]) -> str:
+    """SQL twin of :func:`_lang_pred_col` — same sorted-langs CASE chain
+    with the greatest() inlined per branch exactly like the Column tree."""
+    langs = sorted(LANG_PROFILES)
+    mx = "greatest(" + ", ".join(hits[lang] for lang in langs) + ")"
+    whens = " ".join(f"WHEN {hits[lang]} = {mx} THEN '{lang}'" for lang in langs)
+    return f"CASE {whens} END"
 
 
 def _lang_hit_cols(toks: Column) -> dict[str, Column]:
@@ -206,20 +299,20 @@ def _lang_pred_col(hits: dict[str, Column]) -> Column:
 def d_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: stopword-profile hit counts, argmax by count
     then lexicographic language code; compared against the labeled lang."""
-    toks = tokens_col()
-    df = _docs(spark, sf_dir).select("doc_id", "lang", toks.alias("_toks"))
-    hits = _lang_hit_cols(F.col("_toks"))
-    df = df.select(
-        "doc_id", "lang", *[hits[lang].alias(f"_h_{lang}") for lang in sorted(hits)]
+    # SQL-string build (r11 §4): same hoisted-hit-counts plan, same trees
+    df = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "lang", tokens_spark_sql() + " AS _toks"
     )
-    expr = _lang_pred_col(
-        {lang: F.col(f"_h_{lang}") for lang in LANG_PROFILES}
+    hits = _lang_hit_sql("_toks")
+    df = df.selectExpr(
+        "doc_id", "lang", *[f"{hits[lang]} AS _h_{lang}" for lang in sorted(hits)]
     )
-    return df.select(
+    expr = _lang_pred_sql({lang: f"_h_{lang}" for lang in LANG_PROFILES})
+    return df.selectExpr(
         "doc_id",
         "lang",
-        expr.alias("lang_pred"),
-        (expr == F.col("lang")).alias("is_match"),
+        expr + " AS lang_pred",
+        f"(({expr}) = lang) AS is_match",
     )
 
 
@@ -848,6 +941,18 @@ SAMPLE_RATE_EVEN = 1000
 SAMPLE_RATE_ODD = 300
 
 
+def _sample_bucket_rate_sql() -> tuple[str, str]:
+    """SQL twins of :func:`_sample_bucket_rate_cols` (r11 §4 pattern)."""
+    from kafka_journal_spark.functions.dedup import HASH64_SPARK_SQL
+
+    bucket = f"pmod({HASH64_SPARK_SQL.format(x='CAST(doc_id AS STRING)')}, 1000)"
+    rate = (
+        "CASE WHEN try_cast(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 2 = 0 "
+        f"THEN {SAMPLE_RATE_EVEN} ELSE {SAMPLE_RATE_ODD} END"
+    )
+    return bucket, rate
+
+
 def _sample_bucket_rate_cols() -> tuple[Column, Column]:
     """The (bucket, rate) expressions behind the deterministic sampler —
     shared by :func:`sample_sources` and the fused pipeline projection."""
@@ -876,13 +981,13 @@ def sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the corpus-mixing primitive: rates live in a tiny
     broadcast map (here a parity rule), the scan is map-only, and the same
     seed always yields the same corpus."""
-    bucket, rate = _sample_bucket_rate_cols()
-    return _docs(spark, sf_dir).select(
+    bucket, rate = _sample_bucket_rate_sql()
+    return _docs(spark, sf_dir).selectExpr(
         "doc_id",
         "source",
-        bucket.cast("int").alias("bucket"),
-        rate.cast("int").alias("rate_permille"),
-        (bucket < rate).alias("keep"),
+        f"CAST({bucket} AS INT) AS bucket",
+        f"CAST({rate} AS INT) AS rate_permille",
+        f"(({bucket}) < ({rate})) AS keep",
     )
 
 
@@ -947,7 +1052,9 @@ def grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     def count_udaf(v):
         return len(v)
 
-    ev = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    from kafka_journal_spark.sources.tables import read_parquet_cached_schema
+
+    ev = read_parquet_cached_schema(spark, os.path.join(sf_dir, "orders.parquet"))
     return (
         ev.groupBy("o_orderstatus")
         .agg(

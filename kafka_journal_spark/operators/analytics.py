@@ -33,7 +33,12 @@ from kafka_journal_spark.functions.numeric import round6
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # footer-schema cache (guide §6): the TPC-H tables are immutable corpus
+    # dirs, so schema is per-path metadata — the DATA is still read from
+    # parquet on every run (see sources/tables.read_parquet_cached_schema)
+    from kafka_journal_spark.sources.tables import read_parquet_cached_schema
+
+    return read_parquet_cached_schema(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
 # exact money math staged through narrow decimals (no overflow in either

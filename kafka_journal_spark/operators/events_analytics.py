@@ -31,8 +31,10 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered, minus one brand, plus the never-ordered parts."""
     import os
 
-    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    from kafka_journal_spark.sources.tables import read_parquet_cached_schema
+
+    part = read_parquet_cached_schema(spark, os.path.join(sf_dir, "part.parquet"))
+    li = read_parquet_cached_schema(spark, os.path.join(sf_dir, "lineitem.parquet"))
     large = part.filter(F.col("p_size") > 20).select(F.col("p_partkey").alias("k"))
     ordered = li.select(F.col("l_partkey").alias("k")).distinct()
     brand1 = part.filter(F.col("p_brand") == "Brand#1").select(F.col("p_partkey").alias("k"))

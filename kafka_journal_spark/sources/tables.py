@@ -30,7 +30,7 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return read_parquet_cached_schema(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
 #: per-process footer-schema cache (path -> StructType).  Schema is table

@@ -1094,3 +1094,122 @@ def test_simhash_sql_string_form_matches_column_form(spark):
     sql_form = simhash_signatures(spark, SF)
     assert column_form.exceptAll(sql_form).count() == 0
     assert sql_form.exceptAll(column_form).count() == 0
+
+
+def test_shingle_family_sql_twins_match_column_forms(spark):
+    """r11 round-2 optimization: the tokenize/shingle/pos-gram/minhash
+    constructors are generated as SQL strings (a handful of parser calls)
+    instead of py4j Column loops (~0.25-0.4 s of driver construction per
+    build, paid by every shingle-family query on every run).  The parsed
+    trees must stay term-for-term the Column trees — pinned here against
+    the original Column builders, which remain in the source as the
+    reference implementation."""
+    from kafka_journal_spark.functions.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_K,
+        MINHASH_P,
+        _docs,
+        _pos_grams,
+        hash60,
+        hash64,
+        minhash_signatures,
+    )
+    from kafka_journal_spark.functions.text import shingles_col, tokens_col
+
+    par = spark.sparkContext.defaultParallelism
+    docs = _docs(spark, SF).select("doc_id", "text").repartition(par, "doc_id")
+
+    # minhash signatures: Column reference (the pre-conversion body)
+    toks = docs.select("doc_id", tokens_col().alias("_tk")).filter(
+        F.size("_tk") >= 3
+    )
+    hs = F.transform(shingles_col(F.col("_tk"), 3), lambda s: hash64(s))
+    consts = F.array(
+        *[
+            F.struct(F.lit(MINHASH_A[i]).alias("a"), F.lit(MINHASH_B[i]).alias("b"))
+            for i in range(MINHASH_K)
+        ]
+    )
+    init = F.array(*([F.lit(MINHASH_P).cast("long")] * MINHASH_K))
+    sig = F.aggregate(
+        hs,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            consts,
+            lambda m, c: F.least(m, (c["a"] * h + c["b"]) % F.lit(MINHASH_P)),
+        ),
+    )
+    column_sigs = {
+        r["doc_id"]: r["sig"]
+        for r in toks.select("doc_id", sig.alias("sig")).collect()
+    }
+    sql_sigs = {
+        r["doc_id"]: r["sig"] for r in minhash_signatures(spark, SF).collect()
+    }
+    assert column_sigs == sql_sigs and len(sql_sigs) > 0
+
+    # positional 8-grams (span family): Column reference vs shipping SQL form
+    from kafka_journal_spark.functions.dedup import SPAN_L, _dup_gram_hits
+    from pyspark.sql import Window
+
+    col_grams = (
+        docs.select("doc_id", tokens_col().alias("_tk"))
+        .select("doc_id", _pos_grams(F.col("_tk"), SPAN_L).alias("_pg"))
+        .select("doc_id", F.posexplode("_pg").alias("pos", "gram"))
+        .select("doc_id", "pos", hash60(F.col("gram")).alias("gh"))
+    )
+    col_hits = (
+        col_grams.withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+        )
+        .filter(F.col("_n") >= 2)
+        .select("doc_id", "pos", "gh")
+    )
+    a = sorted(map(tuple, col_hits.collect()))
+    b = sorted(map(tuple, _dup_gram_hits(spark, SF, SPAN_L).collect()))
+    assert a == b and len(b) > 0
+
+    # decontamination shingle relation: Column reference vs shipping form
+    from kafka_journal_spark.functions.dedup import DECON_NGRAM, decontaminate
+
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    bench_sh = (
+        bench.select(tokens_col().alias("_tk"))
+        .select(F.explode(shingles_col(F.col("_tk"), DECON_NGRAM)).alias("shingle"))
+        .distinct()
+    )
+    sh = (
+        docs.select("doc_id", tokens_col().alias("_tk"))
+        .select(
+            "doc_id",
+            F.explode(shingles_col(F.col("_tk"), DECON_NGRAM)).alias("shingle"),
+        )
+    )
+    overlap = (
+        sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    col_dec = (
+        _docs(spark, SF)
+        .select("doc_id")
+        .join(overlap, "doc_id", "left")
+        .join(
+            F.broadcast(
+                bench.select("doc_id").distinct().withColumn("_isb", F.lit(True))
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.coalesce("_isb", F.lit(False)).alias("is_benchmark"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+    a = sorted(map(tuple, col_dec.collect()))
+    b = sorted(map(tuple, decontaminate(spark, SF).collect()))
+    assert a == b and len(b) > 0

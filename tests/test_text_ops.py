@@ -9,6 +9,8 @@ from kafka_journal_spark.functions.dedup import hash64
 from kafka_journal_spark.functions.similarity import cosine, sign_bucket
 from kafka_journal_spark.functions.text import shingles_col, tokens_col
 
+SF = "/root/testdata/sf0.001"
+
 
 def test_tokenize_and_shingles(spark):
     df = spark.createDataFrame(
@@ -118,3 +120,87 @@ def test_quality_and_sampling_oracle_parity_on_degenerate_docs(spark, tmp_path):
             for r in sdf.collect()
         }
         assert got == want, (name, got, want)
+
+
+def test_quality_lang_sample_sql_twins_match_column_forms(spark):
+    """r11 round-2 optimization: d_quality / d_lang_id / sample_sources and
+    the fused pipeline base build their expressions as SQL strings over a
+    hoisted token column.  Values must match the original Column builders
+    (which remain in the source as the reference) exactly — including the
+    double arithmetic, which the twins spell with D-suffixed literals so
+    the trees are term-for-term identical."""
+    from pyspark.sql import functions as F
+
+    from kafka_journal_spark.functions.numeric import round6
+    from kafka_journal_spark.functions.text import (
+        _docs,
+        _lang_hit_cols,
+        _lang_pred_col,
+        _quality_raw_cols,
+        _quality_score_col,
+        _sample_bucket_rate_cols,
+        d_lang_id,
+        d_quality,
+        sample_sources,
+    )
+
+    # quality: Column reference (the pre-conversion body, inline tokens)
+    raw = _quality_raw_cols()
+    df = _docs(spark, SF).select(
+        "doc_id",
+        raw["n_tokens"].alias("n_tokens"),
+        raw["punct_ratio"].alias("punct_ratio"),
+        raw["stopword_ratio"].alias("stopword_ratio"),
+        raw["avg_token_len"].alias("avg_token_len"),
+    )
+    score = _quality_score_col(
+        {
+            "n_tokens": F.col("n_tokens"),
+            "punct_ratio": F.col("punct_ratio"),
+            "stopword_ratio": F.col("stopword_ratio"),
+            "avg_token_len": F.col("avg_token_len"),
+        }
+    )
+    col_q = df.select(
+        "doc_id",
+        "n_tokens",
+        round6(F.col("punct_ratio")).alias("punct_ratio"),
+        round6(F.col("stopword_ratio")).alias("stopword_ratio"),
+        round6(F.col("avg_token_len")).alias("avg_token_len"),
+        round6(score).alias("quality_score"),
+    )
+    a = sorted(map(tuple, col_q.collect()))
+    b = sorted(map(tuple, d_quality(spark, SF).collect()))
+    assert a == b and len(b) > 0  # exact doubles, not approx
+
+    # lang id
+    from kafka_journal_spark.functions.text import LANG_PROFILES, tokens_col
+
+    dfl = _docs(spark, SF).select("doc_id", "lang", tokens_col().alias("_toks"))
+    hits = _lang_hit_cols(F.col("_toks"))
+    dfl = dfl.select(
+        "doc_id", "lang", *[hits[lang].alias(f"_h_{lang}") for lang in sorted(hits)]
+    )
+    expr = _lang_pred_col({lang: F.col(f"_h_{lang}") for lang in LANG_PROFILES})
+    col_l = dfl.select(
+        "doc_id",
+        "lang",
+        expr.alias("lang_pred"),
+        (expr == F.col("lang")).alias("is_match"),
+    )
+    a = sorted(map(tuple, col_l.collect()))
+    b = sorted(map(tuple, d_lang_id(spark, SF).collect()))
+    assert a == b
+
+    # sampling
+    bucket, rate = _sample_bucket_rate_cols()
+    col_s = _docs(spark, SF).select(
+        "doc_id",
+        "source",
+        bucket.cast("int").alias("bucket"),
+        rate.cast("int").alias("rate_permille"),
+        (bucket < rate).alias("keep"),
+    )
+    a = sorted(map(tuple, col_s.collect()))
+    b = sorted(map(tuple, sample_sources(spark, SF).collect()))
+    assert a == b
