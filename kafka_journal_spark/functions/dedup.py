@@ -23,6 +23,7 @@ import os
 
 from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from kafka_journal_spark.functions.numeric import round6, round6_sql
 from kafka_journal_spark.functions.text import (
@@ -480,6 +481,83 @@ def minhash_lsh_pairs_incremental(
 CLUSTER_THRESHOLD = 0.5  # LSH pairs admitted to the cluster graph
 
 
+#: edge-count ceiling for the driver-local label-propagation mirror.  The
+#: rationale is Spark's own broadcast-join one: a BOUNDED relation that a
+#: whole iterative stage sequence would otherwise re-shuffle per round is
+#: cheaper to move to the driver once.  262144 symmetricized-input edges
+#: collect to ~4 MB (two longs each) — under the default 10 MB broadcast
+#: threshold — while each saved ROUND is a full driver-sequenced
+#: checkpoint job (the part of an iterative algorithm no cluster can
+#: parallelize).  Above the cap the distributed loop is unchanged; the
+#: cap only ever applies when a caller PROVES the edge count by riding an
+#: ``observe`` on its edge checkpoint (n_edges), so no counting job is
+#: ever added to the distributed path.
+CC_LOCAL_MAX_EDGES = 262_144
+
+
+def _cc_label_local(
+    edges: DataFrame, max_iter: int
+) -> tuple[DataFrame | None, int, bool]:
+    """Driver-local mirror of :func:`_cc_label` for bounded edge sets:
+    collects the (pre-symmetrization) edge relation and simulates the
+    EXACT synchronous min-label trajectory — init is the first
+    propagation round, each later round takes the min over neighbours'
+    labels, convergence is the changed-count-zero test — so ``rounds``,
+    ``converged`` (and therefore the raise-on-non-convergence contract)
+    and the fixed-point labels are bit-identical to the distributed loop.
+    The returned DataFrame carries the distributed plan's exact schema
+    (derived from the same lazy expression, analysis only)."""
+    sym = edges.select("s", "d").unionByName(
+        edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    )
+    # schema parity with the distributed output: build (don't run) the
+    # same aggregate the distributed init uses and take its schema
+    schema = (
+        sym.groupBy(F.col("s").alias("node"))
+        .agg(F.least(F.col("s"), F.min("d")).alias("label"))
+        .schema
+    )
+    adj: dict = {}
+    for r in edges.select("s", "d").collect():
+        s, d = r[0], r[1]
+        if s is None or d is None:
+            # NULL endpoints have no Python ordering; the distributed
+            # loop owns that (never-observed) shape
+            return None, 0, False
+        adj.setdefault(s, []).append(d)
+        adj.setdefault(d, []).append(s)
+    labels = {n: min(n, min(ns)) for n, ns in adj.items()}
+    rounds, converged = 1, False
+    for _ in range(max_iter - 1):
+        rounds += 1
+        changed = 0
+        nbr_min = {
+            n: min(labels[m] for m in ns) for n, ns in adj.items()
+        }
+        for n, nl in nbr_min.items():
+            if nl < labels[n]:
+                labels[n] = nl
+                changed += 1
+        if changed == 0:
+            converged = True
+            break
+    spark = edges.sparkSession
+    if len(labels) >= 4096:
+        # Arrow path: one columnar batch instead of a Python-RDD row scan
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "node": list(labels.keys()),
+                "label": list(labels.values()),
+            }
+        )
+        out = spark.createDataFrame(pdf, schema)
+    else:
+        out = spark.createDataFrame(list(labels.items()), schema)
+    return out, rounds, converged
+
+
 def _cc_label(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int, bool]:
     """Min-label propagation over a SYMMETRIC edge relation (s, d): each
     round every node takes the min label among itself and its neighbors.
@@ -636,6 +714,7 @@ def connected_components(
     edges: DataFrame,
     algorithm: str = "label",
     max_iter: int = 20,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """Connected components over an edge DataFrame with columns (s, d)
     (direction-insensitive; self-loops ignored): returns (node, label)
@@ -650,7 +729,21 @@ def connected_components(
         edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
     )
     if algorithm == "label":
-        labels, rounds, converged = _cc_label(sym, max_iter)
+        labels = None
+        if (
+            n_edges is not None
+            and n_edges <= CC_LOCAL_MAX_EDGES
+            and isinstance(
+                edges.schema["s"].dataType, (T.LongType, T.IntegerType)
+            )
+        ):
+            # the caller PROVED the edge relation is bounded (count rode
+            # its checkpoint's observe): run the exact driver-local
+            # mirror — same trajectory, same fixed point, same
+            # non-convergence raise, zero per-round driver jobs
+            labels, rounds, converged = _cc_label_local(edges, max_iter)
+        if labels is None:
+            labels, rounds, converged = _cc_label(sym, max_iter)
     elif algorithm == "star":
         labels, rounds, converged = _cc_star(sym, max_iter)
     else:
@@ -734,14 +827,23 @@ def _cluster_labels(
     # bare 16-byte edge (the est column is dropped map-side too).  At
     # corpus scale the sub-threshold candidates LSH surfaces are the
     # majority of the band collisions; here they no longer shuffle twice.
+    obs = Observation()
     edges = (
         _band_candidates(spark, sf_dir)
         .filter(F.col("est_jaccard") >= F.lit(threshold))
         .select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
         .dropDuplicates(["s", "d"])
+        .observe(obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    return connected_components(edges, algorithm=algorithm, max_iter=max_iter)
+    # the edge count rides the checkpoint job (observe, zero extra jobs)
+    # and unlocks the driver-local CC mirror for bounded graphs
+    return connected_components(
+        edges,
+        algorithm=algorithm,
+        max_iter=max_iter,
+        n_edges=int(obs.get["n"]),
+    )
 
 
 # ---------------------------------------------------------------------------

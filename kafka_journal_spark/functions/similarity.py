@@ -1131,15 +1131,23 @@ def embedding_clusters(
     drops to O(corpus).  The sf100 probe's 2M-vector corpus OOM'd a
     96 GB heap on the full edge set and completes on the forest.
     """
+    from pyspark.sql import Observation
+
     from kafka_journal_spark.functions.dedup import connected_components
 
-    pairs = _forest_reduce_meetings(
-        _neardup_meetings(_emb(spark, sf_dir), tau, scheme)
-    ).localCheckpoint(eager=True)
+    obs = Observation()
+    pairs = (
+        _forest_reduce_meetings(_neardup_meetings(_emb(spark, sf_dir), tau, scheme))
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    # the forest-edge count rides the checkpoint job (observe) and
+    # unlocks the driver-local CC mirror for bounded graphs
     labels = connected_components(
         pairs.select(F.col("i").alias("s"), F.col("j").alias("d")),
         algorithm=algorithm,
         max_iter=max_iter,
+        n_edges=int(obs.get["n"]),
     )
     return (
         _emb(spark, sf_dir)

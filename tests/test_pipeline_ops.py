@@ -212,6 +212,60 @@ def test_nonconvergence_raises_not_partial(spark):
         connected_components(_edges_df(spark, chain), algorithm="label", max_iter=3)
 
 
+def test_local_cc_mirror_matches_distributed_and_contract(spark):
+    # r11 optimization round: when a caller PROVES the edge count is
+    # bounded (n_edges rode an observe on its edge checkpoint), the label
+    # engine runs a driver-local mirror of the synchronous min-label
+    # trajectory.  Pin: labels equal the distributed loop AND union-find
+    # on random graphs (self-loops included), the returned schema is
+    # identical, the empty set works, and the raise-on-non-convergence
+    # contract fires at the same max_iter the distributed loop raises at.
+    import random
+
+    import pytest as _pytest
+
+    from kafka_journal_spark.functions.dedup import connected_components
+
+    for seed in (7, 42):
+        rng = random.Random(seed)
+        n = 40
+        pairs = {
+            (a, b)
+            for _ in range(60)
+            for a, b in [sorted(rng.sample(range(n), 2))]
+        }
+        pairs |= {(5, 5)}  # self-loop endpoint must still get a row
+        edges = _edges_df(spark, pairs)
+        dist = connected_components(edges, algorithm="label")
+        local = connected_components(edges, algorithm="label", n_edges=len(pairs))
+        assert local.schema == dist.schema
+        got_local = {(r.node, r.label) for r in local.collect()}
+        assert got_local == {(r.node, r.label) for r in dist.collect()}, seed
+        assert dict(got_local) == _uf_labels(pairs), seed
+
+    assert (
+        connected_components(_edges_df(spark, []), algorithm="label", n_edges=0)
+        .collect()
+        == []
+    )
+
+    # the >=4096-label Arrow batch path: same values, same schema
+    star = [(0, i) for i in range(1, 5000)]
+    big = _edges_df(spark, star)
+    dist = connected_components(big, algorithm="label")
+    local = connected_components(big, algorithm="label", n_edges=len(star))
+    assert local.schema == dist.schema
+    assert {(r.node, r.label) for r in local.collect()} == {
+        (i, 0) for i in range(5000)
+    }
+
+    chain = [(i, i + 1) for i in range(30)]
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            _edges_df(spark, chain), algorithm="label", max_iter=3, n_edges=29
+        )
+
+
 def test_dedup_clusters_star_mode_matches_label_mode(spark):
     from kafka_journal_spark.functions.dedup import dedup_clusters
 
