@@ -741,13 +741,13 @@ GATE_ORDER = [
     # d_minhash_lsh in the gate window
     "d_lsh_recall",
     "d_dedup_clusters",
-    # the union-scheme gate replays BOTH pair-candidate families in SQL
-    # (the full multiprobe bucket join + the IVF sample/assign/split) and
-    # the canonical-report fold on top — strictly more engine surface per
-    # driver row than d_simhash_sigs' signature recompute, which moves to
-    # the 120+-query local surface (still value-graded at BOTH SFs by
-    # tools/check_correctness.py, like d_embedding_neardup itself)
-    "d_neardup_union",
+    # restored in round 12: the round-11 swap of d_neardup_union into this
+    # slot evicted d_simhash_sigs — a query the driver had graded green for
+    # ten rounds — because the driver grades exactly the first 50 entries.
+    # d_neardup_union keeps its value-graded rows on the 120+-query local
+    # surface at both SFs (tools/check_correctness.py), which is where the
+    # adaptive-similarity family is graded anyway.
+    "d_simhash_sigs",
     # embedding similarity (e_ann_recall's oracle recomputes BOTH the
     # exact and the multiprobe definitions and grades their division PLUS
     # per-query score checksums over both sides — a probe regression that
@@ -763,7 +763,12 @@ GATE_ORDER = [
     "s_load_latest",
     "s_recovery_hybrid",
 ]
-assert len(GATE_ORDER) <= 50, "driver only grades the first 50 queries"
+# FROZEN as of round 12: this is the round-10 gate set, restored after the
+# round-11 d_neardup_union swap evicted d_simhash_sigs and cost the round.
+# The driver grades exactly the first 50 entries and treats any dropped name
+# as a regression, so the set must not change — never swap a name out of
+# this list; new queries go to extra_queries()/the local oracle surface.
+assert len(GATE_ORDER) == 50, "driver grades exactly these 50 queries; frozen"
 
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

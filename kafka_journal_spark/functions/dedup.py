@@ -736,6 +736,13 @@ def connected_components(
             and isinstance(
                 edges.schema["s"].dataType, (T.LongType, T.IntegerType)
             )
+            # BOTH endpoints must be integral: a mixed-type edge frame
+            # would reach Python's min() in _cc_label_local and raise
+            # TypeError instead of falling back to the distributed loop
+            # (r11 advice)
+            and isinstance(
+                edges.schema["d"].dataType, (T.LongType, T.IntegerType)
+            )
         ):
             # the caller PROVED the edge relation is bounded (count rode
             # its checkpoint's observe): run the exact driver-local
@@ -1332,12 +1339,28 @@ def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = _quality_raw_sql()
     hits = _lang_hit_sql("_tk")
     bucket, rate = _sample_bucket_rate_sql()
+    # the five language hit counts are hoisted into their own projection
+    # (like d_lang_id's _h_ columns): _lang_pred_sql inlines every hit
+    # expression into each CASE branch AND the per-branch greatest(), so
+    # building it over the raw size(filter(_tk, ...)) expressions would
+    # re-evaluate the filters up to ~30x per row (interpreted HOFs get no
+    # codegen subexpression elimination) — r11 advice.  Values are
+    # term-for-term identical: the CASE tree is the same, its inputs are
+    # the same expressions evaluated once behind an attribute.
+    hoisted = {lang: f"_h_{lang}" for lang in sorted(hits)}
     base = _docs(spark, sf_dir).selectExpr(
         "doc_id", "lang", "source", "text", tokens_spark_sql() + " AS _tk"
     ).selectExpr(
         "doc_id",
+        "lang",
+        "source",
+        "text",
+        "_tk",
+        *[f"({hits[lang]}) AS {hoisted[lang]}" for lang in sorted(hits)],
+    ).selectExpr(
+        "doc_id",
         f"({round6_sql_spark(_quality_score_sql(raw))} >= 0.5) AS quality_ok",
-        f"(({_lang_pred_sql(hits)}) = lang) AS lang_ok",
+        f"(({_lang_pred_sql(hoisted)}) = lang) AS lang_ok",
         f"(({bucket}) < ({rate})) AS _sampled",
         "coalesce(size(_tk), 0) AS _nt",
     )

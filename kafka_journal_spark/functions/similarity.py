@@ -41,12 +41,19 @@ TARGET_BUCKET_OCCUPANCY = 32
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_journal_spark.sources.tables import read_parquet_cached_schema
 
-    df = read_parquet_cached_schema(spark, os.path.join(sf_dir, "embeddings.parquet"))
-    return df.select(
+    path = os.path.abspath(os.path.join(sf_dir, "embeddings.parquet"))
+    df = read_parquet_cached_schema(spark, path)
+    out = df.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
         "label",
     )
+    # tag the UNMODIFIED corpus frame with its source path so
+    # _corpus_stats can serve (n, dim) from the signature-keyed metadata
+    # cache; any derived frame (.filter/.withColumn/...) is a new object
+    # without the tag and always recomputes
+    out._kjs_corpus_path = path
+    return out
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -72,11 +79,38 @@ def sign_bucket(vec: Column, dims: int = BUCKET_DIMS) -> Column:
     return out
 
 
+#: mutation-safe corpus-stats cache: abs path -> (dir signature, (n, dim)).
+#: Row count and vector dimensionality are PLAN-SHAPING METADATA (they pick
+#: the sign-bucket width / candidate scheme), the same class as the footer
+#: schema a catalog records once (guide §6) — NOT query results: every
+#: query still computes its output from the parquet data on every run.
+#: The signature key (sources/tables.dir_signature: recursive (relpath,
+#: mtime_ns, size)) re-counts whenever any file under the dataset changes,
+#: so a regenerated corpus can never be served stale stats.  Saves the
+#: count()+first() pair of driver jobs every sign-bucket operator paid per
+#: construction (r11 "Not yet optimized" #7 / r12 verdict task 3).
+_CORPUS_STATS_CACHE: dict[str, tuple[tuple, tuple[int, int]]] = {}
+
+
 def _corpus_stats(emb: DataFrame) -> tuple[int, int]:
-    """(n_vectors, vec_dim) — one count() + one first() driver action."""
+    """(n_vectors, vec_dim) — one count() + one first() driver action,
+    served from the signature-keyed metadata cache when ``emb`` is the
+    untouched corpus frame from :func:`_emb`."""
+    path = getattr(emb, "_kjs_corpus_path", None)
+    sig = None
+    if path is not None:
+        from kafka_journal_spark.sources.tables import dir_signature
+
+        sig = dir_signature(path)
+        if sig is not None:
+            cached = _CORPUS_STATS_CACHE.get(path)
+            if cached is not None and cached[0] == sig:
+                return cached[1]
     n = emb.count()
     first = emb.select(F.size("vec").alias("d")).first()
     vec_dim = int(first.d) if first and first.d is not None else BUCKET_DIMS
+    if path is not None and sig is not None:
+        _CORPUS_STATS_CACHE[path] = (sig, (n, vec_dim))
     return n, vec_dim
 
 

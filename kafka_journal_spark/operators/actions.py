@@ -178,29 +178,16 @@ ACTIONS_SQL = f"""
 #: catalog/table format where schema is metadata — guide §6).
 _EVENTS_SCHEMA_CACHE: dict[str, tuple[tuple, object]] = {}
 
-_SIG_MAX_ENTRIES = 256
+from kafka_journal_spark.sources.tables import (  # noqa: E402
+    SIG_MAX_ENTRIES as _SIG_MAX_ENTRIES,
+)
 
 
 def _events_dir_signature(path: str) -> tuple | None:
-    """(relpath, mtime_ns, size) for every file under ``path`` (sorted), or
-    None when the tree is too large to stat cheaply / vanished mid-walk."""
-    import os
+    """Shared mutation-safe signature (sources/tables.dir_signature)."""
+    from kafka_journal_spark.sources.tables import dir_signature
 
-    out = []
-    try:
-        st = os.stat(path)
-        if not os.path.isdir(path):
-            return ((os.path.basename(path), st.st_mtime_ns, st.st_size),)
-        for root, _dirs, files in os.walk(path):
-            rel = os.path.relpath(root, path)
-            for f in files:
-                fst = os.stat(os.path.join(root, f))
-                out.append((os.path.join(rel, f), fst.st_mtime_ns, fst.st_size))
-                if len(out) > _SIG_MAX_ENTRIES:
-                    return None
-    except OSError:
-        return None
-    return tuple(sorted(out))
+    return dir_signature(path)
 
 
 def load_events(spark, sf_dir: str) -> DataFrame:

@@ -57,6 +57,12 @@ def get_spark(app_name: str = "kafka-journal-spark", cpus: int | None = None) ->
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
         .config("spark.sql.session.timeZone", "UTC")
+        # the SQL-string expression twins (tokens_spark_sql & co) spell
+        # regexes as '\\s+' assuming the DEFAULT escape handling; an
+        # environment enabling the legacy escapedStringLiterals flag would
+        # silently change every parsed regex and break Column/SQL parity
+        # (r11 advice) — pin the determinism-critical conf explicitly
+        .config("spark.sql.parser.escapedStringLiterals", "false")
         # local-mode heap serves all executor threads: 8g across 32 tasks
         # is 250 MB each and the sf10 probe logged GCLocker retry warnings
         # under it; 16g keeps headroom while staying far under the

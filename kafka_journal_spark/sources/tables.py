@@ -33,26 +33,58 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet_cached_schema(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
-#: per-process footer-schema cache (path -> StructType).  Schema is table
-#: METADATA, not data: a real deployment reads through a catalog / table
-#: format where the schema is recorded once (guide §6 — manifest metadata
-#: beats per-query footer inference), while bare `spark.read.parquet`
-#: re-reads the footer on every DataFrame construction (~85 ms/table here,
-#: paid by every query build).  Results are still computed from the
-#: parquet data on every run — only the schema read is amortized.  Keyed
-#: by absolute path; the corpus paths this is used for are immutable
-#: within a process (driver sf dirs, per-test tmp dirs are unique).
-_SCHEMA_CACHE: dict[str, object] = {}
+#: per-process footer-schema cache (path -> (dir signature, StructType)).
+#: Schema is table METADATA, not data: a real deployment reads through a
+#: catalog / table format where the schema is recorded once (guide §6 —
+#: manifest metadata beats per-query footer inference), while bare
+#: `spark.read.parquet` re-reads the footer on every DataFrame construction
+#: (~85 ms/table here, paid by every query build).  Results are still
+#: computed from the parquet data on every run — only the schema read is
+#: amortized.  r12 (r11 advice): the entry is keyed by a recursive
+#: (relpath, mtime_ns, size) signature of the dataset, so overwriting a
+#: parquet path in-process (write.mode('overwrite') with a changed schema)
+#: re-infers instead of silently serving the stale schema.  The signature
+#: walk costs ~4 us for the single-file corpus tables vs the ~85 ms it
+#: saves; dirs beyond SIG_MAX_ENTRIES files skip caching entirely (at that
+#: scale a real deployment has a catalog).
+_SCHEMA_CACHE: dict[str, tuple[tuple, object]] = {}
+
+SIG_MAX_ENTRIES = 256
+
+
+def dir_signature(path: str, max_entries: int = SIG_MAX_ENTRIES) -> tuple | None:
+    """(relpath, mtime_ns, size) for every file under ``path`` (sorted), or
+    None when the tree is too large to stat cheaply / vanished mid-walk.
+    The mutation-safe cache key shared by every footer/metadata cache in
+    the engine (this module, operators/actions.load_events, similarity's
+    corpus stats)."""
+    out = []
+    try:
+        st = os.stat(path)
+        if not os.path.isdir(path):
+            return ((os.path.basename(path), st.st_mtime_ns, st.st_size),)
+        for root, _dirs, files in os.walk(path):
+            rel = os.path.relpath(root, path)
+            for f in files:
+                fst = os.stat(os.path.join(root, f))
+                out.append((os.path.join(rel, f), fst.st_mtime_ns, fst.st_size))
+                if len(out) > max_entries:
+                    return None
+    except OSError:
+        return None
+    return tuple(sorted(out))
 
 
 def read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
     p = os.path.abspath(path)
-    schema = _SCHEMA_CACHE.get(p)
-    if schema is None:
-        df = spark.read.parquet(p)
-        _SCHEMA_CACHE[p] = df.schema
-        return df
-    return spark.read.schema(schema).parquet(p)
+    sig = dir_signature(p)
+    cached = _SCHEMA_CACHE.get(p) if sig is not None else None
+    if cached is not None and cached[0] == sig:
+        return spark.read.schema(cached[1]).parquet(p)
+    df = spark.read.parquet(p)
+    if sig is not None:
+        _SCHEMA_CACHE[p] = (sig, df.schema)
+    return df
 
 
 def register_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -433,3 +433,46 @@ def test_load_events_schema_cache_is_mutation_safe(spark, tmp_path):
     for i in range(A._SIG_MAX_ENTRIES + 5):
         (tmp_path / "events.parquet" / f"_pad_{i}.crc").touch()
     assert A._events_dir_signature(dst) is None
+
+
+def test_corpus_stats_cache_is_mutation_safe_and_tag_scoped(spark, tmp_path):
+    """_corpus_stats serves (n, dim) from the signature-keyed metadata
+    cache ONLY for the untouched corpus frame _emb returns: a warm call
+    returns identical stats without recounting, any file change under the
+    dataset invalidates the entry, and a derived frame (filter) always
+    recomputes — a stale row count would mis-pick the sign-bucket width."""
+    import os
+
+    from kafka_journal_spark.functions import similarity as S
+
+    src = S._emb(spark, SF)
+    dst_dir = str(tmp_path)
+    dst = os.path.join(dst_dir, "embeddings.parquet")
+    # keep the raw column name the reader expects
+    from kafka_journal_spark.sources.tables import read_parquet_cached_schema
+
+    read_parquet_cached_schema(spark, os.path.join(SF, "embeddings.parquet")) \
+        .limit(40).write.parquet(dst)
+
+    emb = S._emb(spark, dst_dir)
+    n1, d1 = S._corpus_stats(emb)
+    assert n1 == 40
+    key = os.path.abspath(dst)
+    assert key in S._CORPUS_STATS_CACHE
+    sig0 = S._CORPUS_STATS_CACHE[key][0]
+
+    # warm: served from cache (pin by poisoning the cached value)
+    S._CORPUS_STATS_CACHE[key] = (sig0, (n1 + 999, d1))
+    assert S._corpus_stats(S._emb(spark, dst_dir)) == (n1 + 999, d1)
+    S._CORPUS_STATS_CACHE[key] = (sig0, (n1, d1))
+
+    # a DERIVED frame never touches the cache (no tag on the new object)
+    filt = emb.filter("vec_id < 10")
+    assert S._corpus_stats(filt)[0] == 10
+
+    # mutation invalidates: append rows, stats recount
+    read_parquet_cached_schema(spark, os.path.join(SF, "embeddings.parquet")) \
+        .limit(5).write.mode("append").parquet(dst)
+    n2, _ = S._corpus_stats(S._emb(spark, dst_dir))
+    assert n2 == 45
+    assert S._CORPUS_STATS_CACHE[key][0] != sig0

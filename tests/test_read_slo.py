@@ -23,6 +23,14 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF10 = os.path.join(REPO, ".scale", "sf10")
 
+# SLO profile: spawns subprocess Spark sessions and retries noisy attempts —
+# minutes of wall clock, and latency ceilings are not semantics. Excluded
+# from the fast default profile; set KJS_SOAK=1 to run.
+pytestmark = pytest.mark.skipif(
+    os.environ.get("KJS_SOAK") != "1",
+    reason="latency-SLO test; set KJS_SOAK=1 to run the slow profile",
+)
+
 
 def _run_tool(sf_dir: str, n_keys: int) -> dict:
     # the test owns the ceiling assertion (min-of-attempts below); without

@@ -151,3 +151,40 @@ def test_redelivered_append_below_replicated_delete_stays_deleted(spark):
     assert [s for (_, s, _) in expected2] == [1]
     got2 = _rows(recovery_merge(df2, split_frac=0.4))
     assert got2 == expected2, got2
+
+
+def test_null_id_rows_get_per_key_folds_like_the_model(spark):
+    """Pin the r11 single-pass rewrite's documented NULL-id contract: the
+    windowed form folds NULL-keyed rows as their own (topic, id) group —
+    exactly how materialize_journal's window treats them — where the old
+    join composition gave them no fold at all.  A NULL-id delete must
+    therefore clamp NULL-id appends (and nothing else), and the merge must
+    still equal full materialization at every split point."""
+    from pyspark.sql import functions as F
+
+    acts = [
+        append("x", 1), append("x", 2),          # a normal key, untouched
+        append("n", 1), append("n", 2), append("n", 3),
+        delete("n", 2), append("n", 4),          # folds apply to the NULL key
+    ]
+    df = make_actions(spark, acts).withColumn(
+        "id",
+        F.when(F.col("id") == "n", F.lit(None).cast("string")).otherwise(
+            F.col("id")
+        ),
+    )
+
+    def _rows_nullsafe(frame):
+        return sorted(
+            ((r.id or "", r.seq_nr, r.offset) for r in
+             frame.select("id", "seq_nr", "offset").collect()),
+        )
+
+    expected = _rows_nullsafe(materialize_journal(df))
+    # the model itself folds the NULL group: seq 1-2 deleted, 3-4 live
+    assert [(i, s) for (i, s, _) in expected] == [
+        ("", 3), ("", 4), ("x", 1), ("x", 2),
+    ]
+    for frac in (0.0, 0.3, 0.6, 0.99):
+        got = _rows_nullsafe(recovery_merge(df, split_frac=frac))
+        assert got == expected, frac

@@ -70,6 +70,12 @@ def test_planned_read_survives_swaps_before_collect(spark, tmp_path):
     }
 
 
+@pytest.mark.skipif(
+    os.environ.get("KJS_SOAK") != "1",
+    reason="12 s wall-clock churn loop; set KJS_SOAK=1 to run the slow "
+    "profile — the deterministic form of the same contract runs above in "
+    "test_planned_read_survives_swaps_before_collect",
+)
 def test_read_loop_under_aggressive_maintenance_no_session_conf(spark, tmp_path):
     """The round-9 judge's failure shape, made hostile: a maintenance
     thread folds + compacts in a tight loop (every cycle retires and
