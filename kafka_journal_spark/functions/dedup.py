@@ -494,6 +494,11 @@ CLUSTER_THRESHOLD = 0.5  # LSH pairs admitted to the cluster graph
 #: ever added to the distributed path.
 CC_LOCAL_MAX_EDGES = 262_144
 
+#: broadcast-hint the driver-local mirror's label relation (r12): True in
+#: production; a module flag so the A/B probe can reconstruct the un-hinted
+#: shape in the same session
+CC_BROADCAST_LOCAL_LABELS = True
+
 
 def _cc_label_local(
     edges: DataFrame, max_iter: int
@@ -749,6 +754,17 @@ def connected_components(
             # mirror — same trajectory, same fixed point, same
             # non-convergence raise, zero per-round driver jobs
             labels, rounds, converged = _cc_label_local(edges, max_iter)
+            if labels is not None and CC_BROADCAST_LOCAL_LABELS:
+                # the mirror ran ⟹ the label relation is ≤ 2 x 262,144
+                # rows of two integral ids (~8 MB) — broadcastable by the
+                # SAME bounded-collect rationale that admitted the mirror.
+                # Without the hint the local relation has no size stats
+                # (LogicalRDD defaults to "huge"), so consumers plan a
+                # SortMergeJoin that shuffles + sorts the FULL document
+                # corpus just to attach these labels; AQE only repairs it
+                # after the corpus-side shuffle is already written.  Above
+                # the cap the distributed loop's output stays un-hinted.
+                labels = F.broadcast(labels)
         if labels is None:
             labels, rounds, converged = _cc_label(sym, max_iter)
     elif algorithm == "star":

@@ -153,7 +153,17 @@ def adaptive_bucket_dims(emb: DataFrame, target_occupancy: int = TARGET_BUCKET_O
 
 def cosine_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
     """Exact brute-force cosine top-k for each query vector (vec_id <
-    N_QUERIES), excluding self-matches."""
+    N_QUERIES), excluding self-matches.
+
+    r12 negative result (recorded so round N+1 does not re-try it): an
+    UNROLLED codegen spelling of the cosine (64-term dot + hoisted per-side
+    norms, bit-identical fold order, equality verified row-for-row) was
+    MEASURED SLOWER — interleaved medians 0.58 -> 0.98 s (1.68x) for this
+    query and 1.12 -> 1.43 s (1.28x) for e_ann_recall.  At 16k pairs the
+    stage is overhead-bound, not arithmetic-bound, and the ~200-term
+    generated function pays Janino compilation on EVERY invocation while
+    Spark 4's lambda HOFs are no longer the interpreted-fallback tax they
+    used to be.  The HOF form stays."""
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
