@@ -1043,7 +1043,7 @@ def encode_actions_to_kafka(actions: DataFrame) -> DataFrame:
         )
     else:
         value = F.when(is_append, events_payload_json(actions).cast("binary"))
-    return actions.select(
+    out = actions.select(
         F.col("topic"),
         F.col("partition"),
         F.col("offset"),
@@ -1060,6 +1060,14 @@ def encode_actions_to_kafka(actions: DataFrame) -> DataFrame:
             user_headers,
         ).alias("headers"),
     )
+    if "payload_bin" not in actions.columns and "payloads_bin" not in actions.columns:
+        # this encoder provably wrote NO binary envelope (every append's
+        # value is the JSON document): tag the frame so an in-process
+        # decode of it can skip the Arrow blob decoder outright — the tag
+        # is a Python attribute, so ANY other frame (a real Kafka source,
+        # a transformed copy) lacks it and decodes the full dispatch
+        out._kjs_json_only_envelope = True
+    return out
 
 
 def _attach_blob_bin_arrow(df: DataFrame, is_bin: Column) -> DataFrame:
@@ -1156,7 +1164,21 @@ def decode_kafka_to_actions(kafka_df: DataFrame) -> DataFrame:
     is_bin = is_app & (F.col("_hdr.append.payloadType") == "binary")
     blob = F.from_json(F.col("value").cast("string"), EVENTS_PAYLOAD_SCHEMA)
     df = df.withColumn("_blob", F.when(is_app & ~is_bin, blob))
-    if BIN_CODEC_IMPL == "jvm":
+    if getattr(kafka_df, "_kjs_json_only_envelope", False):
+        # the producing encoder proved every value blob is the JSON
+        # document (no payload_bin/payloads_bin column existed), so the
+        # binary branch can never yield a decoded envelope: attach a typed
+        # NULL instead of running the Arrow decoder over 100% masked rows.
+        # This removes the ArrowEvalPython node — and its JVM->Python->JVM
+        # crossing plus the whole-stage-codegen break — from the JSON-only
+        # roundtrip (guide §4.1).  Rows whose HEADER claims binary (only
+        # constructible by setting payload_type='binary' without a bin
+        # column) decode to the same all-NULL action either way: the Arrow
+        # kernel's corrupt-blob tolerance returns NULL for a JSON byte
+        # stream (version byte mismatch), which is exactly this literal —
+        # pinned by test_bin_codec_batch's json-only equivalence test.
+        df = df.withColumn("_blob_bin", F.lit(None).cast(EVENTS_BIN_SCHEMA))
+    elif BIN_CODEC_IMPL == "jvm":
         decoded = events_bin_decode_expr(F.col("value"))
         df = df.withColumn("_blob_bin", F.when(is_bin, decoded))
     elif BIN_CODEC_IMPL == "mapinarrow":

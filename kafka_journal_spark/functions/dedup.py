@@ -1048,6 +1048,12 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arithmetic is term-for-term identical (shifts, masks, 2*c > n), so
     # the analyzed plan and the signature bits are unchanged —
     # exceptAll-pinned against the Column form in test_pipeline_ops.
+    # r12 negative result: spreading the monolithic driver corpus
+    # (spread_unsplittable, the d_pii_scrub/pipeline fix) measured a WASH
+    # here (interleaved 1.04x) — the packed partial aggregate collapses
+    # each doc to ~17 longs map-side, so the one-core tokenize+explode is
+    # already hidden behind the aggregate's own cost and the added
+    # exchange of raw text buys nothing.  Left on the scan partitioning.
     docs = _docs(spark, sf_dir).select("doc_id", tokens_col().alias("_tk")).filter(
         F.size("_tk") <= SIMHASH_MAX_TOKENS
     )
@@ -1364,7 +1370,18 @@ def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # term-for-term identical: the CASE tree is the same, its inputs are
     # the same expressions evaluated once behind an attribute.
     hoisted = {lang: f"_h_{lang}" for lang in sorted(hits)}
-    base = _docs(spark, sf_dir).selectExpr(
+    # r12: the fused base and the whole BroadcastHashJoin chain above it
+    # ride the docs scan's partitioning — with a monolithic row group that
+    # is ONE task doing every tokenize/score/probe.  Spread exactly when
+    # the layout cannot split (guide §2.5; no-op at real scale).
+    from kafka_journal_spark.sources.tables import spread_unsplittable
+
+    base = spread_unsplittable(
+        spark,
+        _docs(spark, sf_dir),
+        os.path.join(sf_dir, "documents.parquet"),
+        min_rows=2048,
+    ).selectExpr(
         "doc_id", "lang", "source", "text", tokens_spark_sql() + " AS _tk"
     ).selectExpr(
         "doc_id",

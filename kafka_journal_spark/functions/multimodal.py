@@ -41,6 +41,22 @@ def _docs_cached(spark, path):
     return read_parquet_cached_schema(spark, path)
 
 
+def _media_ids(spark, sf_dir, n):
+    """The ``media_id`` seed relation the three synth generators fan out
+    from.  r12 negative result: round-robin-spreading these ids out of the
+    monolithic docs row group (spread_unsplittable, the d_pii_scrub fix)
+    was MEASURED 2.0-2.1x SLOWER for all three decoders — fanning 64 blobs
+    across 32 mapInPandas tasks pays a fresh Python-worker/Arrow handshake
+    per task that dwarfs the kernels, exactly the per-task-init cost guide
+    §4.5 amortizes by keeping batches together.  The one-task form stays;
+    at real scale a media corpus arrives in many row groups and
+    parallelizes at the scan."""
+    import os
+
+    docs = _docs_cached(spark, os.path.join(sf_dir, "documents.parquet"))
+    return docs.filter(F.col("doc_id") < n).select(F.col("doc_id").alias("media_id"))
+
+
 MEDIA_SCHEMA = (
     "media_id long, mime string, width int, height int, duration_ms long, blob binary"
 )
@@ -158,11 +174,7 @@ def synth_wav_media(spark: SparkSession, sf_dir: str, n: int = 64) -> DataFrame:
     import struct
     import wave
 
-    docs = (
-        _docs_cached(spark, os.path.join(sf_dir, "documents.parquet"))
-        .filter(F.col("doc_id") < n)
-        .select(F.col("doc_id").alias("media_id"))
-    )
+    docs = _media_ids(spark, sf_dir, n)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -307,11 +319,7 @@ def synth_bmp_media(spark: SparkSession, sf_dir: str, n: int = 64) -> DataFrame:
 
     import numpy as np
 
-    docs = (
-        _docs_cached(spark, os.path.join(sf_dir, "documents.parquet"))
-        .filter(F.col("doc_id") < n)
-        .select(F.col("doc_id").alias("media_id"))
-    )
+    docs = _media_ids(spark, sf_dir, n)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -461,11 +469,7 @@ def synth_png_media(spark: SparkSession, sf_dir: str, n: int = 64) -> DataFrame:
 
     import numpy as np
 
-    docs = (
-        _docs_cached(spark, os.path.join(sf_dir, "documents.parquet"))
-        .filter(F.col("doc_id") < n)
-        .select(F.col("doc_id").alias("media_id"))
-    )
+    docs = _media_ids(spark, sf_dir, n)
 
     def _chunk(ctype: bytes, data: bytes) -> bytes:
         return (

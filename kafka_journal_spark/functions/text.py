@@ -832,8 +832,23 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix (derived from ``doc_id`` identically in both engines) is
     appended in-plan before detection — the regex/scrub machinery is what
     is under test, and a corpus of zero matches would test nothing.
+
+    r12: "embarrassingly parallel" requires splits — a monolithic row
+    group serializes the regex chain onto one core, and the session's
+    minPartitionNum floor cannot repair it (row groups are the split
+    atom).  spread_unsplittable round-robins the rows exactly when the
+    layout cannot split (guide §2.5) and is a no-op at any real scale,
+    keeping the zero-Exchange map-only shape wherever it actually
+    parallelizes.
     """
-    doc = _docs(spark, sf_dir)
+    from kafka_journal_spark.sources.tables import spread_unsplittable
+
+    doc = spread_unsplittable(
+        spark,
+        _docs(spark, sf_dir),
+        os.path.join(sf_dir, "documents.parquet"),
+        min_rows=2048,
+    )
     pii = F.concat(
         F.col("text"),
         F.lit(" contact doc"),

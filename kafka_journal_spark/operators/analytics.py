@@ -75,6 +75,17 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     down to the parquet scan.
     """
     li = _t(spark, sf_dir, "lineitem")
+    # the low-selectivity filter keeps ~98% of lineitem, and the grouped
+    # aggregation (8 decimal/double sums) is the query's CPU: when the
+    # parquet layout cannot split (single row group — the split atom),
+    # spread the rows so the partial aggregation parallelizes instead of
+    # running on the scan's one core (guide §2.5; no-op whenever the
+    # layout gives the scan >= cores row groups, i.e. at any real scale)
+    from kafka_journal_spark.sources.tables import spread_unsplittable
+
+    li = spread_unsplittable(
+        spark, li, os.path.join(sf_dir, "lineitem.parquet")
+    )
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")

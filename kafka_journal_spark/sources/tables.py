@@ -87,6 +87,68 @@ def read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+#: per-path (signature, (total row groups, total rows)) — metadata, same
+#: class and same mutation-safe key as the footer-schema cache above
+_ROWGROUP_CACHE: dict[str, tuple[tuple, tuple[int, int]]] = {}
+
+
+def _parquet_layout(path: str, sig: tuple | None) -> tuple[int, int] | None:
+    """(total row groups, total rows) under ``path`` (footer metadata), or
+    None when unreadable / the dir exceeds the signature walk cap."""
+    if sig is None:
+        return None
+    cached = _ROWGROUP_CACHE.get(path)
+    if cached is not None and cached[0] == sig:
+        return cached[1]
+    try:
+        import pyarrow.parquet as pq
+
+        rgs = rows = 0
+        if os.path.isdir(path):
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        m = pq.ParquetFile(os.path.join(root, f)).metadata
+                        rgs += m.num_row_groups
+                        rows += m.num_rows
+        else:
+            m = pq.ParquetFile(path).metadata
+            rgs, rows = m.num_row_groups, m.num_rows
+    except Exception:
+        return None
+    _ROWGROUP_CACHE[path] = (sig, (rgs, rows))
+    return rgs, rows
+
+
+def spread_unsplittable(
+    spark: SparkSession, df: DataFrame, path: str, min_rows: int = 100_000
+) -> DataFrame:
+    """Round-robin-spread a scan whose parquet layout CANNOT split (guide
+    §2.5: "input skew: one huge unsplittable file ... repartition
+    immediately after the read").
+
+    A row group is Spark's split atom: a monolithic file defeats both
+    ``files.maxPartitionBytes`` and the session's ``minPartitionNum``
+    floor — every row lands in the one task holding the row group's start
+    offset, serializing CPU-dense downstream work onto a single core.
+    The repartition fires ONLY when the dataset's total row-group count
+    is below the session parallelism AND the table is big enough for the
+    spread to matter (``min_rows``, from footer metadata): at production
+    scale (row groups ~128 MB) any table worth spreading has orders of
+    magnitude more row groups than cores and this is a no-op — it is
+    split-repair for degenerate layouts, not a local[n] tune.  Filters
+    still push through the repartition to the scan."""
+    p = os.path.abspath(path)
+    layout = _parquet_layout(p, dir_signature(p))
+    if layout is None:
+        return df
+    rgs, n_rows = layout
+    par = spark.sparkContext.defaultParallelism
+    if rgs >= par or n_rows < min_rows:
+        return df
+    return df.repartition(par)
+
+
 def register_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every table and register it as a temp view (for spark.sql use)."""
     out = {}

@@ -476,3 +476,31 @@ def test_corpus_stats_cache_is_mutation_safe_and_tag_scoped(spark, tmp_path):
     n2, _ = S._corpus_stats(S._emb(spark, dst_dir))
     assert n2 == 45
     assert S._CORPUS_STATS_CACHE[key][0] != sig0
+
+
+def test_spread_unsplittable_fires_only_on_monolithic_layouts(spark, tmp_path):
+    """spread_unsplittable is split-repair for degenerate parquet layouts
+    (guide §2.5), not a blanket repartition: it must fire only when the
+    dataset's total row-group count is below the session parallelism AND
+    the table clears the CPU-density floor — and be a no-op (same plan,
+    no Exchange) for well-laid-out data, which is every real-scale input."""
+    from kafka_journal_spark.sources.tables import spread_unsplittable
+
+    par = spark.sparkContext.defaultParallelism
+    mono = str(tmp_path / "mono.parquet")
+    spark.range(300_000).selectExpr("id", "id * 2 AS v").coalesce(1).write.parquet(mono)
+
+    df = spark.read.parquet(mono)
+    out = spread_unsplittable(spark, df, mono, min_rows=100_000)
+    assert "Exchange" in out._jdf.queryExecution().executedPlan().toString()
+    assert sorted(r.id for r in out.collect()) == list(range(300_000))
+
+    # below the density floor: no-op
+    small = spread_unsplittable(spark, df, mono, min_rows=1_000_000)
+    assert small is df
+
+    # splittable layout (>= par row groups across files): no-op
+    many = str(tmp_path / "many.parquet")
+    spark.range(300_000).repartition(par + 1).write.parquet(many)
+    df2 = spark.read.parquet(many)
+    assert spread_unsplittable(spark, df2, many, min_rows=100_000) is df2
