@@ -70,6 +70,37 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _dot_hof_sql(a: str, b: str) -> str:
+    """SQL twin of :func:`dot` — the same zip_with+aggregate HOF tree
+    through the parser (r11 §4 pattern: one parse instead of ~15 py4j
+    round-trips per cosine; the exec plan is term-for-term identical,
+    unlike the unrolled form recorded as a negative in cosine_topk)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _norm_hof_sql(a: str) -> str:
+    """SQL twin of :func:`norm` — the single-array fold (acc + x*x), NOT
+    dot(a, a): the zip_with spelling computes the same doubles but
+    materializes an intermediate product array per row."""
+    return f"SQRT(aggregate({a}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    """SQL twin of :func:`cosine` (same tree: dot / (norm(a) * norm(b)))."""
+    return f"({_dot_hof_sql(a, b)} / ({_norm_hof_sql(a)} * {_norm_hof_sql(b)}))"
+
+
+def _sign_bucket_sql(vec: str, dims: int) -> str:
+    """SQL twin of :func:`sign_bucket` (same left-folded CASE chain)."""
+    out = "0"
+    for i in range(dims):
+        out = f"({out} + (CASE WHEN {vec}[{i}] >= 0 THEN {1 << i} ELSE 0 END))"
+    return out
+
+
 def sign_bucket(vec: Column, dims: int = BUCKET_DIMS) -> Column:
     """IVF-ish coarse quantizer: integer from the sign bits of the first
     ``dims`` components."""
@@ -169,10 +200,12 @@ def cosine_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
     )
     pairs = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("q_id"))
-    scored = pairs.select(
+    # SQL-string twin of round(cosine(q_vec, vec), 6) — same parsed tree,
+    # ~15 fewer py4j round-trips per build (r11 §4 pattern)
+    scored = pairs.selectExpr(
         "q_id",
         "vec_id",
-        F.round(cosine(F.col("q_vec"), F.col("vec")), 6).alias("score"),
+        f"round({_cosine_sql('q_vec', 'vec')}, 6) AS score",
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id"))
     return (
@@ -228,26 +261,29 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> Dat
     recall several times the single-probe variant."""
     emb = _emb(spark, sf_dir)
     dims = adaptive_bucket_dims(emb)
-    emb = emb.withColumn("bucket", sign_bucket(F.col("vec"), dims))
-    probes = F.array(
-        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(dims)]
+    # SQL-string twins (r11 §4 pattern): the sign-bucket CASE chain, the
+    # probe array and the cosine are the same parsed trees as the Column
+    # forms (~60 fewer py4j round-trips per build)
+    emb = emb.selectExpr("*", f"{_sign_bucket_sql('vec', dims)} AS bucket")
+    probes = ", ".join(
+        ["bucket"] + [f"bucket ^ {1 << i}" for i in range(dims)]
     )
     q = (
         emb.filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("vec").alias("q_vec"),
-            F.explode(probes).alias("q_bucket"),
+        .selectExpr(
+            "vec_id AS q_id",
+            "vec AS q_vec",
+            f"explode(array({probes})) AS q_bucket",
         )
     )
     pairs = emb.join(
         F.broadcast(q),
         (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
     )
-    scored = pairs.select(
+    scored = pairs.selectExpr(
         "q_id",
         "vec_id",
-        F.round(cosine(F.col("q_vec"), F.col("vec")), 6).alias("score"),
+        f"round({_cosine_sql('q_vec', 'vec')}, 6) AS score",
     ).dropDuplicates(["q_id", "vec_id"])
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id"))
     return (

@@ -178,6 +178,10 @@ ACTIONS_SQL = f"""
 #: catalog/table format where schema is metadata — guide §6).
 _EVENTS_SCHEMA_CACHE: dict[str, tuple[tuple, object]] = {}
 
+#: (applicationId, path) -> (signature, coerced DataFrame) — see
+#: sources/tables._DF_CACHE for the immutable-plan rationale
+_EVENTS_DF_CACHE: dict[tuple[str, str], tuple[tuple, object]] = {}
+
 from kafka_journal_spark.sources.tables import (  # noqa: E402
     SIG_MAX_ENTRIES as _SIG_MAX_ENTRIES,
 )
@@ -208,6 +212,16 @@ def load_events(spark, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     p = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
     sig = _events_dir_signature(p)
+    # memoize the coerced DataFrame itself behind the same signature key
+    # (r12, same rationale as tables._DF_CACHE: an immutable plan, reused,
+    # caches no data — it amortizes the ~50-90 ms of relation construction
+    # every journal-family build re-paid); any file change under the
+    # events dir rebuilds the relation and its captured file index
+    key = (spark.sparkContext.applicationId, p)
+    if sig is not None:
+        hit = _EVENTS_DF_CACHE.get(key)
+        if hit is not None and hit[0] == sig:
+            return hit[1]
     cached = _EVENTS_SCHEMA_CACHE.get(p) if sig is not None else None
     if cached is not None and cached[0] == sig:
         schema = cached[1]
@@ -219,6 +233,8 @@ def load_events(spark, sf_dir: str) -> DataFrame:
             _EVENTS_SCHEMA_CACHE[p] = (sig, schema)
     if schema["ts"].dataType.simpleString() == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if sig is not None:
+        _EVENTS_DF_CACHE[key] = (sig, df)
     return df
 
 

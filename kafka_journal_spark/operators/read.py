@@ -293,82 +293,70 @@ def recovery_merge(
         & F.col("partition").eqNullSafe(F.col("_mp")),
     ).drop("_mt", "_mp")
 
-    pre = F.col("offset") <= F.col("_split")
-    is_purge = F.col("action_type") == "purge"
-    is_delete = F.col("action_type") == "delete"
-
     # all four per-key folds in TWO Window nodes over one spec (the purge
     # horizons first; the watermarks reference them, so they land in a
     # second node) — both ride the (topic, id) partitioning the seq-nr
     # derivation already established: no exchange, no sort.  Each pair is
     # emitted in ONE select so CollapseWindow keeps them in one node
-    # (chained withColumn planned four).
-    wk = Window.partitionBy("topic", "id")
-    df = acts.select(
+    # (chained withColumn planned four).  Expressions are SQL strings
+    # (r11/r12 §4 pattern: the Column form cost ~0.2 s of py4j churn per
+    # build); same parsed trees — CASE without ELSE is the bare when(),
+    # coalesce promotes the int literal exactly like F.lit — pinned by
+    # test_recovery_merge and the driver oracle.
+    _pre = "(`offset` <= _split)"
+    _wk = "OVER (PARTITION BY topic, id)"
+    df = acts.selectExpr(
         "*",
-        F.max(F.when(pre & is_purge, F.col("offset"))).over(wk).alias("_p_purge"),
-        F.max(F.when(~pre & is_purge, F.col("offset"))).over(wk).alias("_t_purge"),
+        f"max(CASE WHEN {_pre} AND (action_type = 'purge') THEN `offset` END) "
+        f"{_wk} AS _p_purge",
+        f"max(CASE WHEN (NOT {_pre}) AND (action_type = 'purge') THEN `offset` END) "
+        f"{_wk} AS _t_purge",
     )
-    df = df.select(
+    df = df.selectExpr(
         "*",
-        F.max(
-            F.when(
-                pre
-                & is_delete
-                & (F.col("offset") > F.coalesce(F.col("_p_purge"), F.lit(-1))),
-                F.col("delete_to"),
-            )
-        )
-        .over(wk)
-        .alias("_p_del"),
-        F.max(
-            F.when(
-                (~pre)
-                & is_delete
-                & (F.col("offset") > F.coalesce(F.col("_t_purge"), F.lit(-1))),
-                F.col("delete_to"),
-            )
-        )
-        .over(wk)
-        .alias("_t_del"),
+        f"max(CASE WHEN {_pre} AND (action_type = 'delete') "
+        "AND (`offset` > coalesce(_p_purge, -1)) THEN delete_to END) "
+        f"{_wk} AS _p_del",
+        f"max(CASE WHEN (NOT {_pre}) AND (action_type = 'delete') "
+        "AND (`offset` > coalesce(_t_purge, -1)) THEN delete_to END) "
+        f"{_wk} AS _t_del",
     )
 
     apps = df.filter(F.col("action_type") == "append")
     # prefix appends obey the replicated materialization
     # (materialize_journal's _eff + batch-level watermark prune); tail
     # appends are the raw Kafka records, untouched here
-    keep_batch = F.when(
-        pre,
-        (F.col("offset") > F.coalesce(F.col("_p_purge"), F.lit(-1)))
-        & (F.col("seq_nr_to") > F.coalesce(F.col("_p_del"), F.lit(0))),
-    ).otherwise(F.lit(True))
+    keep_batch = F.expr(
+        f"CASE WHEN {_pre} THEN (`offset` > coalesce(_p_purge, -1)) "
+        "AND (seq_nr_to > coalesce(_p_del, 0)) ELSE true END"
+    )
     rows = explode_events(
         apps.filter(keep_batch),
         extra_cols=("_split", "_p_del", "_t_purge", "_t_del"),
     )
 
-    pre_r = F.col("offset") <= F.col("_split")
     visible = (
         rows
         # prefix materialization's per-event delete watermark
         .filter(
-            F.when(
-                pre_r, F.col("seq_nr") > F.coalesce(F.col("_p_del"), F.lit(0))
-            ).otherwise(F.lit(True))
+            F.expr(
+                f"CASE WHEN {_pre} THEN seq_nr > coalesce(_p_del, 0) "
+                "ELSE true END"
+            )
         )
         # tail purge erases the replicated prefix and earlier tail appends
-        .filter(F.col("offset") > F.coalesce(F.col("_t_purge"), F.lit(-1)))
+        .filter(F.expr("`offset` > coalesce(_t_purge, -1)"))
         # tail delete watermark tightens the read lower bound
-        .filter(F.col("seq_nr") > F.coalesce(F.col("_t_del"), F.lit(0)))
-        .filter(F.col("seq_nr") >= F.lit(from_seq_nr))
+        .filter(F.expr("seq_nr > coalesce(_t_del, 0)"))
+        .filter(F.expr(f"seq_nr >= {int(from_seq_nr)}"))
         # the REPLICATED watermark clamps tail redeliveries too (an
         # at-least-once retry re-keying offsets must not resurrect deleted
         # events) — voided by a tail purge: rows surviving the purge filter
         # belong to the fresh incarnation
         .filter(
-            F.col("seq_nr")
-            > F.when(F.col("_t_purge").isNotNull(), F.lit(0)).otherwise(
-                F.coalesce(F.col("_p_del"), F.lit(0))
+            F.expr(
+                "seq_nr > (CASE WHEN _t_purge IS NOT NULL THEN 0 "
+                "ELSE coalesce(_p_del, 0) END)"
             )
         )
     )

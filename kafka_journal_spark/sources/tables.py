@@ -75,15 +75,34 @@ def dir_signature(path: str, max_entries: int = SIG_MAX_ENTRIES) -> tuple | None
     return tuple(sorted(out))
 
 
+#: memoized BASE DataFrames: (applicationId, path) -> (signature, df).
+#: A DataFrame is an immutable logical plan — handing the same object to
+#: every consumer caches no data (each run still scans parquet); it only
+#: amortizes the driver-side relation construction (file listing RPC +
+#: analysis, ~46 ms even with an explicit schema) that every query build
+#: re-paid per table.  The signature key makes it exactly as mutation-safe
+#: as the schema cache: any file change under the dataset rebuilds the
+#: relation (and its captured file index).  Keyed by applicationId so a
+#: fresh SparkContext (new test session) never sees a stale frame.
+_DF_CACHE: dict[tuple[str, str], tuple[tuple, DataFrame]] = {}
+
+
 def read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
     p = os.path.abspath(path)
     sig = dir_signature(p)
-    cached = _SCHEMA_CACHE.get(p) if sig is not None else None
+    if sig is None:
+        return spark.read.parquet(p)
+    key = (spark.sparkContext.applicationId, p)
+    cached = _DF_CACHE.get(key)
     if cached is not None and cached[0] == sig:
-        return spark.read.schema(cached[1]).parquet(p)
-    df = spark.read.parquet(p)
-    if sig is not None:
+        return cached[1]
+    schema_hit = _SCHEMA_CACHE.get(p)
+    if schema_hit is not None and schema_hit[0] == sig:
+        df = spark.read.schema(schema_hit[1]).parquet(p)
+    else:
+        df = spark.read.parquet(p)
         _SCHEMA_CACHE[p] = (sig, df.schema)
+    _DF_CACHE[key] = (sig, df)
     return df
 
 
