@@ -1142,6 +1142,14 @@ def decode_kafka_to_actions(kafka_df: DataFrame) -> DataFrame:
     # 2.64 s for this form on the isolated header pipeline; Spark 4's
     # lambda HOFs are not the interpreted-fallback tax they used to be,
     # and arrays_zip builds arrays the lambdas never materialize.)
+    # The header parse itself is from_json over the one-of schema — ONE
+    # Jackson parse into a struct, fields then read as struct loads.  The
+    # Spark 4 VariantType spelling (parse_json once + variant_get per
+    # field) was MEASURED AND REJECTED in r12 (tools/
+    # probe_variant_header.py, 99k headers, checkpointed input, row-for-row
+    # equal): 0.68 s vs 0.35 s median — 1.96x slower; the variant binary
+    # encode costs more than it saves on a 13-field read-everything
+    # projection.  from_json stays.
     hdr = F.get(F.filter(F.col("headers"), lambda h: h["key"] == KAFKA_HEADER_KEY), 0)[
         "value"
     ].cast("string")
